@@ -1,0 +1,241 @@
+"""Blocked all-pairs DTW distance matrix over a DataFrame of series.
+
+The reference's central relational operator (distance_matrix,
+dtw.py:725-828) is a triangular theta self-join with an expensive
+per-pair kernel; its own distribution primitive is the rectangular
+``block`` (dtw.py:757-761, intended "to distribute the computations over
+multiple nodes", README.md:191-193).  Here the block becomes the Spark
+unit of work:
+
+1. series get dense indices and a chunk id ``ci = i // chunk_size``;
+2. the *pair space* is pruned declaratively: only chunk pairs
+   ``ci <= cj`` (triangular symmetry) that intersect the requested block
+   survive — this is partition pruning over the pair space, done before
+   any data moves;
+3. each surviving chunk pair becomes one ``applyInPandas`` group whose
+   kernel computes its intra-block pairs with the batched anti-diagonal
+   DP (kernels/dtw.py), LB_Keogh-prefiltered when max_dist is set;
+4. output is the long-format ``(i, j, d)`` DataFrame — the "condensed"
+   matrix is just this table ordered row-major; a full numpy matrix is
+   materialized only driver-side for small n.
+
+Scale properties: data duplication per chunk is O(n/chunk_size) (the
+unavoidable all-pairs fan-out), shuffle is keyed by (ci, cj) which is
+uniformly distributed by construction, and within a task pairs of equal
+length are batch-vectorized so Python overhead is amortized over
+thousands of pairs per numpy call.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..kernels.dtw import (DtwSettings, dtw_distance, dtw_distance_batch,
+                           ed_distance_batch, lb_keogh_batch)
+
+PAIR_SCHEMA = "i long, j long, d double"
+
+
+def with_index(series_df: DataFrame, order_col: str = "series_id",
+               index_col: str = "i") -> DataFrame:
+    """Assign dense 0-based indices by ``order_col`` ordering.
+
+    Uses a global row_number — fine up to millions of series; for larger
+    corpora switch to a two-pass per-partition offset scheme.
+    """
+    w = W.orderBy(order_col)
+    return series_df.withColumn(index_col, F.row_number().over(w).cast("long") - 1)
+
+
+def _norm_block(block) -> Tuple[Optional[tuple], bool]:
+    if block is None or block == 0:
+        return None, True
+    triu = True
+    if len(block) > 2 and block[2] is False:
+        triu = False
+    return ((int(block[0][0]), int(block[0][1])),
+            (int(block[1][0]), int(block[1][1]))), triu
+
+
+def _compute_pairs(left: np.ndarray, right_idx: np.ndarray,
+                   values_by_idx: dict, settings: DtwSettings,
+                   max_cells: int = 4_000_000):
+    """Compute DTW for explicit (i, j) index pairs, batching equal-shape
+    pairs through the vectorized kernel."""
+    out_i, out_j, out_d = [], [], []
+    lens = {i: len(values_by_idx[i]) for i in values_by_idx}
+    byshape: dict = {}
+    for i, j in zip(left, right_idx):
+        byshape.setdefault((lens[i], lens[j]), []).append((i, j))
+    use_lb = settings.max_dist is not None and settings.max_dist > 0
+    for (l1, l2), pairs in byshape.items():
+        pairs = np.asarray(pairs, dtype=np.int64)
+        bmax = max(16, max_cells // max(l1 * l2, 1))
+        for s in range(0, len(pairs), bmax):
+            chunk = pairs[s:s + bmax]
+            X1 = np.stack([values_by_idx[i] for i in chunk[:, 0]])
+            X2 = np.stack([values_by_idx[j] for j in chunk[:, 1]])
+            d = np.full(len(chunk), np.inf)
+            todo = np.ones(len(chunk), dtype=bool)
+            if use_lb and l1 == l2 and X1.ndim == 2:
+                lb = lb_keogh_batch(X1, X2, window=settings.window,
+                                    inner_dist=settings.inner_dist)
+                todo = lb <= settings.max_dist
+            if todo.any():
+                d[todo] = dtw_distance_batch(X1[todo], X2[todo], settings=settings)
+            out_i.append(chunk[:, 0])
+            out_j.append(chunk[:, 1])
+            out_d.append(d)
+    if not out_i:
+        return (np.array([], np.int64),) * 2 + (np.array([], np.float64),)
+    return np.concatenate(out_i), np.concatenate(out_j), np.concatenate(out_d)
+
+
+def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None,
+                    block=None, chunk_size: int = 64,
+                    index_col: str = "i", values_col: str = "values",
+                    **kwargs) -> DataFrame:
+    """All-pairs DTW distances → long DataFrame ``(i, j, d)``.
+
+    ``block=((rb,re),(cb,ce)[,triu])`` follows reference semantics
+    (dtw.py:730, :757-761): with triu (default) only pairs ``i<j`` inside
+    the block are produced; with ``triu=False`` the full rectangle.
+    """
+    s = settings if settings is not None else DtwSettings(**kwargs)
+    blk, triu = _norm_block(block)
+    settings_json = s.to_json()
+
+    src = series_df.select(F.col(index_col).cast("long").alias("i"),
+                           F.col(values_col).alias("values"))
+    if blk is not None:
+        (rb, re_), (cb, ce) = blk
+        src = src.where(
+            ((F.col("i") >= rb) & (F.col("i") < re_)) |
+            ((F.col("i") >= cb) & (F.col("i") < ce)))
+
+    src = src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
+
+    # --- declarative pair-space pruning over chunk ids ---
+    chunks = src.select("chunk").distinct()
+    ca = chunks.select(F.col("chunk").alias("ci"))
+    cb_df = chunks.select(F.col("chunk").alias("cj"))
+    cp = ca.crossJoin(cb_df)
+    if triu:
+        cp = cp.where(F.col("ci") <= F.col("cj"))
+    if blk is not None:
+        (rb, re_), (cb, ce) = blk
+        cp = cp.where(
+            (F.col("ci") >= rb // chunk_size) & (F.col("ci") <= (re_ - 1) // chunk_size) &
+            (F.col("cj") >= cb // chunk_size) & (F.col("cj") <= (ce - 1) // chunk_size))
+
+    left = src.join(F.broadcast(cp), src["chunk"] == cp["ci"]) \
+              .select("ci", "cj", F.lit(0).alias("side"), "i", "values")
+    right = src.join(F.broadcast(cp), src["chunk"] == cp["cj"]) \
+               .select("ci", "cj", F.lit(1).alias("side"), "i", "values")
+    tagged = left.unionByName(right)
+
+    rb_, re__, cb_, ce_ = (-1, -1, -1, -1)
+    if blk is not None:
+        (rb_, re__), (cb_, ce_) = blk
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        st = DtwSettings.from_json(settings_json)
+        rows_l = pdf[pdf["side"] == 0]
+        rows_r = pdf[pdf["side"] == 1]
+        vals = {}
+        for r in pdf.itertuples(index=False):
+            if r.i not in vals:
+                vals[r.i] = np.asarray(r.values, dtype=np.float64)
+        li = np.sort(rows_l["i"].unique())
+        rj = np.sort(rows_r["i"].unique())
+        ii, jj = np.meshgrid(li, rj, indexing="ij")
+        ii, jj = ii.ravel(), jj.ravel()
+        if triu:
+            keep = ii < jj
+            ii, jj = ii[keep], jj[keep]
+        if rb_ >= 0:
+            keep = ((ii >= rb_) & (ii < re__) & (jj >= cb_) & (jj < ce_))
+            ii, jj = ii[keep], jj[keep]
+        oi, oj, od = _compute_pairs(ii, jj, vals, st)
+        return pd.DataFrame({"i": oi, "j": oj, "d": od})
+
+    return tagged.groupBy("ci", "cj").applyInPandas(compute, schema=PAIR_SCHEMA)
+
+
+def distance_matrix_cross(query_df: DataFrame, corpus_df: DataFrame,
+                          settings: Optional[DtwSettings] = None,
+                          index_col: str = "i", values_col: str = "values",
+                          **kwargs) -> DataFrame:
+    """Rectangular cross-set distances (reference ``_matrices`` variant,
+    dd_dtw.c:5227-5323): every query × every corpus series.  The query
+    set is broadcast (it is small by assumption); the corpus streams."""
+    s = settings if settings is not None else DtwSettings(**kwargs)
+    settings_json = s.to_json()
+    q = query_df.select(F.col(index_col).cast("long").alias("qi"),
+                        F.col(values_col).alias("qvalues"))
+    c = corpus_df.select(F.col(index_col).cast("long").alias("i"),
+                         F.col(values_col).alias("values"))
+    joined = c.crossJoin(F.broadcast(q))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = DtwSettings.from_json(settings_json)
+        for pdf in batches:
+            vals = {}
+            out_q, out_c, out_d = [], [], []
+            byshape = {}
+            arrs_c = [np.asarray(v, dtype=np.float64) for v in pdf["values"]]
+            arrs_q = [np.asarray(v, dtype=np.float64) for v in pdf["qvalues"]]
+            for k in range(len(pdf)):
+                byshape.setdefault((len(arrs_q[k]), len(arrs_c[k])), []).append(k)
+            for (l1, l2), idxs in byshape.items():
+                bmax = max(16, 4_000_000 // max(l1 * l2, 1))
+                for sft in range(0, len(idxs), bmax):
+                    sel = idxs[sft:sft + bmax]
+                    X1 = np.stack([arrs_q[k] for k in sel])
+                    X2 = np.stack([arrs_c[k] for k in sel])
+                    d = dtw_distance_batch(X1, X2, settings=st)
+                    out_q.extend(pdf["qi"].iloc[sel])
+                    out_c.extend(pdf["i"].iloc[sel])
+                    out_d.extend(d)
+            yield pd.DataFrame({"qi": out_q, "i": out_c, "d": out_d})
+
+    return joined.mapInPandas(compute, schema="qi long, i long, d double")
+
+
+# --- driver-side assembly (small n only; reference dtw.py:831-862) ---
+
+
+def condensed_index(a: np.ndarray, b: np.ndarray, n: int) -> np.ndarray:
+    """Closed form of the reference's distance_array_index (dtw.py:853-862):
+    row-major upper-triangular position of pair (a<b) among n series."""
+    a = np.minimum(a, b), np.maximum(a, b)
+    lo, hi = a
+    return lo * n - lo * (lo + 1) // 2 + hi - lo - 1
+
+
+def to_condensed(dist_df: DataFrame, n: int) -> np.ndarray:
+    """Collect the long pair table into the reference's condensed
+    upper-triangular array ordering (dtw.py:865-884)."""
+    pdf = dist_df.toPandas()
+    out = np.full(n * (n - 1) // 2, np.inf)
+    idx = condensed_index(pdf["i"].to_numpy(), pdf["j"].to_numpy(), n)
+    out[idx] = pdf["d"].to_numpy()
+    return out
+
+
+def to_matrix(dist_df: DataFrame, n: int, only_triu: bool = False) -> np.ndarray:
+    """Collect into a full n×n matrix (inf off-block, 0 diagonal unless
+    only_triu — reference distances_array_to_matrix, dtw.py:831-850)."""
+    pdf = dist_df.toPandas()
+    m = np.full((n, n), np.inf)
+    m[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf["d"].to_numpy()
+    if not only_triu:
+        m[pdf["j"].to_numpy(), pdf["i"].to_numpy()] = pdf["d"].to_numpy()
+        np.fill_diagonal(m, 0.0)
+    return m

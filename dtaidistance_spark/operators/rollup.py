@@ -1,0 +1,167 @@
+"""Continuous-aggregate rollup cascade with gap-fill and retention.
+
+North-rule layer (BASELINE.json): per-series points are bucketed to 1m,
+then the 1h tier is *re-aggregated from the 1m tier* and 1d from 1h —
+algebraic partial/final aggregation (cnt/sum/min/max are mergeable;
+first/last merge via min_by/max_by on the bucket timestamp), exactly the
+shape of a TimescaleDB-style continuous-aggregate chain but expressed as
+plain Spark hash aggregations that Catalyst executes with map-side
+partial aggregation (one shuffle per tier, keyed by series_id — skew-safe
+because bucket cardinality per series is bounded).
+
+All functions take and return DataFrames; nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+BUCKET_SPEC = {
+    "1m": ("minute", 60),
+    "1h": ("hour", 3600),
+    "1d": ("day", 86400),
+}
+
+AGG_COLUMNS = ["series_id", "bucket_ts", "cnt", "sum", "min", "max", "first", "last"]
+
+
+def bucket_col(ts_col, bucket: str):
+    trunc, _ = BUCKET_SPEC[bucket]
+    return F.date_trunc(trunc, ts_col)
+
+
+def rollup_points(points: DataFrame, bucket: str = "1m",
+                  series_col: str = "series_id", ts_col: str = "ts",
+                  value_col: str = "value", seq_col: str = "seq") -> DataFrame:
+    """Aggregate raw points into one tier: count/sum/min/max/first/last
+    per (series, bucket).  ``seq_col`` is the stable per-series ordering
+    key (turn_idx) that makes first/last deterministic."""
+    return (
+        points.groupBy(
+            F.col(series_col).alias("series_id"),
+            bucket_col(F.col(ts_col), bucket).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(value_col).alias("cnt"),
+            F.sum(value_col).alias("sum"),
+            F.min(value_col).alias("min"),
+            F.max(value_col).alias("max"),
+            F.min_by(value_col, F.col(seq_col)).alias("first"),
+            F.max_by(value_col, F.col(seq_col)).alias("last"),
+        )
+    )
+
+
+def rollup_cascade(agg: DataFrame, to_bucket: str) -> DataFrame:
+    """Re-aggregate a finer tier into a coarser one (1m→1h, 1h→1d).
+
+    Purely algebraic merge — never touches the raw points again, which is
+    what makes the cascade cheap at 100 TB: each tier shrinks the data
+    ~60× before the next shuffle.
+    """
+    return (
+        agg.groupBy(
+            "series_id",
+            bucket_col(F.col("bucket_ts"), to_bucket).alias("bucket_ts"),
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+            F.min_by("first", F.col("bucket_ts")).alias("first"),
+            F.max_by("last", F.col("bucket_ts")).alias("last"),
+        )
+    )
+
+
+def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count") -> DataFrame:
+    """Materialize missing buckets between each series' first and last
+    bucket.
+
+    Policies for the value columns (cnt is always 0 for filled rows):
+
+    * ``"zero_count"`` — value columns stay NULL (TimescaleDB gapfill default)
+    * ``"zero"``       — sum→0.0; min/max/first/last stay NULL
+    * ``"locf"``       — last observation carried forward into
+                         sum/min/max/first/last
+
+    Scale note: the grid is generated with a two-level explode (days ×
+    intra-day offsets) so no ``sequence()`` array exceeds 1440 elements
+    regardless of the series' time span.
+    """
+    trunc, step = BUCKET_SPEC[bucket]
+    bounds = agg.groupBy("series_id").agg(
+        F.min("bucket_ts").alias("b0"), F.max("bucket_ts").alias("b1"))
+    days = bounds.select(
+        "series_id", "b0", "b1",
+        F.explode(
+            F.sequence(F.date_trunc("day", F.col("b0")),
+                       F.date_trunc("day", F.col("b1")),
+                       F.expr("interval 1 day"))
+        ).alias("day_ts"),
+    )
+    if step >= 86400:
+        grid = days.select("series_id", F.col("day_ts").alias("bucket_ts"))
+    else:
+        grid = days.select(
+            "series_id", "b0", "b1",
+            F.explode(
+                F.sequence(F.col("day_ts"),
+                           F.col("day_ts") + F.expr("interval 86399 second"),
+                           F.expr(f"interval {step} second"))
+            ).alias("bucket_ts"),
+        ).where(F.col("bucket_ts").between(F.col("b0"), F.col("b1"))) \
+         .select("series_id", "bucket_ts")
+
+    filled = (
+        grid.join(agg, ["series_id", "bucket_ts"], "left")
+        .withColumn("gap", F.col("cnt").isNull())
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    if policy == "zero":
+        filled = filled.withColumn("sum", F.coalesce(F.col("sum"), F.lit(0.0)))
+    elif policy == "locf":
+        w = (W.partitionBy("series_id").orderBy("bucket_ts")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+        for c in ("sum", "min", "max", "first", "last"):
+            filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    elif policy != "zero_count":
+        raise ValueError(f"unknown gap-fill policy: {policy}")
+    return filled.select(*AGG_COLUMNS, "gap")
+
+
+def apply_retention(agg: DataFrame, bucket: str, keep_until) -> DataFrame:
+    """Retention as partition pruning: keep only buckets >= cutoff.
+    With a date-partitioned sink this compiles to partition drops; here it
+    is the equivalent declarative filter (pushed down to the scan)."""
+    return agg.where(F.col("bucket_ts") >= F.lit(keep_until))
+
+
+def series_arrays(agg: DataFrame, bucket: str, value_col: str = "sum",
+                  fill: float = 0.0) -> DataFrame:
+    """Collapse a (gap-filled) tier into dense per-series arrays —
+    the reference's position-implicit series model
+    (reference util.py:197-208: time axis = array position).
+
+    Returns ``(series_id, t0 timestamp, step_s int, n int,
+    values array<double>)``; position i corresponds to t0 + i*step_s.
+    """
+    _, step = BUCKET_SPEC[bucket]
+    v = F.coalesce(F.col(value_col).cast("double"), F.lit(float(fill)))
+    pairs = agg.select("series_id", "bucket_ts", v.alias("v"))
+    return (
+        pairs.groupBy("series_id")
+        .agg(
+            F.min("bucket_ts").alias("t0"),
+            F.count("v").alias("n"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket_ts", "v"))),
+                lambda s: s["v"],
+            ).alias("values"),
+        )
+        .select("series_id", "t0", F.lit(step).alias("step_s"),
+                F.col("n").cast("int").alias("n"), "values")
+    )

@@ -1,0 +1,136 @@
+"""Distributed distance_matrix ↔ reference parity (block semantics,
+condensed ordering, golden fixtures from reference tests/test_dtw.py)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from dtaidistance_spark.kernels.dtw import DtwSettings
+from dtaidistance_spark.operators.matrix import (
+    condensed_index, distance_matrix, distance_matrix_cross, to_condensed,
+    to_matrix, with_index,
+)
+
+S6 = [
+    [0.0, 0, 1, 2, 1, 0, 1, 0, 0],
+    [0.0, 1, 2, 0, 0, 0, 0, 0, 0],
+    [1.0, 2, 0, 0, 0, 0, 0, 1, 1],
+    [0.0, 0, 1, 2, 1, 0, 1, 0, 0],
+    [0.0, 1, 2, 0, 0, 0, 0, 0, 0],
+    [1.0, 2, 0, 0, 0, 0, 0, 1, 1],
+]
+
+
+def _series_df(spark, series):
+    rows = [(i, [float(x) for x in s]) for i, s in enumerate(series)]
+    return spark.createDataFrame(rows, "i long, values array<double>")
+
+
+class TestCondensedIndex:
+    def test_golden_indices(self):
+        # reference tests/test_dtw.py:36-50
+        assert condensed_index(np.array([3]), np.array([2]), 6)[0] == 9
+        assert condensed_index(np.array([0]), np.array([1]), 6)[0] == 0
+        assert condensed_index(np.array([4]), np.array([5]), 6)[0] == 14
+
+    def test_matches_reference(self, ref_dtw):
+        n = 7
+        for a in range(n):
+            for b in range(n):
+                if a == b:
+                    continue
+                got = int(condensed_index(np.array([a]), np.array([b]), n)[0])
+                assert got == ref_dtw.distance_array_index(a, b, n)
+
+
+class TestDistanceMatrix:
+    def test_full_matrix_golden(self, spark, ref_dtw):
+        df = _series_df(spark, S6)
+        dist = distance_matrix(df, chunk_size=2)
+        m = to_matrix(dist, 6)
+        expected = ref_dtw.distance_matrix(S6)
+        for i in range(6):
+            for j in range(6):
+                if math.isinf(expected[i][j]):
+                    assert math.isinf(m[i][j]) or i == j
+                else:
+                    assert m[i][j] == pytest.approx(expected[i][j], rel=1e-15)
+
+    def test_condensed_ordering(self, spark, ref_dtw):
+        df = _series_df(spark, S6)
+        cond = to_condensed(distance_matrix(df, chunk_size=4), 6)
+        expected = ref_dtw.distance_matrix(S6, compact=True)
+        np.testing.assert_allclose(cond, np.asarray(expected), rtol=1e-15)
+
+    def test_block_golden(self, spark, ref_dtw):
+        # reference tests/test_dtw.py:171-191
+        block = ((1, 4), (3, 5))
+        df = _series_df(spark, S6)
+        dist = distance_matrix(df, block=block, chunk_size=2)
+        m = to_matrix(dist, 6, only_triu=True)
+        expected = ref_dtw.distance_matrix(S6, block=block, only_triu=True)
+        np.testing.assert_allclose(m, np.asarray(expected), rtol=1e-14)
+
+    def test_block_not_triu(self, spark, ref_dtw):
+        block = ((1, 4), (0, 5), False)
+        df = _series_df(spark, S6)
+        pdf = distance_matrix(df, block=block, chunk_size=3).toPandas()
+        # full rectangle: rows 1..3 × cols 0..4, including i >= j
+        assert len(pdf) == 3 * 5
+        for row in pdf.itertuples(index=False):
+            expected = ref_dtw.distance(S6[row.i], S6[row.j])
+            assert row.d == pytest.approx(expected, rel=1e-14)
+
+    def test_random_ragged_vs_reference(self, spark, ref_dtw, rng):
+        series = [list(rng.normal(size=int(rng.choice([8, 12, 17])))) for _ in range(15)]
+        df = _series_df(spark, series)
+        cond = to_condensed(distance_matrix(df, chunk_size=4), 15)
+        expected = np.asarray(ref_dtw.distance_matrix(series, compact=True))
+        np.testing.assert_allclose(cond, expected, rtol=1e-14)
+
+    def test_settings_window_psi(self, spark, ref_dtw, rng):
+        series = [list(rng.normal(size=12)) for _ in range(8)]
+        df = _series_df(spark, series)
+        st = DtwSettings(window=3, psi=1)
+        cond = to_condensed(distance_matrix(df, settings=st, chunk_size=3), 8)
+        expected = np.asarray(ref_dtw.distance_matrix(series, compact=True,
+                                                      window=3, psi=1))
+        np.testing.assert_allclose(cond, expected, rtol=1e-14)
+
+    def test_max_dist_lb_prefilter(self, spark, ref_dtw, rng):
+        series = [list(rng.normal(size=16)) for _ in range(10)]
+        df = _series_df(spark, series)
+        st = DtwSettings(max_dist=2.0, window=4)
+        cond = to_condensed(distance_matrix(df, settings=st, chunk_size=5), 10)
+        expected = np.asarray(ref_dtw.distance_matrix(series, compact=True,
+                                                      max_dist=2.0, window=4))
+        finite = np.isfinite(expected)
+        # pruned pairs are inf on both sides; finite pairs match exactly
+        np.testing.assert_array_equal(np.isfinite(cond), finite)
+        np.testing.assert_allclose(cond[finite], expected[finite], rtol=1e-14)
+
+
+class TestCross:
+    def test_cross_matrix(self, spark, ref_dtw, rng):
+        corpus = [list(rng.normal(size=10)) for _ in range(12)]
+        queries = [list(rng.normal(size=10)) for _ in range(3)]
+        cdf = _series_df(spark, corpus)
+        qdf = _series_df(spark, queries).withColumnRenamed("i", "qi") \
+            .withColumnRenamed("values", "qvalues")
+        qdf = qdf.selectExpr("qi as i", "qvalues as values")
+        out = distance_matrix_cross(qdf, cdf).toPandas()
+        assert len(out) == 36
+        for row in out.itertuples(index=False):
+            expected = ref_dtw.distance(queries[row.qi], corpus[row.i])
+            assert row.d == pytest.approx(expected, rel=1e-14)
+
+
+class TestWithIndex:
+    def test_dense_indices(self, spark):
+        df = spark.createDataFrame(
+            [("c", [1.0]), ("a", [2.0]), ("b", [3.0])],
+            "series_id string, values array<double>")
+        out = with_index(df).orderBy("i").toPandas()
+        assert list(out["i"]) == [0, 1, 2]
+        assert list(out["series_id"]) == ["a", "b", "c"]

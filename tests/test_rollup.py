@@ -1,0 +1,142 @@
+"""Rollup cascade / gap-fill / transcript-source tests.
+
+Golden oracle: straightforward pandas groupby over the same collected
+input (FIXTURES.md §8) — cnt/min/max/first/last must match exactly,
+sums to float64 round-off.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dtaidistance_spark.operators.ingest import transcript_points
+from dtaidistance_spark.operators.rollup import (
+    gap_fill, rollup_cascade, rollup_points, series_arrays,
+)
+from dtaidistance_spark.sources.transcripts import synth_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    df = synth_transcripts(spark, n_convs=40, seed=42, max_turns=300).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def points(spark, transcripts):
+    df = transcript_points(transcripts).cache()
+    df.count()
+    return df
+
+
+class TestTranscriptSource:
+    def test_schema(self, transcripts):
+        assert [f.name for f in transcripts.schema.fields] == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        types = {f.name: f.dataType.simpleString() for f in transcripts.schema.fields}
+        assert types["turn_idx"] == "int"
+        assert types["ts"] == "timestamp"
+
+    def test_deterministic(self, spark, transcripts):
+        again = synth_transcripts(spark, n_convs=40, seed=42, max_turns=300)
+        a = transcripts.orderBy("conv_id", "turn_idx").toPandas()
+        b = again.orderBy("conv_id", "turn_idx").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_monotone_ts_and_dense_turns(self, transcripts):
+        pdf = transcripts.orderBy("conv_id", "turn_idx").toPandas()
+        for _, g in pdf.groupby("conv_id"):
+            assert (g["turn_idx"].values == np.arange(len(g))).all()
+            assert g["ts"].is_monotonic_increasing
+
+    def test_power_law_skew(self, transcripts):
+        counts = transcripts.groupBy("conv_id").count().toPandas()["count"]
+        assert counts.min() >= 2
+        assert counts.max() >= 10 * counts.median()
+
+    def test_roles_and_tools(self, transcripts):
+        pdf = transcripts.toPandas()
+        assert set(pdf["role"].unique()) == {"user", "assistant", "tool"}
+        assert pdf.loc[pdf.role == "tool", "tool"].notna().all()
+        assert pdf.loc[pdf.role != "tool", "tool"].isna().all()
+
+
+class TestRollup:
+    def _golden(self, points_pdf, freq):
+        g = points_pdf.copy()
+        g["bucket_ts"] = g["ts"].dt.floor(freq)
+        g = g.sort_values(["series_id", "seq"])
+        out = g.groupby(["series_id", "bucket_ts"]).agg(
+            cnt=("value", "size"), sum=("value", "sum"), min=("value", "min"),
+            max=("value", "max"), first=("value", "first"), last=("value", "last"),
+        ).reset_index()
+        return out.sort_values(["series_id", "bucket_ts"]).reset_index(drop=True)
+
+    def test_rollup_1m_matches_pandas(self, points):
+        agg = rollup_points(points, "1m").orderBy("series_id", "bucket_ts").toPandas()
+        golden = self._golden(points.toPandas(), "1min")
+        assert len(agg) == len(golden)
+        for c in ("series_id", "bucket_ts", "cnt", "min", "max", "first", "last"):
+            assert (agg[c].values == golden[c].values).all(), c
+        np.testing.assert_allclose(agg["sum"], golden["sum"], rtol=1e-12)
+
+    def test_cascade_equals_direct(self, points):
+        agg1m = rollup_points(points, "1m")
+        via = rollup_cascade(agg1m, "1h").orderBy("series_id", "bucket_ts").toPandas()
+        direct = rollup_points(points, "1h").orderBy("series_id", "bucket_ts").toPandas()
+        assert len(via) == len(direct)
+        for c in ("series_id", "bucket_ts", "cnt", "min", "max", "first", "last"):
+            assert (via[c].values == direct[c].values).all(), c
+        np.testing.assert_allclose(via["sum"], direct["sum"], rtol=1e-12)
+
+    def test_cascade_1d(self, points):
+        agg1m = rollup_points(points, "1m")
+        agg1h = rollup_cascade(agg1m, "1h")
+        via = rollup_cascade(agg1h, "1d").orderBy("series_id", "bucket_ts").toPandas()
+        direct = rollup_points(points, "1d").orderBy("series_id", "bucket_ts").toPandas()
+        assert (via["cnt"].values == direct["cnt"].values).all()
+        np.testing.assert_allclose(via["sum"], direct["sum"], rtol=1e-12)
+
+
+class TestGapFill:
+    def test_grid_dense(self, points):
+        agg = rollup_points(points, "1m")
+        filled = gap_fill(agg, "1m").orderBy("series_id", "bucket_ts").toPandas()
+        for _, g in filled.groupby("series_id"):
+            diffs = g["bucket_ts"].diff().dropna().dt.total_seconds()
+            assert (diffs == 60).all()
+
+    def test_gaps_exist_and_cnt_zero(self, points):
+        agg = rollup_points(points, "1m")
+        filled = gap_fill(agg, "1m").toPandas()
+        gaps = filled[filled["gap"]]
+        assert len(gaps) > 0  # synthetic silences guarantee real gaps
+        assert (gaps["cnt"] == 0).all()
+        assert gaps["sum"].isna().all()
+
+    def test_locf(self, points):
+        agg = rollup_points(points, "1m")
+        filled = gap_fill(agg, "1m", policy="locf") \
+            .orderBy("series_id", "bucket_ts").toPandas()
+        g = filled[filled["series_id"] == filled["series_id"].iloc[0]]
+        # after the first observed bucket, last is never null under locf
+        seen = g["last"].notna().cummax()
+        assert (g["last"].notna() | ~seen).all()
+
+    def test_zero_policy(self, points):
+        agg = rollup_points(points, "1m")
+        filled = gap_fill(agg, "1m", policy="zero").toPandas()
+        assert (filled.loc[filled["gap"], "sum"] == 0.0).all()
+
+
+class TestSeriesArrays:
+    def test_dense_arrays(self, points):
+        agg = gap_fill(rollup_points(points, "1m"), "1m", policy="zero")
+        arr = series_arrays(agg, "1m", value_col="cnt").toPandas()
+        assert (arr["n"] == arr["values"].map(len)).all()
+        assert (arr["step_s"] == 60).all()
+        one = arr.iloc[0]
+        agg_one = agg.where(f"series_id = '{one['series_id']}'") \
+            .orderBy("bucket_ts").toPandas()
+        np.testing.assert_allclose(one["values"], agg_one["cnt"].astype(float))
