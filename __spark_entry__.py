@@ -3,36 +3,65 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Engine implementation lives in ``dtaidistance_spark``; this module is a
+thin adapter over ``dtaidistance_spark.plans.driver_queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dtaidistance_spark.plans import driver_queries as DQ  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full north-rule
+    pipeline — events → per-user points → 1m rollup → cascade → gap-fill
+    → dense hourly arrays → banded blocked DTW distance matrix."""
+    return DQ.q_dtw_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # time-series rollup engine (north rule)
+        "rollup_1m": DQ.q_rollup_1m,
+        "rollup_1h_cascade": DQ.q_rollup_1h_cascade,
+        "rollup_1d_cascade": DQ.q_rollup_1d_cascade,
+        "gap_fill_1h": DQ.q_gap_fill_1h,
+        "latency_points": DQ.q_latency_points,
+        "znormal_latency": DQ.q_znormal_latency,
+        "derivative_1h": DQ.q_derivative_1h,
+        "diff_1h": DQ.q_diff_1h,
+        "top_users_1d": DQ.q_top_users_1d,
+        "retention_7d": DQ.q_retention_7d,
+        "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
+        "event_type_daily": DQ.q_event_type_daily,
+        # DTW analytics (not SQL-expressible → rows-only oracle)
+        "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
+        "dtw_flagship": DQ.q_dtw_flagship,
+        # documents: dedup + text analysis
+        "dedup_exact": DQ.q_dedup_exact,
+        "token_stats": DQ.q_token_stats,
+        "quality_score": DQ.q_quality_score,
+        "lang_id": DQ.q_lang_id,
+        "fingerprint": DQ.q_fingerprint,
+        "ngram_jaccard": DQ.q_ngram_jaccard,
+        "minhash_lsh": DQ.q_minhash_lsh,
+        "simhash": DQ.q_simhash,
+        # embeddings: similarity search
+        "embedding_neardup": DQ.q_embedding_neardup,
+        "ann_brute_topk": DQ.q_ann_brute_topk,
+        "ann_lsh_topk": DQ.q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(DQ.ORACLES)

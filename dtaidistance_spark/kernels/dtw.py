@@ -362,9 +362,14 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
     else:
         wps = None
 
-    # diagonal buffers indexed by I (row); D1 = diag t-1, D2 = diag t-2
-    D2 = np.full((B, r + 1), INF)
-    D1 = np.full((B, r + 1), INF)
+    # Three rotating diagonal buffers indexed by I (row).  Only the band
+    # slice of each diagonal is touched per step (O(B·band), not O(B·r)):
+    # a rotated buffer holds stale diag t-3 values, but every read at diag
+    # t stays within [lo-1, hi+1] of diag t-1 / [lo-1, hi] of diag t-2,
+    # and those edge cells are explicitly reset below, so stale values are
+    # never observed (band bounds move by at most 1 per diagonal).
+    bufs = [np.full((B, r + 1), INF) for _ in range(3)]
+    D2, D1 = bufs[0], bufs[1]
     # t = 0: only cell (0, 0)
     D2[:, 0] = 0.0
     # t = 1: cells (0,1) and (1,0)
@@ -378,18 +383,23 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
     corner = np.full(B, INF)
 
     for t in range(2, r + c + 1):
-        cur = np.full((B, r + 1), INF)
-        # boundary cells on this diagonal
-        if t <= c:  # cell (0, t)
-            cur[:, 0] = 0.0 if t <= psi_2b else INF
-        if t <= r:  # cell (t, 0)
-            cur[:, t] = 0.0 if t <= psi_1b else INF
+        cur = bufs[t % 3]
         # interior band: I in [lo, hi]
         # constraints: 1<=I<=r, 1<=J=t-I<=c, band j-window (0-based j=J-1):
         #   J-1 >= (I-1) - M - window + 1  →  I <= (t + M + window - 1) / 2
         #   J-1 <= (I-1) + N + window - 1  →  I >= (t + 1 - N - window) / 2
         lo = max(1, t - c, -(-(t + 1 - N - window) // 2))
         hi = min(r, t - 1, (t + M + window - 1) // 2)
+        # clear potentially-stale edge cells around the active range
+        if lo - 1 >= 0:
+            cur[:, lo - 1] = INF
+        if hi + 1 <= r:
+            cur[:, hi + 1] = INF
+        # boundary cells on this diagonal (may overwrite the edge resets)
+        if t <= c:  # cell (0, t)
+            cur[:, 0] = 0.0 if t <= psi_2b else INF
+        if t <= r:  # cell (t, 0)
+            cur[:, t] = 0.0 if t <= psi_1b else INF
         if lo <= hi:
             sl = slice(lo, hi + 1)
             # costs: s1 index I-1 for I in [lo, hi]; s2 index J-1 = t-I-1,

@@ -65,9 +65,14 @@ def _norm_block(block) -> Tuple[Optional[tuple], bool]:
 
 def _compute_pairs(left: np.ndarray, right_idx: np.ndarray,
                    values_by_idx: dict, settings: DtwSettings,
-                   max_cells: int = 4_000_000):
+                   max_buf_elems: int = 8_000_000):
     """Compute DTW for explicit (i, j) index pairs, batching equal-shape
-    pairs through the vectorized kernel."""
+    pairs through the vectorized kernel.
+
+    Batch size is bounded by the DP working set — three (B, r+1) diagonal
+    buffers plus the two (B, len) input stacks — NOT by r·c (the full
+    cost matrix is never materialized); ~8M doubles ≈ 64 MB per buffer
+    keeps thousands of moderate-length pairs in one vectorized sweep."""
     out_i, out_j, out_d = [], [], []
     lens = {i: len(values_by_idx[i]) for i in values_by_idx}
     byshape: dict = {}
@@ -76,7 +81,7 @@ def _compute_pairs(left: np.ndarray, right_idx: np.ndarray,
     use_lb = settings.max_dist is not None and settings.max_dist > 0
     for (l1, l2), pairs in byshape.items():
         pairs = np.asarray(pairs, dtype=np.int64)
-        bmax = max(16, max_cells // max(l1 * l2, 1))
+        bmax = max(16, max_buf_elems // (l1 + 1))
         for s in range(0, len(pairs), bmax):
             chunk = pairs[s:s + bmax]
             X1 = np.stack([values_by_idx[i] for i in chunk[:, 0]])

@@ -77,7 +77,8 @@ def rollup_cascade(agg: DataFrame, to_bucket: str) -> DataFrame:
     )
 
 
-def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count") -> DataFrame:
+def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
+             align: str = "series") -> DataFrame:
     """Materialize missing buckets between each series' first and last
     bucket.
 
@@ -88,13 +89,23 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count") -> DataFra
     * ``"locf"``       — last observation carried forward into
                          sum/min/max/first/last
 
+    ``align="series"`` spans each series' own [first, last] bucket;
+    ``align="global"`` spans the corpus-wide [min, max] for every series,
+    so all downstream dense arrays share one time grid (equal lengths →
+    the DTW kernel batches across all pairs at once).
+
     Scale note: the grid is generated with a two-level explode (days ×
     intra-day offsets) so no ``sequence()`` array exceeds 1440 elements
     regardless of the series' time span.
     """
     trunc, step = BUCKET_SPEC[bucket]
-    bounds = agg.groupBy("series_id").agg(
-        F.min("bucket_ts").alias("b0"), F.max("bucket_ts").alias("b1"))
+    if align == "global":
+        gb = agg.agg(F.min("bucket_ts").alias("b0"),
+                     F.max("bucket_ts").alias("b1"))
+        bounds = agg.select("series_id").distinct().crossJoin(F.broadcast(gb))
+    else:
+        bounds = agg.groupBy("series_id").agg(
+            F.min("bucket_ts").alias("b0"), F.max("bucket_ts").alias("b1"))
     days = bounds.select(
         "series_id", "b0", "b1",
         F.explode(

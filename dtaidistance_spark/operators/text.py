@@ -1,0 +1,108 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline layer (language ID, quality scoring, token
+counting, fingerprinting).  Everything is built-in ``pyspark.sql.functions``
+column algebra (JVM-side, whole-stage-codegen) — no Python UDFs — so the
+same expressions run unchanged over 100 TB of documents with filters and
+projections pushed to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword language heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+_TOKEN_SEP = "\\s+"
+
+
+def tokens_col(text_col) -> F.Column:
+    return F.split(F.trim(text_col), _TOKEN_SEP)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (≈ ceil(chars/4), the common ~4-chars-per-token heuristic)."""
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.ceil(F.length("text") / F.lit(4.0)).cast("long").alias("n_subwords_est"),
+        F.round(F.length(F.regexp_replace("text", _TOKEN_SEP, "")) /
+                F.greatest(F.size(toks), F.lit(1)), 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality features + a composite score:
+    length, punctuation density, stopword ratio, mean word length —
+    the standard cheap pre-filters of large text-corpus pipelines."""
+    toks = tokens_col(F.col("text"))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    n_chars = F.greatest(F.length("text"), F.lit(1))
+    punct = F.length(F.regexp_replace("text", "[^.,;:!?'\"()]", ""))
+    stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    punct_ratio = punct / n_chars
+    stop_ratio = stop_hits / n_tok
+    mean_word = F.length(F.regexp_replace("text", _TOKEN_SEP, "")) / n_tok
+    score = (
+        F.when(F.length("text") < 20, 0.0).otherwise(1.0)
+        * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+        * (F.lit(0.5) + F.least(stop_ratio * 2, F.lit(0.5)))
+        * F.when((mean_word >= 2) & (mean_word <= 12), 1.0).otherwise(0.5)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_word, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-vote language heuristic: score each candidate language by
+    stopword hits per token; argmax wins (ties broken alphabetically)."""
+    toks = tokens_col(F.lower(F.col("text")))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    scores = {}
+    for lang in sorted(LANG_STOPWORDS):
+        stops = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+        scores[lang] = hits / n_tok
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # first language in alphabetical order achieving the max wins
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        "doc_id", "lang",
+        pred.alias("lang_pred"),
+        F.round(best, 6).alias("lang_score"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Deterministic document fingerprints: md5 of the normalized text
+    (exact-dup key) and a min-hash-style shingle fingerprint (min md5
+    over 3-token shingles) — a 1-permutation MinHash."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _TOKEN_SEP, " ")
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    sh_idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+    shingles = F.transform(
+        sh_idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("exact_fp"),
+        F.array_min(F.transform(shingles, F.md5)).alias("shingle_fp"),
+    )

@@ -1,0 +1,498 @@
+"""Driver-contract query pack: every entry pairs a PySpark plan with an
+ANSI/DuckDB oracle SQL over the same parquet tables (see
+``__spark_entry__.py``).
+
+Column-name and arithmetic-shape discipline: each Spark expression tree
+mirrors its SQL twin operation-for-operation (same fold order for dots,
+same rounding points), so value hashes match bit-for-bit wherever both
+engines do IEEE-754 double math on identical inputs.  Aggregate sums are
+rounded to 6 decimals on both sides — summation order across engines is
+not bit-stable, round-off is ~1e-12 relative, so round(…, 6) is hash-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..kernels.dtw import DtwSettings
+from ..operators import rollup as R
+from ..operators.compress import compress_tier, decompress_chunks
+from ..operators.matrix import distance_matrix, with_index
+from ..operators import text as TX
+from ..operators import dedup as DD
+from ..operators import ann as ANN
+from ..functions import preprocessing as PP
+
+# ---------------------------------------------------------------------------
+# shared building blocks
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .withColumn("embedding", F.col("embedding").cast("array<double>")))
+
+
+def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → per-user point series under stable (ts, event_id) order:
+    the testdata twin of transcript_points."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")).alias("series_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("seq"),
+        "ts", "value",
+    )
+
+
+_PTS_SQL = """
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq,
+           ts, value
+    FROM events
+"""
+
+
+def _rollup_named(agg: DataFrame) -> DataFrame:
+    return agg.select(
+        "series_id", "bucket_ts", "cnt",
+        F.round("sum", 6).alias("sum_val"),
+        F.col("min").alias("min_val"), F.col("max").alias("max_val"),
+        F.col("first").alias("first_val"), F.col("last").alias("last_val"),
+    )
+
+
+def _rollup_sql(trunc: str) -> str:
+    return f"""
+    WITH pts AS ({_PTS_SQL})
+    SELECT series_id, date_trunc('{trunc}', ts) AS bucket_ts,
+           count(value) AS cnt, round(sum(value), 6) AS sum_val,
+           min(value) AS min_val, max(value) AS max_val,
+           arg_min(value, seq) AS first_val, arg_max(value, seq) AS last_val
+    FROM pts GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# time-series engine queries (events table)
+# ---------------------------------------------------------------------------
+
+
+def q_rollup_1m(spark, sf_dir):
+    return _rollup_named(R.rollup_points(event_points(spark, sf_dir), "1m"))
+
+
+def q_rollup_1h_cascade(spark, sf_dir):
+    agg1m = R.rollup_points(event_points(spark, sf_dir), "1m")
+    return _rollup_named(R.rollup_cascade(agg1m, "1h"))
+
+
+def q_rollup_1d_cascade(spark, sf_dir):
+    agg1m = R.rollup_points(event_points(spark, sf_dir), "1m")
+    return _rollup_named(R.rollup_cascade(R.rollup_cascade(agg1m, "1h"), "1d"))
+
+
+def q_gap_fill_1h(spark, sf_dir):
+    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    filled = R.gap_fill(agg1h, "1h")
+    return filled.select("series_id", "bucket_ts", "cnt",
+                         F.round("sum", 6).alias("sum_val"), "gap")
+
+
+def q_latency_points(spark, sf_dir):
+    pts = event_points(spark, sf_dir)
+    w = W.partitionBy("series_id").orderBy("seq")
+    epoch = lambda c: F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1e6)
+    return (pts.withColumn("prev_ts", F.lag("ts").over(w))
+            .where(F.col("prev_ts").isNotNull())
+            .select("series_id", "seq",
+                    F.round(epoch("ts") - epoch("prev_ts"), 6).alias("latency_s")))
+
+
+def q_znormal_latency(spark, sf_dir):
+    lat = q_latency_points(spark, sf_dir).withColumnRenamed("latency_s", "value")
+    z = PP.znormal(lat)
+    return z.select("series_id", "seq", F.round("value_z", 6).alias("value_z"))
+
+
+def q_derivative_1h(spark, sf_dir):
+    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    pts = agg1h.select("series_id", F.col("bucket_ts").alias("ts"),
+                       F.col("sum").alias("value"))
+    d = PP.derivative(pts, order_col="ts")
+    return d.select("series_id", F.col("ts").alias("bucket_ts"),
+                    F.round("value_deriv", 6).alias("deriv"))
+
+
+def q_diff_1h(spark, sf_dir):
+    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    pts = agg1h.select("series_id", F.col("bucket_ts").alias("ts"),
+                       F.col("sum").alias("value"))
+    d = PP.differencing(pts, order_col="ts")
+    return d.select("series_id", F.col("ts").alias("bucket_ts"),
+                    F.round("value_diff", 6).alias("diff"))
+
+
+def q_top_users_1d(spark, sf_dir):
+    agg1m = R.rollup_points(event_points(spark, sf_dir), "1m")
+    agg1d = R.rollup_cascade(R.rollup_cascade(agg1m, "1h"), "1d")
+    return (agg1d.groupBy("series_id")
+            .agg(F.sum("cnt").cast("long").alias("total_events"),
+                 F.round(F.sum("sum"), 6).alias("total_value"))
+            .orderBy(F.desc("total_events"), F.asc("series_id"))
+            .limit(20))
+
+
+def q_retention_7d(spark, sf_dir):
+    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    cutoff = agg1h.agg(F.max("bucket_ts").alias("m")) \
+        .select(F.col("m") - F.expr("interval 7 day")).collect()[0][0]
+    kept = R.apply_retention(agg1h, "1h", cutoff)
+    return _rollup_named(kept)
+
+
+def q_compress_roundtrip_1h(spark, sf_dir):
+    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    chunks = compress_tier(agg1h, value_col="sum")
+    back = decompress_chunks(chunks)
+    return back.select("series_id", "bucket_ts",
+                       F.round("value", 6).alias("sum_val"))
+
+
+def q_event_type_daily(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.col("event_type"),
+                       F.date_trunc("day", "ts").alias("day_ts"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("value"), 6).alias("sum_val")))
+
+
+# ---------------------------------------------------------------------------
+# DTW analytics (rows-only oracle: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def hourly_series(spark, sf_dir, min_len: int = 24) -> DataFrame:
+    """Gap-filled per-user hourly event-count arrays — the engine's dense
+    series input for DTW."""
+    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    # global alignment: one shared time grid → equal-length arrays →
+    # the DTW kernel batches every pair in one vectorized sweep
+    filled = R.gap_fill(agg1h, "1h", policy="zero", align="global")
+    arrays = R.series_arrays(filled, "1h", value_col="cnt")
+    return arrays.where(F.col("n") >= min_len)
+
+
+def q_dtw_distance_matrix(spark, sf_dir):
+    series = with_index(hourly_series(spark, sf_dir), order_col="series_id")
+    st = DtwSettings(window=24)
+    dist = distance_matrix(series, settings=st, chunk_size=32)
+    return dist.select("i", "j", F.round("d", 6).alias("d"))
+
+
+def q_dtw_flagship(spark, sf_dir):
+    """Full pipeline: points → 1m → cascade → gap-fill → arrays → banded
+    blocked DTW matrix → similarity join back to series ids."""
+    series = with_index(hourly_series(spark, sf_dir), order_col="series_id")
+    st = DtwSettings(window=12, psi=2)
+    dist = distance_matrix(series, settings=st, chunk_size=32)
+    ids = series.select("i", "series_id")
+    out = (dist
+           .join(ids.withColumnRenamed("series_id", "series_a"), on="i")
+           .join(ids.select(F.col("i").alias("j"),
+                            F.col("series_id").alias("series_b")), on="j")
+           .select("series_a", "series_b", F.round("d", 6).alias("dtw")))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup / text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_docs(spark, sf_dir))
+
+
+def q_token_stats(spark, sf_dir):
+    return TX.token_stats(_docs(spark, sf_dir))
+
+
+def q_quality_score(spark, sf_dir):
+    return TX.quality_score(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return TX.lang_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.05)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4,
+                                threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    return DD.simhash64(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return DD.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.2)
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.brute_topk(emb, queries, k=5)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ANN.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, ANSI core)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+_SHINGLES = (
+    "list_distinct([array_to_string(l[i:i+2], ' ') "
+    "for i in range(1, greatest(len(l)-1, 2))])"
+)
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = f"list_sum(list_apply(range(1, 65), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_apply(range(1, 65), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_apply(range(1, 65), i -> {b}[i] * {b}[i])))"
+    return f"{dot} / ({na} * {nb})"
+
+
+ORACLES: dict[str, str] = {
+    "rollup_1m": _rollup_sql("minute"),
+    "rollup_1h_cascade": _rollup_sql("hour"),
+    "rollup_1d_cascade": _rollup_sql("day"),
+    "gap_fill_1h": f"""
+        WITH pts AS ({_PTS_SQL}),
+        agg AS (
+          SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                 count(value) AS cnt, round(sum(value), 6) AS sum_val
+          FROM pts GROUP BY 1, 2),
+        bounds AS (SELECT series_id, min(bucket_ts) b0, max(bucket_ts) b1
+                   FROM agg GROUP BY 1),
+        grid AS (SELECT series_id,
+                        unnest(generate_series(b0, b1, interval 1 hour)) AS bucket_ts
+                 FROM bounds)
+        SELECT g.series_id, g.bucket_ts,
+               coalesce(a.cnt, 0) AS cnt, a.sum_val,
+               (a.cnt IS NULL) AS gap
+        FROM grid g LEFT JOIN agg a
+          ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts
+    """,
+    "latency_points": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT series_id, seq,
+               round(extract(epoch FROM ts)
+                     - extract(epoch FROM lag(ts) OVER w), 6) AS latency_s
+        FROM pts
+        WINDOW w AS (PARTITION BY series_id ORDER BY seq)
+        QUALIFY lag(ts) OVER w IS NOT NULL
+    """,
+    "znormal_latency": f"""
+        WITH pts AS ({_PTS_SQL}),
+        lat AS (
+          SELECT series_id, seq,
+                 round(extract(epoch FROM ts)
+                       - extract(epoch FROM lag(ts) OVER w), 6) AS value
+          FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY seq)
+          QUALIFY lag(ts) OVER w IS NOT NULL)
+        SELECT series_id, seq,
+               round(CASE WHEN stddev_pop(value) OVER s > 0
+                          THEN (value - avg(value) OVER s) / stddev_pop(value) OVER s
+                          ELSE 0.0 END, 6) AS value_z
+        FROM lat WINDOW s AS (PARTITION BY series_id)
+    """,
+    "derivative_1h": f"""
+        WITH pts AS ({_PTS_SQL}),
+        agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                       sum(value) AS value
+                FROM pts GROUP BY 1, 2)
+        SELECT series_id, bucket_ts,
+               round(((value - lag(value) OVER w)
+                      + (lead(value) OVER w - lag(value) OVER w) / 2) / 2, 6)
+                 AS deriv
+        FROM agg WINDOW w AS (PARTITION BY series_id ORDER BY bucket_ts)
+        QUALIFY lag(value) OVER w IS NOT NULL AND lead(value) OVER w IS NOT NULL
+    """,
+    "diff_1h": f"""
+        WITH pts AS ({_PTS_SQL}),
+        agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                       sum(value) AS value
+                FROM pts GROUP BY 1, 2)
+        SELECT series_id, bucket_ts,
+               round(value - lag(value) OVER w, 6) AS diff
+        FROM agg WINDOW w AS (PARTITION BY series_id ORDER BY bucket_ts)
+        QUALIFY lag(value) OVER w IS NOT NULL
+    """,
+    "top_users_1d": f"""
+        WITH pts AS ({_PTS_SQL}),
+        agg AS (SELECT series_id, date_trunc('day', ts) AS bucket_ts,
+                       count(value) AS cnt, sum(value) AS sum_val
+                FROM pts GROUP BY 1, 2)
+        SELECT series_id, cast(sum(cnt) AS bigint) AS total_events,
+               round(sum(sum_val), 6) AS total_value
+        FROM agg GROUP BY 1
+        ORDER BY total_events DESC, series_id ASC LIMIT 20
+    """,
+    "retention_7d": f"""
+        WITH pts AS ({_PTS_SQL}),
+        agg AS (
+          SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                 count(value) AS cnt, round(sum(value), 6) AS sum_val,
+                 min(value) AS min_val, max(value) AS max_val,
+                 arg_min(value, seq) AS first_val, arg_max(value, seq) AS last_val
+          FROM pts GROUP BY 1, 2)
+        SELECT * FROM agg
+        WHERE bucket_ts >= (SELECT max(bucket_ts) FROM agg) - interval 7 day
+    """,
+    "compress_roundtrip_1h": f"""
+        WITH pts AS ({_PTS_SQL})
+        SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+               round(sum(value), 6) AS sum_val
+        FROM pts GROUP BY 1, 2
+    """,
+    "event_type_daily": """
+        SELECT event_type, date_trunc('day', ts) AS day_ts,
+               count(*) AS cnt, round(sum(value), 6) AS sum_val
+        FROM events GROUP BY 1, 2
+    """,
+    "dedup_exact": f"""
+        SELECT md5({_NORM}) AS fp, min(doc_id) AS rep_doc_id,
+               count(*) AS dup_count
+        FROM documents GROUP BY 1
+    """,
+    "token_stats": """
+        SELECT doc_id, length(text) AS n_chars,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               cast(ceil(length(text) / 4.0) AS bigint) AS n_subwords_est,
+               round(length(regexp_replace(text, '\\s+', '', 'g'))
+                     / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1),
+                     6) AS avg_token_len
+        FROM documents
+    """,
+    "quality_score": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS n_tok,
+                 greatest(length(text), 1) AS n_chars,
+                 length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS punct
+          FROM documents),
+        f AS (
+          SELECT doc_id,
+                 punct / n_chars AS punct_ratio,
+                 len(list_filter(toks, x -> list_contains(
+                     ['the','and','of','to','a'], lower(x)))) / n_tok AS stop_ratio,
+                 length(regexp_replace(text, '\\s+', '', 'g')) / n_tok AS mean_word,
+                 length(text) AS n_len
+          FROM t)
+        SELECT doc_id, round(punct_ratio, 6) AS punct_ratio,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(mean_word, 6) AS mean_word_len,
+               round((CASE WHEN n_len < 20 THEN 0.0 ELSE 1.0 END)
+                     * (1.0 - least(punct_ratio * 4, 1.0))
+                     * (0.5 + least(stop_ratio * 2, 0.5))
+                     * (CASE WHEN mean_word >= 2 AND mean_word <= 12
+                             THEN 1.0 ELSE 0.5 END), 6) AS quality
+        FROM f
+    """,
+    "lang_id": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                              ' ') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id, lang, greatest(len(toks), 1) AS n,
+            len(list_filter(toks, x -> list_contains(['der','die','und','das','ist'], x))) AS h_de,
+            len(list_filter(toks, x -> list_contains(['the','and','of','to','a'], x))) AS h_en,
+            len(list_filter(toks, x -> list_contains(['el','la','de','que','los'], x))) AS h_es,
+            len(list_filter(toks, x -> list_contains(['le','la','et','les','des'], x))) AS h_fr,
+            len(list_filter(toks, x -> list_contains(['的','是','了','在','我'], x))) AS h_zh
+          FROM t)
+        SELECT doc_id, lang,
+               CASE WHEN h_de / n = greatest(h_de/n, h_en/n, h_es/n, h_fr/n, h_zh/n) THEN 'de'
+                    WHEN h_en / n = greatest(h_de/n, h_en/n, h_es/n, h_fr/n, h_zh/n) THEN 'en'
+                    WHEN h_es / n = greatest(h_de/n, h_en/n, h_es/n, h_fr/n, h_zh/n) THEN 'es'
+                    WHEN h_fr / n = greatest(h_de/n, h_en/n, h_es/n, h_fr/n, h_zh/n) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred,
+               round(greatest(h_de/n, h_en/n, h_es/n, h_fr/n, h_zh/n), 6) AS lang_score
+        FROM s
+    """,
+    "fingerprint": f"""
+        SELECT doc_id, md5({_NORM}) AS exact_fp,
+               list_min([md5(x) for x in {_SHINGLES}]) AS shingle_fp
+        FROM (SELECT doc_id, text, {_TOKS} AS l FROM documents)
+    """,
+    "ngram_jaccard": f"""
+        WITH sh AS (
+          SELECT doc_id, unnest({_SHINGLES}) AS shingle
+          FROM (SELECT doc_id, {_TOKS} AS l FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT doc_a, doc_b,
+               round(cast(n_inter AS double)
+                     / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE cast(n_inter AS double) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+    """,
+    "embedding_neardup": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_cos_sql('a.v', 'b.v')} >= 0.2
+    """,
+    "ann_brute_topk": f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                 round({_cos_sql('q.v', 'c.v')}, 6) AS cosine
+          FROM e q JOIN e c ON q.vec_id != c.vec_id
+          WHERE q.vec_id < 5)
+        SELECT query_id, nn_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nn_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """,
+}
