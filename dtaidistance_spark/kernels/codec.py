@@ -28,35 +28,50 @@ __all__ = ["encode_chunk", "decode_chunk"]
 
 
 class _BitWriter:
-    __slots__ = ("buf", "nbits")
+    """MSB-first bit appender; flushes whole bytes incrementally so a
+    chunk encode is O(n), not O(n²) big-int shifting."""
+
+    __slots__ = ("out", "acc", "nacc")
 
     def __init__(self):
-        self.buf = 0
-        self.nbits = 0
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
 
     def write(self, value: int, width: int):
-        self.buf = (self.buf << width) | (value & ((1 << width) - 1))
-        self.nbits += width
+        self.acc = (self.acc << width) | (value & ((1 << width) - 1))
+        self.nacc += width
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.out.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
 
     def to_bytes(self) -> bytes:
-        pad = (-self.nbits) % 8
-        total = self.nbits + pad
-        return (self.buf << pad).to_bytes(total // 8, "big")
+        if self.nacc:
+            return bytes(self.out) + bytes([(self.acc << (8 - self.nacc)) & 0xFF])
+        return bytes(self.out)
 
 
 class _BitReader:
-    __slots__ = ("val", "nbits", "pos")
+    """MSB-first bit cursor over bytes; O(n) total like the writer."""
 
-    def __init__(self, data: bytes, nbits: int):
-        self.val = int.from_bytes(data, "big")
-        total = len(data) * 8
-        self.pos = total - nbits  # skip alignment from the LSB side
-        self.nbits = total
+    __slots__ = ("data", "idx", "acc", "nacc")
+
+    def __init__(self, data: bytes, nbits: int = 0):
+        self.data = data
+        self.idx = 0
+        self.acc = 0
+        self.nacc = 0
 
     def read(self, width: int) -> int:
-        shift = self.nbits - self.pos - width
-        self.pos += width
-        return (self.val >> shift) & ((1 << width) - 1)
+        while self.nacc < width:
+            self.acc = (self.acc << 8) | self.data[self.idx]
+            self.idx += 1
+            self.nacc += 8
+        self.nacc -= width
+        v = (self.acc >> self.nacc) & ((1 << width) - 1)
+        self.acc &= (1 << self.nacc) - 1
+        return v
 
 
 def _zigzag(v: int) -> int:

@@ -302,6 +302,25 @@ def lb_keogh_batch(X1: np.ndarray, X2: np.ndarray, window: Optional[int] = None,
 # ---------------------------------------------------------------------------
 
 
+_POOL: dict = {}
+
+
+def _pooled(key: str, shape: tuple) -> np.ndarray:
+    """Reusable scratch buffers.  Fresh multi-MB allocations are
+    pathologically slow under transparent-huge-page compaction (observed:
+    np.full of a 23 MB buffer costing seconds); Spark's Python workers
+    are long-lived, so a keyed pool amortizes the first-touch cost across
+    all batches a worker processes."""
+    k = (key, shape)
+    a = _POOL.get(k)
+    if a is None:
+        if len(_POOL) > 12:  # bound worker memory across shape variety
+            _POOL.clear()
+        a = np.empty(shape)
+        _POOL[k] = a
+    return a
+
+
 def _band_bounds(r: int, c: int, window: int):
     """Per-row column band [j_lo(i), j_hi(i)) in 0-based s2 coordinates.
 
@@ -362,24 +381,34 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
     else:
         wps = None
 
-    # Three rotating diagonal buffers indexed by I (row).  Only the band
-    # slice of each diagonal is touched per step (O(B·band), not O(B·r)):
-    # a rotated buffer holds stale diag t-3 values, but every read at diag
-    # t stays within [lo-1, hi+1] of diag t-1 / [lo-1, hi] of diag t-2,
-    # and those edge cells are explicitly reset below, so stale values are
-    # never observed (band bounds move by at most 1 per diagonal).
-    bufs = [np.full((B, r + 1), INF) for _ in range(3)]
+    # Three rotating diagonal buffers laid out (r+1, B): the band slice
+    # [lo:hi+1, :] of a diagonal is a CONTIGUOUS (band, B) slab, so each
+    # step's working set is band·B doubles (cache-resident) instead of
+    # strided touches across the whole (B, r+1) plane.  Only the band
+    # slice is touched per step (O(B·band), not O(B·r)): a rotated buffer
+    # holds stale diag t-3 values, but every read at diag t stays within
+    # [lo-1, hi+1] of diag t-1 / [lo-1, hi] of diag t-2, and those edge
+    # cells are explicitly reset below, so stale values are never
+    # observed (band bounds move by at most 1 per diagonal).
+    d_ = X1.shape[2]
+    X1T = _pooled("x1", (r, B, d_))
+    np.copyto(X1T, np.swapaxes(X1, 0, 1))
+    X2T = _pooled("x2", (c, B, d_))
+    np.copyto(X2T, np.swapaxes(X2, 0, 1))
+    bufs = [_pooled(f"d{k}", (r + 1, B)) for k in range(3)]
+    for bf in bufs:
+        bf.fill(INF)
     D2, D1 = bufs[0], bufs[1]
     # t = 0: only cell (0, 0)
-    D2[:, 0] = 0.0
+    D2[0, :] = 0.0
     # t = 1: cells (0,1) and (1,0)
-    D1[:, 0] = 0.0 if psi_2b >= 1 else INF
+    D1[0, :] = 0.0 if psi_2b >= 1 else INF
     if r >= 1:
-        D1[:, 1] = 0.0 if psi_1b >= 1 else INF
+        D1[1, :] = 0.0 if psi_1b >= 1 else INF
 
     # psi-end collectors
-    lastcol = np.full((B, psi_1e + 1), INF) if psi_1e > 0 else None
-    lastrow = np.full((B, psi_2e + 1), INF) if psi_2e > 0 else None
+    lastcol = np.full((psi_1e + 1, B), INF) if psi_1e > 0 else None
+    lastrow = np.full((psi_2e + 1, B), INF) if psi_2e > 0 else None
     corner = np.full(B, INF)
 
     for t in range(2, r + c + 1):
@@ -392,52 +421,56 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
         hi = min(r, t - 1, (t + M + window - 1) // 2)
         # clear potentially-stale edge cells around the active range
         if lo - 1 >= 0:
-            cur[:, lo - 1] = INF
+            cur[lo - 1, :] = INF
         if hi + 1 <= r:
-            cur[:, hi + 1] = INF
+            cur[hi + 1, :] = INF
         # boundary cells on this diagonal (may overwrite the edge resets)
         if t <= c:  # cell (0, t)
-            cur[:, 0] = 0.0 if t <= psi_2b else INF
+            cur[0, :] = 0.0 if t <= psi_2b else INF
         if t <= r:  # cell (t, 0)
-            cur[:, t] = 0.0 if t <= psi_1b else INF
+            cur[t, :] = 0.0 if t <= psi_1b else INF
         if lo <= hi:
             sl = slice(lo, hi + 1)
             # costs: s1 index I-1 for I in [lo, hi]; s2 index J-1 = t-I-1,
             # decreasing as I increases
-            x = X1[:, lo - 1 : hi, :]
+            x = X1T[lo - 1 : hi]
             j_top = t - lo - 1
             j_bot = t - hi - 1
-            y = X2[:, j_top : (None if j_bot == 0 else j_bot - 1) : -1, :]
+            y = X2T[j_top : (None if j_bot == 0 else j_bot - 1) : -1]
             diff = x - y
             if squared:
-                cost = np.einsum("bik,bik->bi", diff, diff)
+                if diff.shape[2] == 1:
+                    cost = diff[:, :, 0]
+                    cost = cost * cost
+                else:
+                    cost = np.einsum("ibk,ibk->ib", diff, diff)
             else:
                 # euclidean inner dist: |x-y| (1-D) / sqrt of sq-sum (n-D)
                 if diff.shape[2] == 1:
                     cost = np.abs(diff[:, :, 0])
                 else:
-                    cost = np.sqrt(np.einsum("bik,bik->bi", diff, diff))
+                    cost = np.sqrt(np.einsum("ibk,ibk->ib", diff, diff))
             if ms != INF:
                 cost = np.where(cost > ms, INF, cost)
-            diag = D2[:, lo - 1 : hi]
-            up = D1[:, lo - 1 : hi] + pen
-            left = D1[:, sl] + pen
-            cur[:, sl] = cost + np.minimum(diag, np.minimum(up, left))
+            diag = D2[lo - 1 : hi]
+            up = D1[lo - 1 : hi] + pen
+            left = D1[sl] + pen
+            cur[sl] = cost + np.minimum(diag, np.minimum(up, left))
             if keep_matrix:
                 J = t - np.arange(lo, hi + 1)
-                wps[:, np.arange(lo, hi + 1), J] = cur[:, sl]
+                wps[:, np.arange(lo, hi + 1), J] = cur[sl].T
         # collect psi-end values: wps[I, c] for I in [r-psi_1e, r] and
         # wps[r, J] for J in [c-psi_2e, c] (reference dtw.py:386-396)
         if lastcol is not None:
             I = t - c  # row index of the last-column cell on this diagonal
             if max(1, r - psi_1e) <= I <= r:
-                lastcol[:, I - (r - psi_1e)] = cur[:, I]
+                lastcol[I - (r - psi_1e), :] = cur[I, :]
         if lastrow is not None:
             J = t - r  # column index of the last-row cell on this diagonal
             if max(1, c - psi_2e) <= J <= c:
-                lastrow[:, J - (c - psi_2e)] = cur[:, r]
+                lastrow[J - (c - psi_2e), :] = cur[r, :]
         if t == r + c:
-            corner = cur[:, r].copy()
+            corner = cur[r, :].copy()
         D2, D1 = D1, cur
 
     # final distance per reference dtw.py:388-399
@@ -446,9 +479,9 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
     else:
         cands = [corner]
         if lastrow is not None:
-            cands.append(lastrow.min(axis=1))
+            cands.append(lastrow.min(axis=0))
         if lastcol is not None:
-            cands.append(lastcol.min(axis=1))
+            cands.append(lastcol.min(axis=0))
         d = np.minimum.reduce(cands)
     amd = s.adj_max_dist
     if amd != INF:

@@ -1,0 +1,105 @@
+"""Subsequence alignment / search kernels (pure numpy).
+
+Re-expresses the reference's SubsequenceAlignment
+(subsequence/subsequencealignment.py:175-459): find where a short query
+matches inside a long series via DTW with psi relaxation on the series
+side only (psi=[0,0,len(series),len(series)], :201-203); the matching
+function is the last warping-paths row normalized by query length
+(:238-245); k-best matches iteratively take the argmin and mask
+overlapping end-points (:362-405).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from .dtw import DtwSettings, best_path, warping_paths
+
+__all__ = ["SubseqMatch", "subsequence_alignment", "kbest_matches",
+           "best_match_value"]
+
+
+@dataclass
+class SubseqMatch:
+    idx: int          # end-point index in the matching function
+    value: float      # normalized DTW distance (distance / len(query))
+    start: int        # match start index in series
+    end: int          # match end index in series (inclusive)
+    path: list        # [(query_i, series_j)]
+
+
+class SubseqAlignment:
+    def __init__(self, query: np.ndarray, series: np.ndarray,
+                 penalty: float = 0.1, **kwargs):
+        self.query = np.asarray(query, dtype=np.float64)
+        self.series = np.asarray(series, dtype=np.float64)
+        self.settings = DtwSettings(
+            penalty=penalty,
+            psi=(0, 0, len(self.series), len(self.series)), **kwargs)
+        # int-repr matrix (squared costs), psi_neg off: reference :222-224
+        _, self.paths = warping_paths(self.query, self.series,
+                                      psi_neg=False, keep_int_repr=True,
+                                      settings=self.settings)
+        matching = self.paths[-1, :]
+        if len(matching) > len(self.series):
+            matching = np.sqrt(matching[-len(self.series):])
+        self.matching = np.array(matching) / len(self.query)
+
+    def match_at(self, idx: int) -> SubseqMatch:
+        path = best_path(self.paths, col=idx + 1,
+                         penalty=self.settings.adj_penalty)
+        start = path[0][1]
+        end = idx  # matching fn is aligned with series end-points
+        return SubseqMatch(idx=idx, value=float(self.matching[idx]),
+                           start=int(start), end=int(end), path=path)
+
+
+def subsequence_alignment(query, series, penalty: float = 0.1,
+                          **kwargs) -> SubseqAlignment:
+    return SubseqAlignment(query, series, penalty=penalty, **kwargs)
+
+
+def kbest_matches(query, series, k: Optional[int] = 1, overlap: int = 0,
+                  minlength: int = 2, maxlength: Optional[int] = None,
+                  max_rangefactor: Optional[float] = None,
+                  penalty: float = 0.1, **kwargs) -> List[SubseqMatch]:
+    """Greedy k-best with overlap suppression — reference best_matches
+    (subsequencealignment.py:362-405) semantics."""
+    sa = SubseqAlignment(query, series, penalty=penalty, **kwargs)
+    matching = np.array(sa.matching)
+    maxv = np.ceil(np.max(matching) + 1)
+    matching[:min(len(sa.query) - 1, overlap)] = maxv
+    out: List[SubseqMatch] = []
+    max_dist = np.inf
+    while k is None or len(out) < k:
+        best_idx = int(np.argmin(matching))
+        if np.isinf(matching[best_idx]) or matching[best_idx] == maxv:
+            break
+        if max_rangefactor is not None:
+            if not out:
+                max_dist = matching[best_idx] * max_rangefactor
+            elif matching[best_idx] > max_dist:
+                break
+        m = sa.match_at(best_idx)
+        b, e = m.start, m.end
+        cur_overlap = min(overlap, e - b - 1)
+        mb, me = best_idx + 1 - (e - b) + cur_overlap, best_idx + 1
+        if (e - b + 1 < minlength) or (maxlength is not None
+                                       and e - b + 1 > maxlength):
+            matching[best_idx] = maxv
+            continue
+        if np.isinf(np.max(matching[mb:me])):
+            matching[best_idx] = maxv
+            continue
+        matching[mb:me] = np.inf
+        out.append(m)
+    return out
+
+
+def best_match_value(query, series, penalty: float = 0.1, **kwargs) -> float:
+    """Cheapest summary: min of the matching function (no traceback)."""
+    sa = SubseqAlignment(query, series, penalty=penalty, **kwargs)
+    return float(np.min(sa.matching))

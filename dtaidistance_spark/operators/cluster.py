@@ -1,0 +1,244 @@
+"""Clustering over DTW distances.
+
+Split of labor (SURVEY.md §2.5): the expensive part — the all-pairs
+distance matrix / assignment distances — is distributed
+(operators/matrix.py); the merge loops themselves are inherently
+sequential argmin scans over a small n×n matrix (n = clustered series
+after rollup/downsampling), so they run driver-side exactly like the
+reference (clustering/hierarchical.py:60-137).
+
+* ``hierarchical_fit`` mirrors Hierarchical.fit semantics exactly:
+  global argmin in row-major order, prototype absorbs column series,
+  merged row/col set to inf ("distance to prototype", no linkage
+  recomputation), stop at max_dist.
+* ``hierarchical_tree`` additionally records scipy-compatible linkage
+  rows with renumbered cluster ids (HierarchicalTree.fit:448-456).
+* ``linkage`` is a scipy-free implementation of classic agglomerative
+  linkage (complete/single/average) on the condensed matrix producing
+  the (n-1)×4 Z structure of LinkageTree.fit (scipy absent in this
+  environment; tie-breaking picks the row-major first minimum).
+* ``kmeans_dtw`` is the Lloyd loop of clustering/kmeans.py:241-420,
+  Spark-shaped: assignment = broadcast centers × corpus via
+  distance_matrix_cross + window argmin; update = one DBA step per
+  cluster inside applyInPandas (cluster = pandas group).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..kernels.dtw import DtwSettings, dba_update, dtw_distance
+from .matrix import distance_matrix, distance_matrix_cross, to_matrix
+
+
+# ---------------------------------------------------------------------------
+# driver-side merge loops (small n)
+# ---------------------------------------------------------------------------
+
+
+def hierarchical_fit(dists_triu: np.ndarray, max_dist: float = float("inf"),
+                     merge_hook=None):
+    """Reference-exact Hierarchical.fit on an upper-triangular matrix
+    (inf on diagonal/lower).  Returns {prototype: set(members)}."""
+    dists = dists_triu.copy()
+    nb = dists.shape[0]
+    cluster_idx: dict[int, set] = {}
+    deleted: set[int] = set()
+    min_value = np.min(dists)
+    min_idx = np.argwhere(dists == min_value)[0, :] if np.isfinite(min_value) else None
+    while min_idx is not None and min_value <= max_dist and not np.isinf(min_value):
+        i1, i2 = int(min_idx[0]), int(min_idx[1])
+        if merge_hook:
+            result = merge_hook(i2, i1, float(min_value))
+            if result:
+                i1, i2 = result
+        cluster_idx.setdefault(i1, {i1})
+        if i2 in cluster_idx:
+            cluster_idx[i1].update(cluster_idx[i2])
+            del cluster_idx[i2]
+        else:
+            cluster_idx[i1].add(i2)
+        dists[:i2, i2] = np.inf
+        dists[i2, i2 + 1:] = np.inf
+        deleted.add(i2)
+        if len(deleted) == nb - 1:
+            break
+        min_value = np.min(dists)
+        if np.isinf(min_value):
+            break
+        min_idx = np.argwhere(dists == min_value)[0, :]
+    for i in range(nb):
+        if i not in deleted:
+            cluster_idx.setdefault(i, {i})
+    return cluster_idx
+
+
+def hierarchical_tree(dists_triu: np.ndarray):
+    """Hierarchical.fit + scipy-compatible linkage recording
+    (reference HierarchicalTree.fit).  Returns (linkage_rows, clusters)."""
+    n = dists_triu.shape[0]
+    linkage_rows: list[tuple] = []
+    new_nodes = {i: i for i in range(n)}
+
+    def merge_hook(from_idx, to_idx, distance):
+        new_idx = n + len(linkage_rows)
+        linkage_rows.append((new_nodes[from_idx], new_nodes[to_idx], distance, 0))
+        new_nodes[to_idx] = new_idx
+        new_nodes[from_idx] = None
+        return None
+
+    clusters = hierarchical_fit(dists_triu, merge_hook=merge_hook)
+    return linkage_rows, clusters
+
+
+def linkage(condensed: np.ndarray, n: int, method: str = "complete") -> np.ndarray:
+    """Agglomerative linkage on a condensed distance array → (n-1)×4 Z
+    (scipy layout: [left, right, dist, count], new cluster id = n+i)."""
+    if method not in ("complete", "single", "average"):
+        raise ValueError(f"unsupported method: {method}")
+    # full symmetric working matrix
+    d = np.full((n, n), np.inf)
+    iu = np.triu_indices(n, k=1)
+    d[iu] = condensed
+    d[(iu[1], iu[0])] = condensed
+    np.fill_diagonal(d, np.inf)
+    active = list(range(n))
+    ids = list(range(n))
+    sizes = [1] * n
+    Z = np.zeros((n - 1, 4))
+    for step in range(n - 1):
+        sub = d[np.ix_(active, active)]
+        k = int(np.argmin(sub))
+        a, b = divmod(k, len(active))
+        if a > b:
+            a, b = b, a
+        dist = sub[a, b]
+        ia, ib = active[a], active[b]
+        Z[step] = (min(ids[ia], ids[ib]), max(ids[ia], ids[ib]), dist,
+                   sizes[ia] + sizes[ib])
+        # merged cluster replaces slot ia; update distances
+        for other in active:
+            if other in (ia, ib):
+                continue
+            if method == "complete":
+                nd = max(d[ia, other], d[ib, other])
+            elif method == "single":
+                nd = min(d[ia, other], d[ib, other])
+            else:  # average
+                nd = (sizes[ia] * d[ia, other] + sizes[ib] * d[ib, other]) / (
+                    sizes[ia] + sizes[ib])
+            d[ia, other] = nd
+            d[other, ia] = nd
+        sizes[ia] = sizes[ia] + sizes[ib]
+        ids[ia] = n + step
+        active.remove(ib)
+    return Z
+
+
+def linkage_tree_fit(series_df: DataFrame, n: int,
+                     settings: Optional[DtwSettings] = None,
+                     method: str = "complete", **kwargs) -> np.ndarray:
+    """Distributed matrix → driver-side linkage (reference
+    LinkageTree.fit split per SURVEY.md §3.3)."""
+    st = settings if settings is not None else DtwSettings(**kwargs)
+    dist = distance_matrix(series_df, settings=st)
+    m = to_matrix(dist, n, only_triu=True)
+    condensed = m[np.triu_indices(n, k=1)]
+    return linkage(condensed, n, method=method)
+
+
+# ---------------------------------------------------------------------------
+# k-means with DBA update (Spark-shaped Lloyd loop)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assign(series_df: DataFrame, centers: list[np.ndarray],
+                  settings: DtwSettings, spark) -> DataFrame:
+    """Assignment step: per-series argmin distance to the broadcast
+    centers (crossJoin + window rank=1, reference kmeans.py:301-307)."""
+    rows = [(int(ci), [float(x) for x in c]) for ci, c in enumerate(centers)]
+    cdf = spark.createDataFrame(rows, "i long, values array<double>")
+    dist = distance_matrix_cross(cdf, series_df, settings=settings)
+    w = W.partitionBy("i").orderBy(F.asc("d"), F.asc("qi"))
+    return (dist.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("i"), F.col("qi").alias("cluster"),
+                    F.col("d").alias("dist_to_center")))
+
+
+def kmeans_dtw(spark, series_df: DataFrame, k: int, max_it: int = 10,
+               settings: Optional[DtwSettings] = None, seed: int = 42,
+               dba_max_it: int = 5, **kwargs):
+    """Lloyd k-means with DBA centroid update (reference
+    clustering/kmeans.py:241-420, multiprocessing pool → Spark jobs).
+
+    Returns (centers, assignment DataFrame (i, cluster, dist_to_center)).
+    """
+    st = settings if settings is not None else DtwSettings(**kwargs)
+    st_json = st.to_json()
+    sample = series_df.orderBy("i").limit(max(4 * k, 64)).toPandas()
+    rng = np.random.default_rng(seed)
+    pick = rng.choice(len(sample), size=k, replace=False)
+    centers = [np.asarray(sample["values"].iloc[p], dtype=np.float64)
+               for p in pick]
+
+    assign = None
+    for _ in range(max_it):
+        assign = kmeans_assign(series_df, centers, st, spark)
+        members = series_df.join(assign, on="i")
+
+        def update(pdf: pd.DataFrame) -> pd.DataFrame:
+            stt = DtwSettings.from_json(st_json)
+            cl = int(pdf["cluster"].iloc[0])
+            seqs = [np.asarray(v, dtype=np.float64) for v in pdf["values"]]
+            c = seqs[0]
+            for _ in range(dba_max_it):
+                c = dba_update(seqs, c, settings=stt)
+            return pd.DataFrame({"cluster": [cl],
+                                 "center": [[float(x) for x in c]]})
+
+        new_centers_pdf = (members.groupBy("cluster")
+                           .applyInPandas(update,
+                                          schema="cluster long, center array<double>")
+                           .toPandas())
+        new_centers = list(centers)
+        for row in new_centers_pdf.itertuples(index=False):
+            new_centers[int(row.cluster)] = np.asarray(row.center)
+        moved = max(
+            (float(np.mean(np.abs(a - b))) if len(a) == len(b) else np.inf)
+            for a, b in zip(centers, new_centers))
+        centers = new_centers
+        if moved < 1e-6:
+            break
+    return centers, assign
+
+
+def kmedoids_dtw(dists_full: np.ndarray, k: int, max_it: int = 20,
+                 seed: int = 42):
+    """Driver-side k-medoids (PAM-lite) on a full symmetric matrix
+    (reference clustering/medoids.py wraps pyclustering; this is an
+    independent implementation of the same algorithm)."""
+    n = dists_full.shape[0]
+    rng = np.random.default_rng(seed)
+    medoids = list(rng.choice(n, size=k, replace=False))
+    for _ in range(max_it):
+        assign = np.argmin(dists_full[:, medoids], axis=1)
+        new_medoids = []
+        for c in range(k):
+            members = np.flatnonzero(assign == c)
+            if len(members) == 0:
+                new_medoids.append(medoids[c])
+                continue
+            costs = dists_full[np.ix_(members, members)].sum(axis=1)
+            new_medoids.append(int(members[np.argmin(costs)]))
+        if new_medoids == medoids:
+            break
+        medoids = new_medoids
+    assign = np.argmin(dists_full[:, medoids], axis=1)
+    return medoids, assign

@@ -40,19 +40,26 @@ def compress_tier(agg: DataFrame, value_col: str = "sum",
     )
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one pandas group per series; chunks split with numpy inside —
+        # far fewer Arrow groups than grouping by (series, chunk) directly
         out = []
-        for (sid, cs), g in pdf.groupby(["series_id", "chunk_start"], sort=True):
-            g = g.sort_values("ts_s")
-            ts = g["ts_s"].to_numpy(np.int64)
-            vals = g["v"].to_numpy(np.float64)
-            payload = encode_chunk(ts, vals)
-            out.append((sid, cs, "gorilla1", len(ts), float(vals[0]),
-                        zlib.crc32(payload), payload))
+        pdf = pdf.sort_values(["series_id", "ts_s"])
+        sids_all = pdf["series_id"].to_numpy()
+        cs_all = pdf["chunk_start"].to_numpy()
+        ts_all = pdf["ts_s"].to_numpy(np.int64)
+        v_all = pdf["v"].to_numpy(np.float64)
+        keys = pd.MultiIndex.from_arrays([sids_all, cs_all])
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        bounds = np.r_[starts, len(pdf)]
+        for k in range(len(starts)):
+            b, e = bounds[k], bounds[k + 1]
+            payload = encode_chunk(ts_all[b:e], v_all[b:e])
+            out.append((sids_all[b], cs_all[b], "gorilla1", int(e - b),
+                        float(v_all[b]), zlib.crc32(payload), payload))
         return pd.DataFrame(out, columns=["series_id", "chunk_start", "codec",
                                           "n", "first_val", "checksum", "payload"])
 
-    return src.groupBy("series_id", "chunk_start").applyInPandas(
-        encode_groups, schema=CHUNK_SCHEMA)
+    return src.groupBy("series_id").applyInPandas(encode_groups, schema=CHUNK_SCHEMA)
 
 
 def decompress_chunks(chunks: DataFrame) -> DataFrame:

@@ -76,17 +76,16 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
 
 
 def minhash_signature(docs: DataFrame, n_hashes: int = 16, k: int = 3) -> DataFrame:
-    """MinHash signatures: hash h_i(doc) = min over shingles of the
-    64-bit prefix of md5(i || shingle).  md5 keeps the signature
-    portable/deterministic across engines and runs."""
-    sh = _shingles(k)
+    """MinHash signatures: hash h_i(doc) = min over shingles of
+    xxhash64(i, shingle) (JVM-native, whole-stage-codegen'd; the shingle
+    array is materialized once and shared by all n_hashes transforms)."""
+    with_sh = docs.select("doc_id", _shingles(k).alias("sh"))
     sig = F.array(*[
-        F.array_min(F.transform(
-            sh, lambda s: F.conv(F.substring(F.md5(
-                F.concat(F.lit(f"h{i}:"), s)), 1, 15), 16, 10).cast("long")))
+        F.array_min(F.transform(F.col("sh"),
+                                lambda s, i=i: F.xxhash64(F.lit(i), s)))
         for i in range(n_hashes)
     ])
-    return docs.select("doc_id", sig.alias("sig"))
+    return with_sh.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
@@ -100,9 +99,9 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
         "doc_id", "sig",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.md5(F.concat_ws(",", *[
+                     F.xxhash64(*[
                          F.element_at("sig", b * rows_per_band + r + 1)
-                         for r in range(rows_per_band)])).alias("bkey"))
+                         for r in range(rows_per_band)]).alias("bkey"))
             for b in range(bands)])).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"),
              F.col("bb.bkey").alias("bkey"))

@@ -35,11 +35,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # small single-file parquet arrives as one input split; spread it so
+    # the heavy per-doc expressions (shingles, hashes) use every core
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(spark.sparkContext.defaultParallelism))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .repartition(spark.sparkContext.defaultParallelism)
             .withColumn("embedding", F.col("embedding").cast("array<double>")))
 
 
