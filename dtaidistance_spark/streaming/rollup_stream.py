@@ -1,0 +1,61 @@
+"""Streaming continuous aggregates (Structured Streaming).
+
+The reference has no streaming surface (SURVEY.md §2.8); this is the
+engine's native extension: the same 1m tier as operators/rollup.py,
+maintained incrementally over an arriving transcript/event stream with
+event-time windows + watermark for late data.  The finished 1m rows are
+appended to the tier sink; coarser tiers keep cascading in batch
+(rollup_cascade) — the classic streaming-ingest / batch-rollup split.
+
+``first/last`` are intentionally absent here: deterministic first/last
+need a total order which an open window cannot guarantee; the batch
+tier recomputes them on closed windows when required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STREAM_AGG_COLUMNS = ["series_id", "bucket_ts", "cnt", "sum", "min", "max"]
+
+
+def stream_rollup_1m(stream: DataFrame, series_col: str = "series_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """1-minute streaming rollup with event-time watermarking."""
+    return (
+        stream
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.col(series_col).alias("series_id"),
+                 F.window(F.col(ts_col), "1 minute").alias("w"))
+        .agg(F.count(value_col).alias("cnt"),
+             F.sum(value_col).alias("sum"),
+             F.min(value_col).alias("min"),
+             F.max(value_col).alias("max"))
+        .select("series_id", F.col("w.start").alias("bucket_ts"),
+                "cnt", "sum", "min", "max")
+    )
+
+
+def run_file_stream(spark: SparkSession, input_dir: str, schema: str,
+                    out_dir: str, checkpoint_dir: str,
+                    series_expr: str = "concat('user', user_id) ",
+                    ts_col: str = "ts", value_col: str = "value",
+                    watermark: str = "10 minutes"):
+    """File-source → 1m tier parquet sink, processing all available data
+    (Trigger.AvailableNow) — exactly-once via the checkpoint dir; rerun
+    resumes idempotently from the last committed offset."""
+    src = (spark.readStream.schema(schema).parquet(input_dir)
+           .withColumn("series_id", F.expr(series_expr)))
+    agg = stream_rollup_1m(src, ts_col=ts_col, value_col=value_col,
+                           watermark=watermark)
+    q = (agg.writeStream
+         .format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q
