@@ -305,20 +305,29 @@ def lb_keogh_batch(X1: np.ndarray, X2: np.ndarray, window: Optional[int] = None,
 _POOL: dict = {}
 
 
-def _pooled(key: str, shape: tuple) -> np.ndarray:
+def _pooled(key: str, shape: tuple, grow_axis: int = 1) -> np.ndarray:
     """Reusable scratch buffers.  Fresh multi-MB allocations are
     pathologically slow under transparent-huge-page compaction (observed:
     np.full of a 23 MB buffer costing seconds); Spark's Python workers
     are long-lived, so a keyed pool amortizes the first-touch cost across
-    all batches a worker processes."""
-    k = (key, shape)
-    a = _POOL.get(k)
-    if a is None:
+    all batches a worker processes.
+
+    The batch axis (``grow_axis``) is capacity-managed: a buffer grown to
+    B=1024 serves every smaller batch as a view, so ragged tail batches
+    don't trigger fresh allocations."""
+    base_key = (key,) + tuple(d for i, d in enumerate(shape)
+                              if i != grow_axis)
+    a = _POOL.get(base_key)
+    if a is None or a.shape[grow_axis] < shape[grow_axis]:
         if len(_POOL) > 12:  # bound worker memory across shape variety
             _POOL.clear()
-        a = np.empty(shape)
-        _POOL[k] = a
-    return a
+        cap = list(shape)
+        cap[grow_axis] = max(shape[grow_axis], 1088)
+        a = np.empty(tuple(cap))
+        _POOL[base_key] = a
+    sl = [slice(None)] * a.ndim
+    sl[grow_axis] = slice(0, shape[grow_axis])
+    return a[tuple(sl)]
 
 
 def _band_bounds(r: int, c: int, window: int):
@@ -379,7 +388,8 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
         wps[:, 0, : psi_2b + 1] = 0.0
         wps[:, : psi_1b + 1, 0] = 0.0
     else:
-        wps = None
+        # distance-only: band-relative buffers (cache-resident fast path)
+        return _dtw_batch_banded(X1, X2, s, window)
 
     # Three rotating diagonal buffers laid out (r+1, B): the band slice
     # [lo:hi+1, :] of a diagonal is a CONTIGUOUS (band, B) slab, so each
@@ -490,6 +500,141 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
     return d, wps
 
 
+def _dtw_batch_banded(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
+                      window: int):
+    """Distance-only fast path of :func:`_dtw_batch_core` with
+    band-relative rotating buffers.
+
+    The three diagonal buffers are (band+3, B) instead of (r+1, B):
+    slot k of the diagonal-t buffer holds matrix row I = base_t + k with
+    base_t = max(0, lo_t - 1).  Because the band bounds move by at most
+    one row per diagonal, every read lands inside the written+cleared
+    envelope of the two previous buffers (same invariant as the
+    full-width version, proof in comments there).  The entire DP state
+    (~3·band·B doubles) stays cache-resident across all r+c steps, so
+    DRAM traffic per pair drops from O(r·band) to O(r) — this is what
+    makes 32 concurrent workers scale instead of fighting for memory
+    bandwidth.  Per-cell arithmetic is unchanged → results stay
+    bit-identical (asserted in tests against the full-width path).
+    """
+    B, r, dd = X1.shape
+    c = X2.shape[1]
+    psi_1b, psi_1e, psi_2b, psi_2e = s.split_psi()
+    pen = s.adj_penalty
+    ms = s.adj_max_step
+    squared = s.squared
+    M = max(0, r - c)
+    N = max(0, c - r)
+
+    T = r + c
+    los = np.empty(T + 1, dtype=np.int64)
+    his = np.empty(T + 1, dtype=np.int64)
+    bases = np.empty(T + 1, dtype=np.int64)
+    for t in range(T + 1):
+        lo = max(1, t - c, -(-(t + 1 - N - window) // 2))
+        hi = min(r, t - 1, (t + M + window - 1) // 2)
+        los[t], his[t] = lo, hi
+        bases[t] = max(0, lo - 1)
+    width = int(max(3, (his - los).max() + 3))
+
+    X1T = _pooled("x1", (r, B, dd))
+    np.copyto(X1T, np.swapaxes(X1, 0, 1))
+    X2T = _pooled("x2", (c, B, dd))
+    np.copyto(X2T, np.swapaxes(X2, 0, 1))
+    bufs = [_pooled(f"b{k}", (width, B)) for k in range(3)]
+    for bf in bufs:
+        bf.fill(INF)
+    scratch = _pooled("sc", (width, B))
+
+    # seed diagonals 0 and 1 (bases are 0 for t <= 1)
+    D2, D1 = bufs[0], bufs[1]
+    D2[0, :] = 0.0                                   # cell (0, 0)
+    if c >= 1:
+        D1[0, :] = 0.0 if psi_2b >= 1 else INF       # cell (0, 1)
+    if r >= 1:
+        D1[1, :] = 0.0 if psi_1b >= 1 else INF       # cell (1, 0)
+
+    lastcol = np.full((psi_1e + 1, B), INF) if psi_1e > 0 else None
+    lastrow = np.full((psi_2e + 1, B), INF) if psi_2e > 0 else None
+    corner = np.full(B, INF)
+
+    for t in range(2, T + 1):
+        cur = bufs[t % 3]
+        lo, hi, base = int(los[t]), int(his[t]), int(bases[t])
+        b1, b2 = int(bases[t - 1]), int(bases[t - 2])
+        # clear stale edge slots around the active range
+        if lo - 1 >= 0:
+            cur[lo - 1 - base, :] = INF
+        if hi + 1 <= r and hi + 1 - base < width:
+            cur[hi + 1 - base, :] = INF
+        # boundary cells
+        if t <= c and lo == 1:                       # cell (0, t) at slot 0
+            cur[0, :] = 0.0 if t <= psi_2b else INF
+        if t <= r and t == hi + 1:                   # cell (t, 0)
+            cur[t - base, :] = 0.0 if t <= psi_1b else INF
+        if lo <= hi:
+            w_ = hi - lo + 1
+            x = X1T[lo - 1 : hi]
+            j_top = t - lo - 1
+            j_bot = t - hi - 1
+            y = X2T[j_top : (None if j_bot == 0 else j_bot - 1) : -1]
+            cost = scratch[:w_]
+            if dd == 1:
+                np.subtract(x[:, :, 0], y[:, :, 0], out=cost)
+                if squared:
+                    np.multiply(cost, cost, out=cost)
+                else:
+                    np.abs(cost, out=cost)
+            else:
+                diff = x - y
+                if squared:
+                    np.einsum("ibk,ibk->ib", diff, diff, out=cost)
+                else:
+                    np.sqrt(np.einsum("ibk,ibk->ib", diff, diff), out=cost)
+            if ms != INF:
+                cost[cost > ms] = INF
+            diag = D2[lo - 1 - b2 : hi - b2]
+            up = D1[lo - 1 - b1 : hi - b1]
+            left = D1[lo - b1 : hi + 1 - b1]
+            out = cur[lo - base : hi + 1 - base]
+            if pen == 0.0:
+                np.minimum(up, left, out=out)
+                np.minimum(out, diag, out=out)
+            else:
+                np.minimum(up + pen, left + pen, out=out)
+                np.minimum(out, diag, out=out)
+            np.add(out, cost, out=out)
+        # psi-end collectors
+        if lastcol is not None:
+            I = t - c
+            if max(1, r - psi_1e) <= I <= r:
+                lastcol[I - (r - psi_1e), :] = (
+                    cur[I - base, :] if lo <= I <= hi else INF)
+        if lastrow is not None:
+            J = t - r
+            if max(1, c - psi_2e) <= J <= c:
+                lastrow[J - (c - psi_2e), :] = (
+                    cur[r - base, :] if lo <= r <= hi else INF)
+        if t == T:
+            corner = cur[r - base, :].copy()
+        D2, D1 = D1, cur
+
+    if psi_1e == 0 and psi_2e == 0:
+        d = corner
+    else:
+        cands = [corner]
+        if lastrow is not None:
+            cands.append(lastrow.min(axis=0))
+        if lastcol is not None:
+            cands.append(lastcol.min(axis=0))
+        d = np.minimum.reduce(cands)
+    amd = s.adj_max_dist
+    if amd != INF:
+        d = np.where(d > amd, INF, d)
+    d = s.result(d)
+    return d, None
+
+
 def dtw_distance(s1, s2, settings: Optional[DtwSettings] = None, **kwargs) -> float:
     """DTW distance between two series (1-D or n-D).
 
@@ -522,8 +667,23 @@ def dtw_distance_batch(X1: np.ndarray, X2: np.ndarray,
         # use_pruning is semantically a no-op here (it only accelerates the
         # reference's cell-level scan, which the batched DP doesn't use).
         s = DtwSettings(**{**s.kwargs(), "use_pruning": False})
-    d, _ = _dtw_batch_core(X1, X2, s)
-    return d
+    # sub-batch so X stacks + DP buffers stay cache-resident: each series
+    # row is re-read ~band times across consecutive diagonals, so letting
+    # the stacks spill out of LLC multiplies DRAM traffic by the band
+    # width (measured: 179M cells/s at 12 MB working set vs 19M at 94 MB)
+    B = X1.shape[0]
+    r, c = X1.shape[1], X2.shape[1]
+    # measured sweet spot on 32-way concurrency: aggregate throughput
+    # peaks near 1.5M doubles of X per batch (B≈1024 at n=720)
+    bmax = max(64, 1_500_000 // (r + c + 1))
+    if B <= bmax:
+        d, _ = _dtw_batch_core(X1, X2, s)
+        return d
+    parts = [
+        _dtw_batch_core(X1[i:i + bmax], X2[i:i + bmax], s)[0]
+        for i in range(0, B, bmax)
+    ]
+    return np.concatenate(parts)
 
 
 # ---------------------------------------------------------------------------

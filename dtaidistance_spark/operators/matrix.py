@@ -124,7 +124,14 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
             ((F.col("i") >= rb) & (F.col("i") < re_)) |
             ((F.col("i") >= cb) & (F.col("i") < ce)))
 
-    src = src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
+    # spread the series across all cores BEFORE the pair fan-out join:
+    # upstream plans often end single-partition (global row_number), and
+    # the fan-out multiplies each row ~n/chunk_size times — that write
+    # must not run in one task.  cache() stops the whole upstream subtree
+    # from executing twice (once per join side).
+    par = series_df.sparkSession.sparkContext.defaultParallelism
+    src = (src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
+           .repartition(par).cache())
 
     # --- declarative pair-space pruning over chunk ids ---
     chunks = src.select("chunk").distinct()

@@ -200,7 +200,7 @@ def hourly_series(spark, sf_dir, min_len: int = 24) -> DataFrame:
 def q_dtw_distance_matrix(spark, sf_dir):
     series = with_index(hourly_series(spark, sf_dir), order_col="series_id")
     st = DtwSettings(window=24)
-    dist = distance_matrix(series, settings=st, chunk_size=32)
+    dist = distance_matrix(series, settings=st, chunk_size=128)
     return dist.select("i", "j", F.round("d", 6).alias("d"))
 
 
@@ -209,7 +209,7 @@ def q_dtw_flagship(spark, sf_dir):
     blocked DTW matrix → similarity join back to series ids."""
     series = with_index(hourly_series(spark, sf_dir), order_col="series_id")
     st = DtwSettings(window=12, psi=2)
-    dist = distance_matrix(series, settings=st, chunk_size=32)
+    dist = distance_matrix(series, settings=st, chunk_size=128)
     ids = series.select("i", "series_id")
     out = (dist
            .join(ids.withColumnRenamed("series_id", "series_a"), on="i")

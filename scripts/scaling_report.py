@@ -1,0 +1,153 @@
+"""N vs 4N scaling-efficiency evidence (BASELINE.json north rule).
+
+A real two-size cluster is unavailable in this sandbox, so per the
+driver instruction the same job runs at two parallelism levels on the
+same input — local[8] and local[32] — and we report throughput at both
+plus efficiency = (T_8 / T_32) / 4 (target ≥ 0.8).
+
+The job is the full north-rule pipeline at a size that dwarfs fixed
+overheads: deterministic synthetic transcripts → points → 1m → 1h → 1d
+tiers → global gap-fill → dense arrays → banded blocked DTW matrix.
+Input parquet is written once and reused by both runs.
+
+Each run is a fresh `spark-submit`-equivalent subprocess (new JVM) so
+the two measurements don't share JIT/cache state.
+
+Writes BENCH.md at the repo root.  Usage: python scripts/scaling_report.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUN_SNIPPET = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from dtaidistance_spark.session import get_spark
+from dtaidistance_spark.operators.ingest import transcript_points
+from dtaidistance_spark.operators import rollup as R
+from dtaidistance_spark.operators.matrix import distance_matrix, with_index
+from dtaidistance_spark.kernels.dtw import DtwSettings
+from pyspark.sql import functions as F
+
+cores = int(sys.argv[1])
+src = sys.argv[2]
+spark = get_spark(app_name=f"scaling-{{cores}}", cores=cores,
+                  shuffle_partitions=max(8, cores))
+tr = spark.read.parquet(src)
+
+t0 = time.time()
+pts = transcript_points(tr)
+agg1m = R.rollup_points(pts, "1m")
+agg1m.write.format("noop").mode("overwrite").save()
+t_1m = time.time()
+agg1h = R.rollup_cascade(agg1m, "1h")
+agg1h.write.format("noop").mode("overwrite").save()
+t_1h = time.time()
+agg1d = R.rollup_cascade(agg1h, "1d")
+agg1d.write.format("noop").mode("overwrite").save()
+t_1d = time.time()
+
+n_points = agg1m.count() + agg1h.count() + agg1d.count()
+
+filled = R.gap_fill(
+    agg1h.where(F.col("series_id").endswith(":turn_rate")),
+    "1h", policy="zero", align="global")
+arrays = R.series_arrays(filled, "1h", value_col="cnt")
+series = with_index(arrays.limit(768), order_col="series_id")
+t_dtw0 = time.time()
+dist = distance_matrix(series, settings=DtwSettings(window=24), chunk_size=64)
+dist.write.format("noop").mode("overwrite").save()
+t_dtw = time.time()
+n_series = series.count()
+n_pairs = n_series * (n_series - 1) // 2
+
+out = {{
+    "cores": cores,
+    "t_rollup": round(t_1d - t0, 3),
+    "t_dtw": round(t_dtw - t_dtw0, 3),
+    "t_total": round((t_1d - t0) + (t_dtw - t_dtw0), 3),
+    "n_points": n_points,
+    "n_pairs": n_pairs,
+    "points_per_sec": round(n_points / (t_1d - t0), 1),
+    "pairs_per_sec": round(n_pairs / (t_dtw - t_dtw0), 1),
+}}
+print("SCALING_RESULT " + json.dumps(out))
+spark.stop()
+"""
+
+
+def gen_input(path: str, n_convs: int, max_turns: int):
+    code = f"""
+import sys
+sys.path.insert(0, {REPO!r})
+from dtaidistance_spark.session import get_spark
+from dtaidistance_spark.sources.transcripts import synth_transcripts
+spark = get_spark(app_name="gen", cores=32)
+synth_transcripts(spark, n_convs={n_convs}, seed=42,
+                  max_turns={max_turns}).write.mode("overwrite").parquet({path!r})
+spark.stop()
+"""
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
+def run_at(cores: int, src: str) -> dict:
+    code = RUN_SNIPPET.format(repo=REPO)
+    proc = subprocess.run([sys.executable, "-c", code, str(cores), src],
+                          capture_output=True, text=True, check=True)
+    for line in proc.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    raise RuntimeError(f"no result line; stderr tail: {proc.stderr[-2000:]}")
+
+
+def main():
+    n_convs = int(os.environ.get("SCALING_CONVS", "4000"))
+    max_turns = int(os.environ.get("SCALING_MAX_TURNS", "2000"))
+    tmp = tempfile.mkdtemp(prefix="scaling_")
+    src = os.path.join(tmp, "transcripts")
+    print(f"generating input ({n_convs} convs) → {src}", flush=True)
+    gen_input(src, n_convs, max_turns)
+    results = {}
+    for cores in (32, 8):
+        print(f"running at local[{cores}] ...", flush=True)
+        results[cores] = run_at(cores, src)
+        print(json.dumps(results[cores]), flush=True)
+    r8, r32 = results[8], results[32]
+    eff_total = (r8["t_total"] / r32["t_total"]) / 4
+    eff_rollup = (r8["t_rollup"] / r32["t_rollup"]) / 4
+    eff_dtw = (r8["t_dtw"] / r32["t_dtw"]) / 4
+    md = f"""# BENCH — scaling-efficiency evidence (N vs 4N)
+
+Same job, same input, two parallelism levels (driver-sanctioned stand-in
+for N vs 4N executors): `local[8]` vs `local[32]`, fresh JVM each.
+
+Workload: deterministic synthetic transcripts ({n_convs} conversations,
+power-law turns, ~{r32['n_points']} rolled-up points across 1m/1h/1d
+tiers) → per-conv turn-rate + inter-turn-latency points → 1m→1h→1d
+cascade → global gap-fill → dense hourly arrays → banded (w=24) blocked
+DTW distance matrix over {r8['n_pairs']} pairs.
+
+| metric | local[8] | local[32] | speedup | efficiency |
+|---|---|---|---|---|
+| rollup tiers wall (s) | {r8['t_rollup']} | {r32['t_rollup']} | {r8['t_rollup']/r32['t_rollup']:.2f}× | {eff_rollup:.2f} |
+| rolled-up points/sec | {r8['points_per_sec']} | {r32['points_per_sec']} | | |
+| DTW matrix wall (s) | {r8['t_dtw']} | {r32['t_dtw']} | {r8['t_dtw']/r32['t_dtw']:.2f}× | {eff_dtw:.2f} |
+| DTW pairs/sec | {r8['pairs_per_sec']} | {r32['pairs_per_sec']} | | |
+| total wall (s) | {r8['t_total']} | {r32['t_total']} | {r8['t_total']/r32['t_total']:.2f}× | **{eff_total:.2f}** |
+
+Target: efficiency ≥ 0.8 (BASELINE.json north rule).
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
