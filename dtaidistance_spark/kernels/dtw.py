@@ -34,6 +34,20 @@ import numpy as np
 
 INF = np.inf
 
+# Keep large numpy allocations on the reusable heap instead of fresh
+# mmaps: first-touch page faults on new multi-MB mappings are
+# pathologically slow under transparent-huge-page compaction in this
+# environment (hundreds of ms per 23 MB).  M_MMAP_THRESHOLD=-3,
+# M_TRIM_THRESHOLD=-1 per mallopt(3).
+try:  # pragma: no cover - platform-specific
+    import ctypes
+
+    _libc = ctypes.CDLL("libc.so.6")
+    _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+except Exception:
+    pass
+
 __all__ = [
     "DtwSettings",
     "ub_euclidean",

@@ -81,19 +81,26 @@ def _compute_pairs(left: np.ndarray, right_idx: np.ndarray,
     use_lb = settings.max_dist is not None and settings.max_dist > 0
     for (l1, l2), pairs in byshape.items():
         pairs = np.asarray(pairs, dtype=np.int64)
-        bmax = max(16, max_buf_elems // (l1 + 1))
+        # slice at the kernel's own cache-optimal batch size so each
+        # np.stack copy is a few MB (reused heap), never tens of MB
+        bmax = max(64, 1_500_000 // (l1 + l2 + 1))
         for s in range(0, len(pairs), bmax):
             chunk = pairs[s:s + bmax]
             X1 = np.stack([values_by_idx[i] for i in chunk[:, 0]])
             X2 = np.stack([values_by_idx[j] for j in chunk[:, 1]])
-            d = np.full(len(chunk), np.inf)
-            todo = np.ones(len(chunk), dtype=bool)
             if use_lb and l1 == l2 and X1.ndim == 2:
                 lb = lb_keogh_batch(X1, X2, window=settings.window,
                                     inner_dist=settings.inner_dist)
                 todo = lb <= settings.max_dist
-            if todo.any():
-                d[todo] = dtw_distance_batch(X1[todo], X2[todo], settings=settings)
+            else:
+                todo = None
+            if todo is None or todo.all():
+                d = dtw_distance_batch(X1, X2, settings=settings)
+            else:
+                d = np.full(len(chunk), np.inf)
+                if todo.any():
+                    d[todo] = dtw_distance_batch(X1[todo], X2[todo],
+                                                 settings=settings)
             out_i.append(chunk[:, 0])
             out_j.append(chunk[:, 1])
             out_d.append(d)
@@ -103,7 +110,7 @@ def _compute_pairs(left: np.ndarray, right_idx: np.ndarray,
 
 
 def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None,
-                    block=None, chunk_size: int = 64,
+                    block=None, chunk_size: Optional[int] = None,
                     index_col: str = "i", values_col: str = "values",
                     **kwargs) -> DataFrame:
     """All-pairs DTW distances → long DataFrame ``(i, j, d)``.
@@ -111,6 +118,11 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
     ``block=((rb,re),(cb,ce)[,triu])`` follows reference semantics
     (dtw.py:730, :757-761): with triu (default) only pairs ``i<j`` inside
     the block are produced; with ``triu=False`` the full rectangle.
+
+    ``chunk_size=None`` sizes chunks so the pair space yields ≈8 groups
+    per core — enough units for the scheduler to balance the quadratic
+    per-group cost, while keeping series replication (one copy per
+    partner chunk) low.
     """
     s = settings if settings is not None else DtwSettings(**kwargs)
     blk, triu = _norm_block(block)
@@ -130,8 +142,13 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
     # must not run in one task.  cache() stops the whole upstream subtree
     # from executing twice (once per join side).
     par = series_df.sparkSession.sparkContext.defaultParallelism
-    src = (src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
-           .repartition(par).cache())
+    src = src.repartition(par).cache()
+    if chunk_size is None:
+        n = src.agg(F.max("i")).collect()[0][0]
+        n = int(n) + 1 if n is not None else 1
+        n_chunks = max(1, int(np.ceil(np.sqrt(16.0 * par))))
+        chunk_size = max(8, -(-n // n_chunks))
+    src = src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
 
     # --- declarative pair-space pruning over chunk ids ---
     chunks = src.select("chunk").distinct()
@@ -150,7 +167,12 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
               .select("ci", "cj", F.lit(0).alias("side"), "i", "values")
     right = src.join(F.broadcast(cp), src["chunk"] == cp["cj"]) \
                .select("ci", "cj", F.lit(1).alias("side"), "i", "values")
-    tagged = left.unionByName(right)
+    # explicit hash repartitioning on the group key: the UDF stage's cost
+    # is CPU (quadratic pairs per group), not bytes — AQE's byte-based
+    # partition coalescing must not shrink its parallelism (observed 3×32
+    # cores idle when it did).  groupBy below reuses this partitioning,
+    # and AQE leaves user-specified repartitioning alone.
+    tagged = left.unionByName(right).repartition(4 * par, "ci", "cj")
 
     rb_, re__, cb_, ce_ = (-1, -1, -1, -1)
     if blk is not None:
