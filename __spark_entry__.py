@@ -44,9 +44,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_7d": DQ.q_retention_7d,
         "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
         "event_type_daily": DQ.q_event_type_daily,
+        "smoothing_1h": DQ.q_smoothing_1h,
+        "logdomain_latency": DQ.q_logdomain_latency,
+        "similarity_1h": DQ.q_similarity_1h,
+        "squash_latency": DQ.q_squash_latency,
+        "sessionize": DQ.q_sessionize,
         # DTW analytics (not SQL-expressible → rows-only oracle)
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
         "dtw_flagship": DQ.q_dtw_flagship,
+        "subsequence_topk": DQ.q_subsequence_topk,
+        "subsequence_matches": DQ.q_subsequence_matches,
+        "kmeans_clusters": DQ.q_kmeans_clusters,
+        "linkage_tree": DQ.q_linkage_tree,
+        "loco_matches": DQ.q_loco_matches,
+        "symbolize": DQ.q_symbolize,
+        "media_features": DQ.q_media_features,
         # documents: dedup + text analysis
         "dedup_exact": DQ.q_dedup_exact,
         "token_stats": DQ.q_token_stats,

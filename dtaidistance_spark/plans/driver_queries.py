@@ -219,6 +219,170 @@ def q_dtw_flagship(spark, sf_dir):
     return out
 
 
+def q_smoothing_1h(spark, sf_dir):
+    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    pts = agg1h.select("series_id", F.col("bucket_ts").alias("ts"),
+                       F.col("sum").alias("value"))
+    sm = PP.smoothing(pts, order_col="ts", width=5)
+    return sm.select("series_id", F.col("ts").alias("bucket_ts"),
+                     F.round("value_smooth", 6).alias("smooth"))
+
+
+def q_logdomain_latency(spark, sf_dir):
+    lat = q_latency_points(spark, sf_dir).withColumnRenamed("latency_s", "value")
+    out = PP.logdomain(lat)
+    return out.select("series_id", "seq",
+                      F.round("value_log", 6).alias("value_log"))
+
+
+def q_similarity_1h(spark, sf_dir):
+    from ..functions.similarity import distance_to_similarity
+
+    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    dist = agg1h.select("series_id", "bucket_ts",
+                        F.abs(F.col("max") - F.col("min")).alias("d"))
+    sim = distance_to_similarity(dist, d_col="d", method="exponential", r=10.0)
+    return sim.select("series_id", "bucket_ts", "similarity")
+
+
+def q_squash_latency(spark, sf_dir):
+    from ..functions.similarity import squash
+
+    lat = q_latency_points(spark, sf_dir)
+    sq = squash(lat, d_col="latency_s", method="logistic", x0=120.0, k=0.01)
+    return sq.select("series_id", "seq", "squashed")
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization: a new session starts after a >30 min silence —
+    window cumsum of gap flags, then per-session aggregates."""
+    pts = event_points(spark, sf_dir)
+    w = W.partitionBy("series_id").orderBy("seq")
+    epoch = lambda c: F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1e6)
+    with_gap = pts.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull(), F.lit(1))
+         .when(epoch("ts") - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+               / F.lit(1e6) > 1800.0, F.lit(1)).otherwise(F.lit(0)))
+    with_id = with_gap.withColumn(
+        "session_no", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    return (with_id.groupBy("series_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("sum_val"),
+                 F.round(F.unix_micros(F.max("ts").cast("timestamp")) / 1e6
+                         - F.unix_micros(F.min("ts").cast("timestamp")) / 1e6,
+                         6).alias("duration_s")))
+
+
+# ---------------------------------------------------------------------------
+# advanced analytics (rows-only oracle: iterative / not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_subsequence_topk(spark, sf_dir):
+    from ..operators.subsequence import search_topk
+    import numpy as np
+
+    corpus = hourly_series(spark, sf_dir)
+    # query motif: one busy day profile (deterministic)
+    query = np.concatenate([np.zeros(6), np.linspace(0, 3, 6),
+                            np.linspace(3, 0, 6), np.zeros(6)])
+    out = search_topk(corpus, query, k=10)
+    return out.select("series_id", F.round("match_value", 6).alias("match_value"))
+
+
+def q_subsequence_matches(spark, sf_dir):
+    from ..operators.subsequence import kbest_matches_df
+    import numpy as np
+
+    corpus = hourly_series(spark, sf_dir).limit(20)
+    query = np.concatenate([np.zeros(4), np.ones(8) * 2, np.zeros(4)])
+    return kbest_matches_df(corpus, query, k=2, minlength=4)
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    from ..operators.cluster import kmeans_dtw
+    from ..kernels.dtw import DtwSettings
+
+    series = with_index(
+        hourly_series(spark, sf_dir)
+        .withColumn("values", F.slice("values", 1, 360)),
+        order_col="series_id")
+    _, assign = kmeans_dtw(spark, series, k=4, max_it=2,
+                           settings=DtwSettings(window=12), dba_max_it=2)
+    return assign.select("i", "cluster",
+                         F.round("dist_to_center", 6).alias("dist_to_center"))
+
+
+def q_linkage_tree(spark, sf_dir):
+    from ..operators.cluster import linkage_tree_fit
+    from ..kernels.dtw import DtwSettings
+
+    series = with_index(hourly_series(spark, sf_dir), order_col="series_id") \
+        .where(F.col("i") < 64)
+    Z = linkage_tree_fit(series, 64, settings=DtwSettings(window=12))
+    rows = [(int(a), int(b), round(float(d), 6), int(cnt))
+            for a, b, d, cnt in Z]
+    return spark.createDataFrame(
+        rows, "left long, right long, dist double, count long")
+
+
+def q_loco_matches(spark, sf_dir):
+    from ..kernels.loco import LocalConcurrences
+    import pandas as pd
+
+    arrays = hourly_series(spark, sf_dir).orderBy(F.desc("n"), "series_id") \
+        .limit(4).toPandas()
+    rows = []
+    for r in arrays.itertuples(index=False):
+        import numpy as np
+        s = np.asarray(r.values, dtype=np.float64)[:256]
+        lc = LocalConcurrences(s)
+        lc.estimate_settings_from_ssm(rho=0.8)
+        for m in lc.kbest_matches(k=3, minlen=5, buffer=3):
+            rows.append((r.series_id, m["row"], m["col"],
+                         round(m["value"], 6), len(m["path"])))
+    return spark.createDataFrame(
+        rows or [("none", -1, -1, 0.0, 0)],
+        "series_id string, row int, col int, value double, path_len int")
+
+
+def q_symbolize(spark, sf_dir):
+    from ..kernels.symbolization import symbolize
+    import numpy as np
+    import pandas as pd
+    from typing import Iterator
+
+    corpus = hourly_series(spark, sf_dir).limit(16)
+    codebook = [list(np.concatenate([np.zeros(4), np.ones(6) * 2, np.zeros(4)])),
+                list(np.linspace(0.0, 3.0, 12))]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cb = [np.asarray(c) for c in codebook]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s = np.asarray(r.values, dtype=np.float64)[:200]
+                sym = symbolize(s, cb)
+                for pos, sy in enumerate(sym):
+                    if sy != len(cb):
+                        rows.append((r.series_id, pos, int(sy)))
+            yield pd.DataFrame(rows, columns=["series_id", "pos", "symbol"])
+
+    return corpus.mapInPandas(run, schema="series_id string, pos int, symbol int")
+
+
+def q_media_features(spark, sf_dir):
+    from ..operators.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, n=64)
+    out = decode_features(media, n_features=8)
+    return out.select("media_id", "kind",
+                      F.round(F.aggregate("features", F.lit(0.0),
+                                          lambda a, v: a + v), 6).alias("feat_sum"))
+
+
 # ---------------------------------------------------------------------------
 # documents: dedup / text analysis
 # ---------------------------------------------------------------------------
@@ -393,6 +557,68 @@ ORACLES: dict[str, str] = {
         SELECT event_type, date_trunc('day', ts) AS day_ts,
                count(*) AS cnt, round(sum(value), 6) AS sum_val
         FROM events GROUP BY 1, 2
+    """,
+    "smoothing_1h": f"""
+        WITH pts AS ({_PTS_SQL}),
+        agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                       sum(value) AS value
+                FROM pts GROUP BY 1, 2)
+        SELECT series_id, bucket_ts,
+               round(avg(value) OVER (PARTITION BY series_id ORDER BY bucket_ts
+                     ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS smooth
+        FROM agg
+    """,
+    "logdomain_latency": f"""
+        WITH pts AS ({_PTS_SQL}),
+        lat AS (
+          SELECT series_id, seq,
+                 round(extract(epoch FROM ts)
+                       - extract(epoch FROM lag(ts) OVER w), 6) AS value
+          FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY seq)
+          QUALIFY lag(ts) OVER w IS NOT NULL)
+        SELECT series_id, seq,
+               round(sign(value) * ln(1 + abs(value)), 6) AS value_log
+        FROM lat
+    """,
+    "similarity_1h": f"""
+        WITH pts AS ({_PTS_SQL}),
+        agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                       abs(max(value) - min(value)) AS d
+                FROM pts GROUP BY 1, 2)
+        SELECT series_id, bucket_ts, round(exp(-d / 10.0), 6) AS similarity
+        FROM agg
+    """,
+    "squash_latency": f"""
+        WITH pts AS ({_PTS_SQL}),
+        lat AS (
+          SELECT series_id, seq,
+                 round(extract(epoch FROM ts)
+                       - extract(epoch FROM lag(ts) OVER w), 6) AS latency_s
+          FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY seq)
+          QUALIFY lag(ts) OVER w IS NOT NULL)
+        SELECT series_id, seq,
+               round(1.0 / (1.0 + exp(-0.01 * (latency_s - 120.0))), 6)
+                 AS squashed
+        FROM lat
+    """,
+    "sessionize": f"""
+        WITH pts AS ({_PTS_SQL}),
+        g AS (
+          SELECT series_id, seq, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN extract(epoch FROM ts)
+                           - extract(epoch FROM lag(ts) OVER w) > 1800.0 THEN 1
+                      ELSE 0 END AS new_sess
+          FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY seq)),
+        s AS (SELECT *, cast(sum(new_sess) OVER (PARTITION BY series_id
+                   ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS bigint) AS session_no
+              FROM g)
+        SELECT series_id, session_no, count(*) AS n_events,
+               round(sum(value), 6) AS sum_val,
+               round(extract(epoch FROM max(ts))
+                     - extract(epoch FROM min(ts)), 6) AS duration_s
+        FROM s GROUP BY 1, 2
     """,
     "dedup_exact": f"""
         SELECT md5({_NORM}) AS fp, min(doc_id) AS rep_doc_id,

@@ -60,7 +60,7 @@ filled = R.gap_fill(
     agg1h.where(F.col("series_id").endswith(":turn_rate")),
     "1h", policy="zero", align="global")
 arrays = R.series_arrays(filled, "1h", value_col="cnt")
-series = with_index(arrays.limit(768), order_col="series_id")
+series = with_index(arrays.orderBy("series_id").limit(768), order_col="series_id")
 t_dtw0 = time.time()
 dist = distance_matrix(series, settings=DtwSettings(window=24), chunk_size=64)
 dist.write.format("noop").mode("overwrite").save()
