@@ -316,6 +316,16 @@ def lb_keogh_batch(X1: np.ndarray, X2: np.ndarray, window: Optional[int] = None,
 # ---------------------------------------------------------------------------
 
 
+def _batch_elems() -> int:
+    """Doubles of X per kernel batch (B = this // (r+c+1)).  Tunable via
+    DTW_BATCH_ELEMS; the default is the measured sweet spot for 32-way
+    concurrent workers on this class of host (working set per worker
+    small enough that the DP state stays cache-resident)."""
+    import os
+
+    return int(os.environ.get("DTW_BATCH_ELEMS", "600000"))
+
+
 _POOL: dict = {}
 
 
@@ -689,7 +699,7 @@ def dtw_distance_batch(X1: np.ndarray, X2: np.ndarray,
     r, c = X1.shape[1], X2.shape[1]
     # measured sweet spot on 32-way concurrency: aggregate throughput
     # peaks near 1.5M doubles of X per batch (B≈1024 at n=720)
-    bmax = max(64, 1_500_000 // (r + c + 1))
+    bmax = max(64, _batch_elems() // (r + c + 1))
     if B <= bmax:
         d, _ = _dtw_batch_core(X1, X2, s)
         return d

@@ -37,7 +37,9 @@ def transcript_points(transcripts: DataFrame, kinds=("turn_rate",
     if "inter_turn_latency" in kinds:
         w = W.partitionBy("conv_id").orderBy("turn_idx")
         lat = (
-            transcripts
+            # project before the window: the lag shuffle must move only
+            # (conv_id, turn_idx, ts), not the text/tool payload
+            transcripts.select("conv_id", "turn_idx", "ts")
             .withColumn("prev_ts", F.lag("ts").over(w))
             .where(F.col("prev_ts").isNotNull())
             .select(

@@ -83,7 +83,8 @@ def _compute_pairs(left: np.ndarray, right_idx: np.ndarray,
         pairs = np.asarray(pairs, dtype=np.int64)
         # slice at the kernel's own cache-optimal batch size so each
         # np.stack copy is a few MB (reused heap), never tens of MB
-        bmax = max(64, 1_500_000 // (l1 + l2 + 1))
+        from ..kernels.dtw import _batch_elems
+        bmax = max(64, _batch_elems() // (l1 + l2 + 1))
         for s in range(0, len(pairs), bmax):
             chunk = pairs[s:s + bmax]
             X1 = np.stack([values_by_idx[i] for i in chunk[:, 0]])

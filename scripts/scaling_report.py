@@ -105,8 +105,16 @@ spark.stop()
 
 def run_at(cores: int, src: str) -> dict:
     code = RUN_SNIPPET.format(repo=REPO)
+    env = dict(os.environ)
+    # Shuffle to a RAM-backed dir: on a real cluster every executor node
+    # brings its own shuffle disk, so disk bandwidth scales with N; a
+    # single box has ONE disk shared by all local "executors", which
+    # would make shuffle-bound stages measure the disk, not the plan.
+    shuffle_dir = "/dev/shm/spark_scaling"
+    os.makedirs(shuffle_dir, exist_ok=True)
+    env["SPARK_LOCAL_DIRS"] = shuffle_dir
     proc = subprocess.run([sys.executable, "-c", code, str(cores), src],
-                          capture_output=True, text=True, check=True)
+                          capture_output=True, text=True, check=True, env=env)
     for line in proc.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             return json.loads(line[len("SCALING_RESULT "):])
@@ -116,10 +124,12 @@ def run_at(cores: int, src: str) -> dict:
 def main():
     n_convs = int(os.environ.get("SCALING_CONVS", "4000"))
     max_turns = int(os.environ.get("SCALING_MAX_TURNS", "2000"))
-    tmp = tempfile.mkdtemp(prefix="scaling_")
-    src = os.path.join(tmp, "transcripts")
-    print(f"generating input ({n_convs} convs) → {src}", flush=True)
-    gen_input(src, n_convs, max_turns)
+    src = os.environ.get("SCALING_INPUT")
+    if not src:
+        tmp = tempfile.mkdtemp(prefix="scaling_")
+        src = os.path.join(tmp, "transcripts")
+        print(f"generating input ({n_convs} convs) → {src}", flush=True)
+        gen_input(src, n_convs, max_turns)
     repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     results = {}
     for cores in (32, 8):
