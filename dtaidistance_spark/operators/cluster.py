@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..kernels.dtw import DtwSettings, dba_update, dtw_distance
+from ..kernels.dtw import DtwSettings, dba_update
 from .matrix import distance_matrix, distance_matrix_cross, to_matrix
 
 

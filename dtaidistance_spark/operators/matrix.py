@@ -36,8 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..kernels.dtw import (DtwSettings, dtw_distance, dtw_distance_batch,
-                           ed_distance_batch, lb_keogh_batch)
+from ..kernels.dtw import DtwSettings, dtw_distance_batch, lb_keogh_batch
 
 PAIR_SCHEMA = "i long, j long, d double"
 
@@ -137,6 +136,24 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
             ((F.col("i") >= rb) & (F.col("i") < re_)) |
             ((F.col("i") >= cb) & (F.col("i") < ce)))
 
+    # Physical strategy switch: when the whole series set fits in
+    # executor memory, broadcast it and shuffle ONLY pair-block keys —
+    # the all-pairs fan-out otherwise replicates every series to
+    # ~n/chunk_size partner groups through the shuffle (the dominant
+    # non-kernel cost at bench scale).  Large corpora take the blocked
+    # shuffle path below, which scales to data that cannot be broadcast.
+    stats = src.agg(F.count("*").alias("n"),
+                    F.avg(F.size("values")).alias("alen")).collect()[0]
+    n_total = int(stats["n"] or 0)
+    est_bytes = n_total * float(stats["alen"] or 0) * 8
+    conf = series_df.sparkSession.conf
+    max_bytes = float(conf.get("spark.dtaidistance.broadcastMatrixMaxBytes",
+                               str(256 * 1024 * 1024)))
+    max_pairs = int(conf.get("spark.dtaidistance.broadcastMatrixMaxPairs",
+                             str(20_000_000)))
+    if est_bytes <= max_bytes and n_total * (n_total - 1) // 2 <= max_pairs:
+        return _distance_matrix_broadcast(src, s, blk, triu, settings_json)
+
     # spread the series across all cores BEFORE the pair fan-out join:
     # upstream plans often end single-partition (global row_number), and
     # the fan-out multiplies each row ~n/chunk_size times — that write
@@ -201,6 +218,58 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
         return pd.DataFrame({"i": oi, "j": oj, "d": od})
 
     return tagged.groupBy("ci", "cj").applyInPandas(compute, schema=PAIR_SCHEMA)
+
+
+def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
+                               settings_json: str) -> DataFrame:
+    """Broadcast-corpus physical strategy: series dict broadcast once,
+    work distributed as (lo, hi) row-range tasks over the triangular
+    pair space (balanced: ranges sized so each task owns ~equal pair
+    counts), computed with the same batched kernel."""
+    spark = src.sparkSession
+    pdf = src.toPandas()
+    vals = {int(i): np.asarray(v, dtype=np.float64)
+            for i, v in zip(pdf["i"], pdf["values"])}
+    ids = np.array(sorted(vals), dtype=np.int64)
+    bc = spark.sparkContext.broadcast(vals)
+    par = spark.sparkContext.defaultParallelism
+    n_tasks = max(par * 4, 8)
+
+    # enumerate (i, j) pair ranges with ~equal sizes
+    if blk is None:
+        ii_all, jj_all = np.triu_indices(len(ids), k=1)
+        ii_all, jj_all = ids[ii_all], ids[jj_all]
+    else:
+        (rb, re_), (cb, ce) = blk
+        rows = ids[(ids >= rb) & (ids < re_)]
+        cols = ids[(ids >= cb) & (ids < ce)]
+        ii_all, jj_all = np.meshgrid(rows, cols, indexing="ij")
+        ii_all, jj_all = ii_all.ravel(), jj_all.ravel()
+        if triu:
+            keep = ii_all < jj_all
+            ii_all, jj_all = ii_all[keep], jj_all[keep]
+    n_pairs = len(ii_all)
+    if n_pairs == 0:
+        return spark.createDataFrame([], PAIR_SCHEMA)
+    bounds = np.linspace(0, n_pairs, min(n_tasks, n_pairs) + 1, dtype=np.int64)
+    ranges = [(int(bounds[k]), int(bounds[k + 1]))
+              for k in range(len(bounds) - 1) if bounds[k] < bounds[k + 1]]
+    rdf = spark.createDataFrame(ranges, "lo long, hi long") \
+        .repartition(len(ranges))
+    ii_b = spark.sparkContext.broadcast(ii_all)
+    jj_b = spark.sparkContext.broadcast(jj_all)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        st = DtwSettings.from_json(settings_json)
+        v = bc.value
+        for pdf_ in batches:
+            for row in pdf_.itertuples(index=False):
+                ii = ii_b.value[row.lo:row.hi]
+                jj = jj_b.value[row.lo:row.hi]
+                oi, oj, od = _compute_pairs(ii, jj, v, st)
+                yield pd.DataFrame({"i": oi, "j": oj, "d": od})
+
+    return rdf.mapInPandas(compute, schema=PAIR_SCHEMA)
 
 
 def distance_matrix_cross(query_df: DataFrame, corpus_df: DataFrame,

@@ -12,8 +12,7 @@ top-k (SURVEY.md §4: correct, slightly less pruning)."""
 
 from __future__ import annotations
 
-import json
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 import pandas as pd

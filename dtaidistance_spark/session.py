@@ -33,6 +33,12 @@ def get_spark(app_name: str = "dtaidistance_spark", cores: int | None = None,
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # throughput GC: G1 measured 6× slower than ParallelGC on this
+        # host at 32-way task concurrency (174.7s vs 27.3s for the same
+        # 35M-row rollup job); batch-analytics workloads prefer
+        # throughput collectors anyway
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
