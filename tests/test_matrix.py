@@ -111,6 +111,34 @@ class TestDistanceMatrix:
         np.testing.assert_allclose(cond[finite], expected[finite], rtol=1e-14)
 
 
+class TestBlockedPath:
+    """Force the blocked-shuffle physical strategy (small inputs
+    auto-route to the broadcast strategy) and verify identical results."""
+
+    def test_blocked_equals_broadcast(self, spark, ref_dtw, rng):
+        series = [list(rng.normal(size=12)) for _ in range(15)]
+        df = _series_df(spark, series)
+        spark.conf.set("spark.dtaidistance.broadcastMatrixMaxBytes", "0")
+        try:
+            cond = to_condensed(distance_matrix(df, chunk_size=4), 15)
+        finally:
+            spark.conf.unset("spark.dtaidistance.broadcastMatrixMaxBytes")
+        expected = np.asarray(ref_dtw.distance_matrix(series, compact=True))
+        np.testing.assert_allclose(cond, expected, rtol=1e-14)
+
+    def test_blocked_block_semantics(self, spark, ref_dtw):
+        block = ((1, 4), (3, 5))
+        df = _series_df(spark, S6)
+        spark.conf.set("spark.dtaidistance.broadcastMatrixMaxBytes", "0")
+        try:
+            m = to_matrix(distance_matrix(df, block=block, chunk_size=2), 6,
+                          only_triu=True)
+        finally:
+            spark.conf.unset("spark.dtaidistance.broadcastMatrixMaxBytes")
+        expected = ref_dtw.distance_matrix(S6, block=block, only_triu=True)
+        np.testing.assert_allclose(m, np.asarray(expected), rtol=1e-14)
+
+
 class TestCross:
     def test_cross_matrix(self, spark, ref_dtw, rng):
         corpus = [list(rng.normal(size=10)) for _ in range(12)]
