@@ -42,14 +42,51 @@ PAIR_SCHEMA = "i long, j long, d double"
 
 
 def with_index(series_df: DataFrame, order_col: str = "series_id",
-               index_col: str = "i") -> DataFrame:
-    """Assign dense 0-based indices by ``order_col`` ordering.
+               index_col: str = "i", num_partitions: Optional[int] = None,
+               persist: bool = True) -> DataFrame:
+    """Assign dense 0-based indices by ``order_col`` ordering — two-pass
+    per-partition offset scheme, no single-partition exchange.
 
-    Uses a global row_number — fine up to millions of series; for larger
-    corpora switch to a two-pass per-partition offset scheme.
+    Pass 1: range-repartition by ``order_col`` (globally ordered partition
+    ranges), sort within partitions, persist, and collect the tiny
+    per-partition row counts.  Pass 2: a ``mapInPandas`` running counter
+    plus the broadcast cumulative offsets yields the dense global index.
+    Every stage is parallel; the only driver data is one count per
+    partition.  (Replaces the round-1 global ``row_number()`` that
+    serialized the whole corpus through one task.)
     """
-    w = W.orderBy(order_col)
-    return series_df.withColumn(index_col, F.row_number().over(w).cast("long") - 1)
+    spark = series_df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    part = (series_df
+            .repartitionByRange(num_partitions, F.col(order_col))
+            .sortWithinPartitions(order_col)
+            .withColumn("__pid", F.spark_partition_id()))
+    if persist:
+        part = part.persist()
+    counts = {r["__pid"]: r["cnt"] for r in
+              part.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_schema = part.drop("__pid").schema.add(index_col, "long")
+    cols = [f.name for f in out_schema.fields]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.drop(columns=["__pid"])
+            pdf[index_col] = np.arange(base + seen, base + seen + len(pdf),
+                                       dtype=np.int64)
+            seen += len(pdf)
+            yield pdf[cols]
+
+    return part.mapInPandas(assign, schema=out_schema)
 
 
 def _norm_block(block) -> Tuple[Optional[tuple], bool]:
@@ -136,14 +173,14 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
             ((F.col("i") >= rb) & (F.col("i") < re_)) |
             ((F.col("i") >= cb) & (F.col("i") < ce)))
 
-    # Physical strategy switch: when the whole series set fits in
-    # executor memory, broadcast it and shuffle ONLY pair-block keys —
-    # the all-pairs fan-out otherwise replicates every series to
-    # ~n/chunk_size partner groups through the shuffle (the dominant
-    # non-kernel cost at bench scale).  Large corpora take the blocked
-    # shuffle path below, which scales to data that cannot be broadcast.
+    # Persist BEFORE the single stats pass: the upstream plan (often the
+    # whole rollup → gap-fill → arrays pipeline) must execute exactly
+    # once — round 1 executed it twice (stats agg + broadcast collect),
+    # which showed up as a large serial component in the N-vs-4N curve.
+    src = src.persist()
     stats = src.agg(F.count("*").alias("n"),
-                    F.avg(F.size("values")).alias("alen")).collect()[0]
+                    F.avg(F.size("values")).alias("alen"),
+                    F.max("i").alias("imax")).collect()[0]
     n_total = int(stats["n"] or 0)
     est_bytes = n_total * float(stats["alen"] or 0) * 8
     conf = series_df.sparkSession.conf
@@ -151,19 +188,22 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
                                str(256 * 1024 * 1024)))
     max_pairs = int(conf.get("spark.dtaidistance.broadcastMatrixMaxPairs",
                              str(20_000_000)))
+    # Physical strategy switch: when the whole series set fits in
+    # executor memory, broadcast it and shuffle ONLY pair-range tasks —
+    # the all-pairs fan-out otherwise replicates every series to
+    # ~n/chunk_size partner groups through the shuffle (the dominant
+    # non-kernel cost at bench scale).  Large corpora take the blocked
+    # shuffle path below, which scales to data that cannot be broadcast.
     if est_bytes <= max_bytes and n_total * (n_total - 1) // 2 <= max_pairs:
         return _distance_matrix_broadcast(src, s, blk, triu, settings_json)
 
-    # spread the series across all cores BEFORE the pair fan-out join:
-    # upstream plans often end single-partition (global row_number), and
-    # the fan-out multiplies each row ~n/chunk_size times — that write
-    # must not run in one task.  cache() stops the whole upstream subtree
-    # from executing twice (once per join side).
     par = series_df.sparkSession.sparkContext.defaultParallelism
-    src = src.repartition(par).cache()
+    # the broadcast-join fan-out below multiplies each row ~n/chunk_size
+    # times in the map stage — that write must come from enough tasks
+    if src.rdd.getNumPartitions() < max(2, par // 2):
+        src = src.repartition(par)
     if chunk_size is None:
-        n = src.agg(F.max("i")).collect()[0][0]
-        n = int(n) + 1 if n is not None else 1
+        n = int(stats["imax"]) + 1 if stats["imax"] is not None else 1
         n_chunks = max(1, int(np.ceil(np.sqrt(16.0 * par))))
         chunk_size = max(8, -(-n // n_chunks))
     src = src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
@@ -220,12 +260,30 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
     return tagged.groupBy("ci", "cj").applyInPandas(compute, schema=PAIR_SCHEMA)
 
 
+def _triu_unrank(p: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Closed-form unranking of row-major upper-triangular pair indices:
+    linear position ``p`` in [0, n(n-1)/2) → (row, col) with row<col.
+    Inverse of :func:`condensed_index`; float64-exact for n < 2^26, with
+    an integer correction step for boundary round-off."""
+    p = np.asarray(p, dtype=np.int64)
+    b = 2 * n - 1
+    i = np.floor((b - np.sqrt(b * b - 8.0 * p)) / 2).astype(np.int64)
+    # correct float round-off at range boundaries
+    start = lambda r: r * n - r * (r + 1) // 2
+    i = np.where(start(i + 1) <= p, i + 1, i)
+    i = np.where(start(i) > p, i - 1, i)
+    j = p - start(i) + i + 1
+    return i, j
+
+
 def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
                                settings_json: str) -> DataFrame:
     """Broadcast-corpus physical strategy: series dict broadcast once,
-    work distributed as (lo, hi) row-range tasks over the triangular
-    pair space (balanced: ranges sized so each task owns ~equal pair
-    counts), computed with the same batched kernel."""
+    work distributed as (lo, hi) pair-range tasks over the triangular
+    pair space.  Pair (i, j) coordinates are derived from the linear
+    range by closed-form unranking INSIDE each task — the driver never
+    materializes or broadcasts the O(n²) pair lists, only the O(n)
+    series ids."""
     spark = src.sparkSession
     pdf = src.toPandas()
     vals = {int(i): np.asarray(v, dtype=np.float64)
@@ -235,20 +293,17 @@ def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
     par = spark.sparkContext.defaultParallelism
     n_tasks = max(par * 4, 8)
 
-    # enumerate (i, j) pair ranges with ~equal sizes
+    n_ids = len(ids)
     if blk is None:
-        ii_all, jj_all = np.triu_indices(len(ids), k=1)
-        ii_all, jj_all = ids[ii_all], ids[jj_all]
+        n_pairs = n_ids * (n_ids - 1) // 2
+        rows_b = cols_b = None
     else:
         (rb, re_), (cb, ce) = blk
         rows = ids[(ids >= rb) & (ids < re_)]
         cols = ids[(ids >= cb) & (ids < ce)]
-        ii_all, jj_all = np.meshgrid(rows, cols, indexing="ij")
-        ii_all, jj_all = ii_all.ravel(), jj_all.ravel()
-        if triu:
-            keep = ii_all < jj_all
-            ii_all, jj_all = ii_all[keep], jj_all[keep]
-    n_pairs = len(ii_all)
+        n_pairs = len(rows) * len(cols)
+        rows_b = spark.sparkContext.broadcast(rows)
+        cols_b = spark.sparkContext.broadcast(cols)
     if n_pairs == 0:
         return spark.createDataFrame([], PAIR_SCHEMA)
     bounds = np.linspace(0, n_pairs, min(n_tasks, n_pairs) + 1, dtype=np.int64)
@@ -256,16 +311,24 @@ def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
               for k in range(len(bounds) - 1) if bounds[k] < bounds[k + 1]]
     rdf = spark.createDataFrame(ranges, "lo long, hi long") \
         .repartition(len(ranges))
-    ii_b = spark.sparkContext.broadcast(ii_all)
-    jj_b = spark.sparkContext.broadcast(jj_all)
+    ids_b = spark.sparkContext.broadcast(ids)
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = DtwSettings.from_json(settings_json)
         v = bc.value
         for pdf_ in batches:
             for row in pdf_.itertuples(index=False):
-                ii = ii_b.value[row.lo:row.hi]
-                jj = jj_b.value[row.lo:row.hi]
+                p = np.arange(row.lo, row.hi, dtype=np.int64)
+                if blk is None:
+                    ri, rj = _triu_unrank(p, n_ids)
+                    ii, jj = ids_b.value[ri], ids_b.value[rj]
+                else:
+                    rr, cc = rows_b.value, cols_b.value
+                    ii = rr[p // len(cc)]
+                    jj = cc[p % len(cc)]
+                    if triu:
+                        keep = ii < jj
+                        ii, jj = ii[keep], jj[keep]
                 oi, oj, od = _compute_pairs(ii, jj, v, st)
                 yield pd.DataFrame({"i": oi, "j": oj, "d": od})
 

@@ -162,3 +162,40 @@ class TestWithIndex:
         out = with_index(df).orderBy("i").toPandas()
         assert list(out["i"]) == [0, 1, 2]
         assert list(out["series_id"]) == ["a", "b", "c"]
+
+    def test_many_partitions_no_global_exchange(self, spark):
+        """Dense global indices must survive a 32-partition input, and the
+        plan must contain no single-partition exchange (round-1 regression:
+        global row_number)."""
+        n = 500
+        rows = [(f"s{k:05d}", [float(k)]) for k in range(n)]
+        df = spark.createDataFrame(
+            rows, "series_id string, values array<double>").repartition(32)
+        idx = with_index(df)
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        out = idx.orderBy("i").toPandas()
+        assert list(out["i"]) == list(range(n))
+        assert list(out["series_id"]) == sorted(r[0] for r in rows)
+
+    def test_matrix_golden_with_32_partition_input(self, spark, ref_dtw):
+        series = [np.asarray(s, dtype=np.float64) for s in S6]
+        df = spark.createDataFrame(
+            [(f"id{i}", [float(x) for x in s]) for i, s in enumerate(series)],
+            "series_id string, values array<double>").repartition(32)
+        idx = with_index(df, order_col="series_id")
+        got = to_matrix(distance_matrix(idx), len(series), only_triu=True)
+        exp = ref_dtw.distance_matrix(series)
+        iu = np.triu_indices(len(series), k=1)
+        assert np.allclose(got[iu], exp[iu], rtol=1e-14)
+
+
+class TestTriuUnrank:
+    def test_inverse_of_condensed(self):
+        from dtaidistance_spark.operators.matrix import _triu_unrank
+        for n in (2, 3, 7, 64, 501):
+            p = np.arange(n * (n - 1) // 2, dtype=np.int64)
+            i, j = _triu_unrank(p, n)
+            ei, ej = np.triu_indices(n, k=1)
+            assert np.array_equal(i, ei) and np.array_equal(j, ej)
+            assert np.array_equal(condensed_index(i, j, n), p)
