@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": DQ.q_sessionize,
         # DTW analytics (not SQL-expressible → rows-only oracle)
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
+        "dtw_ndim_matrix": DQ.q_dtw_ndim_matrix,
         "dtw_flagship": DQ.q_dtw_flagship,
         "subsequence_topk": DQ.q_subsequence_topk,
         "subsequence_matches": DQ.q_subsequence_matches,
@@ -58,6 +59,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_tree": DQ.q_linkage_tree,
         "loco_matches": DQ.q_loco_matches,
         "symbolize": DQ.q_symbolize,
+        "nw_align": DQ.q_nw_align,
+        "edit_distance": DQ.q_edit_distance,
         "media_features": DQ.q_media_features,
         # documents: dedup + text analysis
         "dedup_exact": DQ.q_dedup_exact,
@@ -68,8 +71,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": DQ.q_ngram_jaccard,
         "minhash_lsh": DQ.q_minhash_lsh,
         "simhash": DQ.q_simhash,
+        "simhash_pairs": DQ.q_simhash_pairs,
+        "dedup_clusters": DQ.q_dedup_clusters,
         # embeddings: similarity search
         "embedding_neardup": DQ.q_embedding_neardup,
+        "embedding_neardup_lsh": DQ.q_embedding_neardup_lsh,
         "ann_brute_topk": DQ.q_ann_brute_topk,
         "ann_lsh_topk": DQ.q_ann_lsh_topk,
     }

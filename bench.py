@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "token_stats",
     "minhash_lsh",
     "ann_brute_topk",
+    "subsequence_topk",
     "dtw_distance_matrix",
 ]
 
@@ -63,10 +64,11 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         if name.startswith("rollup_"):
             rows[name] = df.count()  # cheap re-agg, untimed
-    # pair count from the series cardinality (n·(n-1)/2), not a re-run
-    from dtaidistance_spark.plans import driver_queries as DQ
-    n_series = DQ.hourly_series(spark, SF_DIR).count()
-    rows["dtw_distance_matrix"] = n_series * (n_series - 1) // 2
+    if "dtw_distance_matrix" in selected:
+        # pair count from the series cardinality (n·(n-1)/2), not a re-run
+        from dtaidistance_spark.plans import driver_queries as DQ
+        n_series = DQ.hourly_series(spark, SF_DIR).count()
+        rows["dtw_distance_matrix"] = n_series * (n_series - 1) // 2
 
     # derived north-rule throughputs
     n_points = rows.get("rollup_1m", 0) + rows.get("rollup_1h_cascade", 0) \

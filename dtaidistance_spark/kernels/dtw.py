@@ -318,12 +318,14 @@ def lb_keogh_batch(X1: np.ndarray, X2: np.ndarray, window: Optional[int] = None,
 
 def _batch_elems() -> int:
     """Doubles of X per kernel batch (B = this // (r+c+1)).  Tunable via
-    DTW_BATCH_ELEMS; the default is the measured sweet spot for 32-way
-    concurrent workers on this class of host (working set per worker
-    small enough that the DP state stays cache-resident)."""
+    DTW_BATCH_ELEMS; the default is the measured sweet spot for 4–16-way
+    concurrent workers on this class of host (r2 sweep: at L=482 the
+    1.2M setting ran 2.3× faster than 600k at both 4 and 16 procs —
+    per-call fixed costs dominate below B≈1000; above ~2.4M cache
+    pressure wins and throughput falls again)."""
     import os
 
-    return int(os.environ.get("DTW_BATCH_ELEMS", "600000"))
+    return int(os.environ.get("DTW_BATCH_ELEMS", "1200000"))
 
 
 _POOL: dict = {}
@@ -370,7 +372,7 @@ def _band_bounds(r: int, c: int, window: int):
 
 
 def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
-                    keep_matrix: bool = False):
+                    keep_matrix: bool = False, keep_lastrow: bool = False):
     """Banded DTW over a batch of pairs of equal shapes.
 
     ``X1``: (B, r) or (B, r, d); ``X2``: (B, c) or (B, c, d).
@@ -406,14 +408,19 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
     M = max(0, r - c)
     N = max(0, c - r)
 
+    if not keep_matrix and not keep_lastrow:
+        # distance-only: band-relative buffers (cache-resident fast path)
+        return _dtw_batch_banded(X1, X2, s, window)
     if keep_matrix:
         wps = np.full((B, r + 1, c + 1), INF)
         wps[:, 0, 0] = 0.0
         wps[:, 0, : psi_2b + 1] = 0.0
         wps[:, : psi_1b + 1, 0] = 0.0
     else:
-        # distance-only: band-relative buffers (cache-resident fast path)
-        return _dtw_batch_banded(X1, X2, s, window)
+        # keep_lastrow: O(r) rotating buffers only; the psi-end lastrow
+        # collector below (psi_2e == c for subsequence alignment) retains
+        # the full last row without the O(r·c) matrix
+        wps = None
 
     # Three rotating diagonal buffers laid out (r+1, B): the band slice
     # [lo:hi+1, :] of a diagonal is a CONTIGUOUS (band, B) slab, so each
@@ -443,6 +450,11 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
     # psi-end collectors
     lastcol = np.full((psi_1e + 1, B), INF) if psi_1e > 0 else None
     lastrow = np.full((psi_2e + 1, B), INF) if psi_2e > 0 else None
+    # full-last-row capture for keep_lastrow (independent of psi_2e)
+    rowcap = None
+    if keep_lastrow:
+        rowcap = np.full((c + 1, B), INF)
+        rowcap[0, :] = 0.0 if psi_1b >= r else (0.0 if r == 0 else INF)
     corner = np.full(B, INF)
 
     for t in range(2, r + c + 1):
@@ -503,6 +515,8 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
             J = t - r  # column index of the last-row cell on this diagonal
             if max(1, c - psi_2e) <= J <= c:
                 lastrow[J - (c - psi_2e), :] = cur[r, :]
+        if rowcap is not None and 1 <= t - r <= c:
+            rowcap[t - r, :] = cur[r, :]
         if t == r + c:
             corner = cur[r, :].copy()
         D2, D1 = D1, cur
@@ -521,6 +535,9 @@ def _dtw_batch_core(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
     if amd != INF:
         d = np.where(d > amd, INF, d)
     d = s.result(d)
+    if keep_lastrow and not keep_matrix:
+        # internal-domain full last row, shape (c+1, B)
+        return d, rowcap
     return d, wps
 
 
@@ -802,6 +819,64 @@ def warping_path(from_s, to_s, include_distance: bool = False,
     d, paths = warping_paths(from_s, to_s, settings=s)
     path = best_path(paths)
     if include_distance:
+        return path, d
+    return path
+
+
+def _acc_lastrow(s1: np.ndarray, s2: np.ndarray, s: DtwSettings) -> np.ndarray:
+    """Internal-domain accumulated costs of the last DP row (aligning all
+    of ``s1`` against every prefix of ``s2``) in O(len(s2)) memory."""
+    _, row = _dtw_batch_core(s1[None], s2[None], s, keep_lastrow=True)
+    return row[:, 0].copy()
+
+
+def warping_path_lowmem(from_s, to_s, include_distance: bool = False,
+                        settings: Optional[DtwSettings] = None, **kwargs):
+    """Hirschberg divide-and-conquer warping path in O(r + c) memory
+    (reference dtw.py warping path via full O(r·c) matrix; the C library
+    ships the low-memory variant, dd_dtw.c:3935-4430 — this is an
+    independent implementation of the classic Hirschberg split).
+
+    Forward last-row costs for the top half and backward (reversed)
+    last-row costs for the bottom half meet at the optimal crossing of
+    the middle row; recursion on both halves reconstructs the full path
+    with ~2× the DP work of the distance and no cost matrix.  Supports
+    ``penalty``; requires ``psi == 0`` and no window (the band is defined
+    relative to the full problem and does not decompose).
+    """
+    s = settings if settings is not None else DtwSettings(**kwargs)
+    if any(s.split_psi()) or s.window:
+        raise ValueError("warping_path_lowmem supports psi=0, window=None")
+    a = np.asarray(from_s, dtype=np.float64)
+    b = np.asarray(to_s, dtype=np.float64)
+    pen = s.adj_penalty
+
+    def rec(x: np.ndarray, y: np.ndarray, oi: int, oj: int, out: list):
+        r, c = len(x), len(y)
+        if r <= 2 or c <= 2 or (r + 1) * (c + 1) <= 4096:
+            _, wps = warping_paths(x, y, settings=s)
+            out.extend((pi + oi, pj + oj) for pi, pj in best_path(wps))
+            return
+        mid = r // 2
+        Fr = _acc_lastrow(x[:mid], y, s)
+        Rr = _acc_lastrow(x[mid:][::-1], y[::-1], s)
+        j_idx = np.arange(1, c)
+        diag_tot = Fr[1:c] + Rr[c - j_idx]
+        vert_tot = Fr[1: c + 1] + Rr[c - np.arange(1, c + 1) + 1] + pen
+        bd, bv = int(np.argmin(diag_tot)), int(np.argmin(vert_tot))
+        if diag_tot[bd] <= vert_tot[bv]:
+            j = bd + 1
+            rec(x[:mid], y[:j], oi, oj, out)
+            rec(x[mid:], y[j:], oi + mid, oj + j, out)
+        else:
+            j = bv + 1
+            rec(x[:mid], y[:j], oi, oj, out)
+            rec(x[mid:], y[j - 1:], oi + mid, oj + j - 1, out)
+
+    path: list = []
+    rec(a, b, 0, 0, path)
+    if include_distance:
+        d = dtw_distance(a, b, settings=s)
         return path, d
     return path
 

@@ -103,3 +103,61 @@ def best_match_value(query, series, penalty: float = 0.1, **kwargs) -> float:
     """Cheapest summary: min of the matching function (no traceback)."""
     sa = SubseqAlignment(query, series, penalty=penalty, **kwargs)
     return float(np.min(sa.matching))
+
+
+# --- batched / bounded fast paths (reference subsequencesearch.py:225-246:
+# LB prefilter + shrinking bound before the expensive alignment) ------------
+
+
+def matching_function_batch(query: np.ndarray, S: np.ndarray,
+                            penalty: float = 0.1) -> np.ndarray:
+    """Matching functions for a stack of equal-length series — last-row-only
+    DP, O(|Q|·B) memory instead of B full O(|Q|·m) matrices.
+
+    ``S``: (B, m).  Returns (B, m), bit-identical to
+    ``SubseqAlignment(query, S[b]).matching`` (same anti-diagonal core,
+    same arithmetic; only the matrix retention differs)."""
+    from .dtw import _dtw_batch_core
+
+    q = np.asarray(query, dtype=np.float64)
+    S = np.asarray(S, dtype=np.float64)
+    B, m = S.shape
+    st = DtwSettings(penalty=penalty, psi=(0, 0, m, m))
+    Q = np.broadcast_to(q, (B, len(q)))
+    _, lastrow = _dtw_batch_core(Q, S, st, keep_lastrow=True)
+    return np.sqrt(lastrow[1:, :B].T) / len(q)
+
+
+def matching_lb_batch(query: np.ndarray, S: np.ndarray) -> np.ndarray:
+    """Admissible lower bound on ``min(matching)`` per series: every query
+    point must align to SOME series point (order-free relaxation), so
+    Σ_i min_j (q_i − s_j)² lower-bounds the best path's squared cost
+    (penalty ≥ 0 only adds).  O(m log m) per series vs O(|Q|·m) DP."""
+    q = np.asarray(query, dtype=np.float64)
+    S = np.asarray(S, dtype=np.float64)
+    out = np.empty(len(S))
+    for b in range(len(S)):
+        sv = np.sort(S[b])
+        pos = np.searchsorted(sv, q).clip(1, len(sv) - 1)
+        d = np.minimum(np.abs(q - sv[pos - 1]), np.abs(q - sv[pos]))
+        out[b] = np.sqrt(np.sum(d * d))
+    return out / len(q)
+
+
+def matching_ub_batch(query: np.ndarray, S: np.ndarray,
+                      chunk: int = 64) -> np.ndarray:
+    """Upper bound on ``min(matching)``: best diagonal (euclidean sliding
+    window) alignment — an actual warping path, hence admissible."""
+    q = np.asarray(query, dtype=np.float64)
+    S = np.asarray(S, dtype=np.float64)
+    r = len(q)
+    if S.shape[1] < r:
+        # fewer columns than query points: fall back to the exact DP
+        return matching_function_batch(q, S).min(axis=1)
+    out = np.empty(len(S))
+    for s0 in range(0, len(S), chunk):
+        V = np.lib.stride_tricks.sliding_window_view(
+            S[s0:s0 + chunk], r, axis=1)
+        d2 = ((V - q) ** 2).sum(axis=2)
+        out[s0:s0 + chunk] = np.sqrt(d2.min(axis=1))
+    return out / len(q)

@@ -172,30 +172,144 @@ def kmeans_assign(series_df: DataFrame, centers: list[np.ndarray],
                     F.col("d").alias("dist_to_center")))
 
 
+def get_good_c(seqs: list, nb_initial_samples: int,
+               settings: Optional[DtwSettings] = None, seed: int = 42,
+               **kwargs) -> np.ndarray:
+    """Good DBA seed: among ``nb_initial_samples`` random candidates, the
+    one with minimal summed DTW distance to the other candidates
+    (reference dtw_barycenter.py:46-63 get_good_c)."""
+    from ..kernels.dtw import dtw_distance
+
+    st = settings if settings is not None else DtwSettings(**kwargs)
+    rng = np.random.default_rng(seed)
+    nb = min(nb_initial_samples, len(seqs))
+    pick = rng.choice(len(seqs), size=nb, replace=False)
+    cands = [np.asarray(seqs[p], dtype=np.float64) for p in pick]
+    d = np.zeros((nb, nb))
+    for a in range(nb):
+        for b in range(a + 1, nb):
+            d[a, b] = d[b, a] = dtw_distance(cands[a], cands[b], settings=st)
+    return cands[int(np.argmin(d.sum(axis=1)))]
+
+
+def kmeanspp_centers(spark, series_df: DataFrame, k: int,
+                     settings: DtwSettings, seed: int = 42,
+                     n_samples: Optional[int] = None) -> list:
+    """Distributed k-means++ seeding (Arthur & Vassilvitskii SODA'07;
+    reference clustering/kmeans.py:156-232 kmeansplusplus_centers).
+
+    The per-series nearest-center distance state lives in a DataFrame —
+    never collected — so seeding scales with the corpus: each round
+    draws ``n_samples`` candidates by weighted reservoir sampling
+    (Efraimidis-Spirakis key = u^(1/w) as order by log(u)/w), scores
+    every candidate's potential with one broadcast cross-distance pass,
+    and keeps the argmin."""
+    import math
+
+    if n_samples is None:
+        n_samples = max(1, 2 + int(math.log(k)))
+    first = series_df.orderBy(F.xxhash64(F.lit(seed), "i")).limit(1).toPandas()
+    centers = [np.asarray(first["values"].iloc[0], dtype=np.float64)]
+    cdf = spark.createDataFrame(
+        [(0, [float(x) for x in centers[0]])], "qi long, values array<double>")
+    md = (distance_matrix_cross(cdf.withColumnRenamed("qi", "i"), series_df,
+                                settings=settings)
+          .select("i", (F.col("d") * F.col("d")).alias("min_d2"))).persist()
+    for k_idx in range(1, k):
+        # weighted sample of candidate ids (weight = min_d2)
+        key = F.when(F.col("min_d2") > 0,
+                     F.log(F.rand(seed + k_idx)) / F.col("min_d2")) \
+               .otherwise(F.lit(float("-inf")))
+        cand_ids = (md.withColumn("wkey", key)
+                    .orderBy(F.desc("wkey")).limit(n_samples).select("i"))
+        cands = series_df.join(F.broadcast(cand_ids), "i") \
+            .select(F.col("i").alias("qi"), "values")
+        cand_pdf = cands.toPandas()
+        if len(cand_pdf) == 0:
+            break
+        cd = distance_matrix_cross(
+            cands.withColumnRenamed("qi", "i"), series_df, settings=settings)
+        scored = (cd.join(md, on="i")
+                  .withColumn("d2", F.least(F.col("d") * F.col("d"),
+                                            F.col("min_d2"))))
+        pots = (scored.groupBy("qi").agg(F.sum("d2").alias("pot"))
+                .orderBy(F.asc("pot"), F.asc("qi")).limit(1).toPandas())
+        best_qi = int(pots["qi"].iloc[0])
+        best_vals = cand_pdf[cand_pdf["qi"] == best_qi]["values"].iloc[0]
+        centers.append(np.asarray(best_vals, dtype=np.float64))
+        # eager localCheckpoint truncates the per-round join lineage
+        new_md = (scored.where(F.col("qi") == best_qi)
+                  .select("i", F.col("d2").alias("min_d2"))) \
+            .localCheckpoint(eager=True)
+        md.unpersist()
+        md = new_md
+    md.unpersist()
+    return centers
+
+
 def kmeans_dtw(spark, series_df: DataFrame, k: int, max_it: int = 10,
                settings: Optional[DtwSettings] = None, seed: int = 42,
-               dba_max_it: int = 5, **kwargs):
+               dba_max_it: int = 5, init: str = "kmeans++",
+               drop_stddev: Optional[float] = None, **kwargs):
     """Lloyd k-means with DBA centroid update (reference
     clustering/kmeans.py:241-420, multiprocessing pool → Spark jobs).
+
+    * ``init``: "kmeans++" (reference :156-232), "sample" (random sample +
+      ``get_good_c`` medoid pick per center, reference :135-150), or
+      "random" (plain random series).
+    * empty clusters are reseeded with the series currently farthest from
+      its center (reference :361-367).
+    * ``drop_stddev``: exclude members farther than mean + drop_stddev·σ
+      of their cluster's distances from the DBA update (reference
+      :327-345 monitor/trim logic).
 
     Returns (centers, assignment DataFrame (i, cluster, dist_to_center)).
     """
     st = settings if settings is not None else DtwSettings(**kwargs)
     st_json = st.to_json()
-    sample = series_df.orderBy("i").limit(max(4 * k, 64)).toPandas()
-    rng = np.random.default_rng(seed)
-    pick = rng.choice(len(sample), size=k, replace=False)
-    centers = [np.asarray(sample["values"].iloc[p], dtype=np.float64)
-               for p in pick]
+    series_df = series_df.persist()
+    if init == "kmeans++":
+        centers = kmeanspp_centers(spark, series_df, k, st, seed=seed)
+        while len(centers) < k:  # degenerate corpus: pad with copies
+            centers.append(centers[len(centers) % max(1, len(centers))])
+    else:
+        sample = series_df.orderBy("i").limit(max(4 * k, 64)).toPandas()
+        rng = np.random.default_rng(seed)
+        seqs = [np.asarray(v, dtype=np.float64) for v in sample["values"]]
+        if init == "sample":
+            centers = []
+            for ki in range(k):
+                centers.append(get_good_c(seqs, max(2, len(seqs) // k),
+                                          settings=st, seed=seed + ki))
+        else:
+            pick = rng.choice(len(seqs), size=k, replace=False)
+            centers = [seqs[p] for p in pick]
 
     assign = None
     for _ in range(max_it):
-        assign = kmeans_assign(series_df, centers, st, spark)
+        assign = kmeans_assign(series_df, centers, st, spark).persist()
+        # empty-cluster reseed: farthest-from-center series takes the slot
+        present = {int(r["cluster"]) for r in
+                   assign.select("cluster").distinct().collect()}
+        empties = [c for c in range(k) if c not in present]
+        if empties:
+            far = (assign.orderBy(F.desc("dist_to_center")).limit(len(empties))
+                   .join(series_df, on="i").toPandas())
+            for slot, row in zip(empties, far.itertuples(index=False)):
+                centers[slot] = np.asarray(row.values, dtype=np.float64)
+            assign.unpersist()
+            assign = kmeans_assign(series_df, centers, st, spark).persist()
         members = series_df.join(assign, on="i")
+        ds = float(drop_stddev) if drop_stddev is not None else -1.0
 
         def update(pdf: pd.DataFrame) -> pd.DataFrame:
             stt = DtwSettings.from_json(st_json)
             cl = int(pdf["cluster"].iloc[0])
+            if ds > 0 and len(pdf) > 2:
+                dist = pdf["dist_to_center"].to_numpy()
+                keep = dist <= dist.mean() + ds * dist.std()
+                if keep.any():
+                    pdf = pdf[keep]
             seqs = [np.asarray(v, dtype=np.float64) for v in pdf["values"]]
             c = seqs[0]
             for _ in range(dba_max_it):

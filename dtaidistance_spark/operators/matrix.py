@@ -41,9 +41,18 @@ from ..kernels.dtw import DtwSettings, dtw_distance_batch, lb_keogh_batch
 PAIR_SCHEMA = "i long, j long, d double"
 
 
+def _series_np(v) -> np.ndarray:
+    """Arrow→numpy for a series cell: 1-D array<double> or 2-D
+    array<array<double>> (ndim series arrive as object arrays of rows)."""
+    a = np.asarray(v)
+    if a.dtype == object:
+        a = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+    return a.astype(np.float64, copy=False)
+
+
 def with_index(series_df: DataFrame, order_col: str = "series_id",
                index_col: str = "i", num_partitions: Optional[int] = None,
-               persist: bool = True) -> DataFrame:
+               persist: bool = True, ordered: bool = True) -> DataFrame:
     """Assign dense 0-based indices by ``order_col`` ordering — two-pass
     per-partition offset scheme, no single-partition exchange.
 
@@ -54,14 +63,25 @@ def with_index(series_df: DataFrame, order_col: str = "series_id",
     Every stage is parallel; the only driver data is one count per
     partition.  (Replaces the round-1 global ``row_number()`` that
     serialized the whole corpus through one task.)
+
+    ``ordered=False`` skips the range exchange and sort entirely and
+    indexes rows in the input's existing partition layout — still dense
+    and stable for a deterministic upstream plan, but in no particular
+    ``order_col`` order.  Use it when the index only needs to be a dense
+    handle (e.g. symmetric all-pairs jobs that join names back at the
+    end): it removes the range-partitioner sampling pass (which re-executes
+    the upstream plan) and the sort.
     """
     spark = series_df.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
-    part = (series_df
-            .repartitionByRange(num_partitions, F.col(order_col))
-            .sortWithinPartitions(order_col)
-            .withColumn("__pid", F.spark_partition_id()))
+    if ordered:
+        part = (series_df
+                .repartitionByRange(num_partitions, F.col(order_col))
+                .sortWithinPartitions(order_col)
+                .withColumn("__pid", F.spark_partition_id()))
+    else:
+        part = series_df.withColumn("__pid", F.spark_partition_id())
     if persist:
         part = part.persist()
     counts = {r["__pid"]: r["cnt"] for r in
@@ -243,7 +263,7 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
         vals = {}
         for r in pdf.itertuples(index=False):
             if r.i not in vals:
-                vals[r.i] = np.asarray(r.values, dtype=np.float64)
+                vals[r.i] = _series_np(r.values)
         li = np.sort(rows_l["i"].unique())
         rj = np.sort(rows_r["i"].unique())
         ii, jj = np.meshgrid(li, rj, indexing="ij")
@@ -286,7 +306,7 @@ def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
     series ids."""
     spark = src.sparkSession
     pdf = src.toPandas()
-    vals = {int(i): np.asarray(v, dtype=np.float64)
+    vals = {int(i): _series_np(v)
             for i, v in zip(pdf["i"], pdf["values"])}
     ids = np.array(sorted(vals), dtype=np.int64)
     bc = spark.sparkContext.broadcast(vals)
@@ -335,6 +355,57 @@ def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
     return rdf.mapInPandas(compute, schema=PAIR_SCHEMA)
 
 
+def distance_matrix_weighted(series_df: DataFrame, window: Optional[int] = None,
+                             index_col: str = "i", values_col: str = "values",
+                             weights_col: str = "weights") -> DataFrame:
+    """All-pairs *weighted* DTW (reference dtw_weighted.py:121-152
+    distance_matrix): per-point 8-knot weight profiles reshape the local
+    difference of the row series.  Work is distributed as pair-range
+    tasks over a broadcast corpus (weights live beside the values); the
+    per-pair kernel is kernels/extras.weighted_warping_paths.  Like the
+    reference (triu only, matrix[i,j] uses weights[i]), the output is
+    asymmetric in principle and only i<j pairs are produced."""
+    from ..kernels.extras import weighted_warping_paths
+
+    spark = series_df.sparkSession
+    pdf = (series_df.select(F.col(index_col).cast("long").alias("i"),
+                            values_col, weights_col).toPandas())
+    vals = {int(r.i): np.asarray(r[1], dtype=np.float64)
+            for r in pdf.itertuples(index=False)}
+    wts = {int(r.i): (None if r[2] is None else np.asarray(
+        [list(x) for x in r[2]], dtype=np.float64))
+        for r in pdf.itertuples(index=False)}
+    ids = np.array(sorted(vals), dtype=np.int64)
+    n = len(ids)
+    bc_v = spark.sparkContext.broadcast(vals)
+    bc_w = spark.sparkContext.broadcast(wts)
+    par = spark.sparkContext.defaultParallelism
+    n_pairs = n * (n - 1) // 2
+    if n_pairs == 0:
+        return spark.createDataFrame([], PAIR_SCHEMA)
+    bounds = np.linspace(0, n_pairs, min(max(par * 4, 8), n_pairs) + 1,
+                         dtype=np.int64)
+    ranges = [(int(bounds[k]), int(bounds[k + 1]))
+              for k in range(len(bounds) - 1) if bounds[k] < bounds[k + 1]]
+    rdf = spark.createDataFrame(ranges, "lo long, hi long") \
+        .repartition(len(ranges))
+    win = window
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v, w = bc_v.value, bc_w.value
+        for pdf_ in batches:
+            for row in pdf_.itertuples(index=False):
+                p = np.arange(row.lo, row.hi, dtype=np.int64)
+                ri, rj = _triu_unrank(p, n)
+                out = [weighted_warping_paths(v[ids[a]], v[ids[b]],
+                                              weights=w[ids[a]],
+                                              window=win)[0]
+                       for a, b in zip(ri, rj)]
+                yield pd.DataFrame({"i": ids[ri], "j": ids[rj], "d": out})
+
+    return rdf.mapInPandas(compute, schema=PAIR_SCHEMA)
+
+
 def distance_matrix_cross(query_df: DataFrame, corpus_df: DataFrame,
                           settings: Optional[DtwSettings] = None,
                           index_col: str = "i", values_col: str = "values",
@@ -356,8 +427,8 @@ def distance_matrix_cross(query_df: DataFrame, corpus_df: DataFrame,
             vals = {}
             out_q, out_c, out_d = [], [], []
             byshape = {}
-            arrs_c = [np.asarray(v, dtype=np.float64) for v in pdf["values"]]
-            arrs_q = [np.asarray(v, dtype=np.float64) for v in pdf["qvalues"]]
+            arrs_c = [_series_np(v) for v in pdf["values"]]
+            arrs_q = [_series_np(v) for v in pdf["qvalues"]]
             for k in range(len(pdf)):
                 byshape.setdefault((len(arrs_q[k]), len(arrs_c[k])), []).append(k)
             for (l1, l2), idxs in byshape.items():

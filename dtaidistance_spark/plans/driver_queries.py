@@ -329,23 +329,32 @@ def q_linkage_tree(spark, sf_dir):
 
 
 def q_loco_matches(spark, sf_dir):
-    from ..kernels.loco import LocalConcurrences
+    """LocalConcurrences per series, distributed: each series is scored
+    inside ``mapInPandas`` (round 1 looped on the driver via toPandas)."""
     import pandas as pd
+    from typing import Iterator
 
-    arrays = hourly_series(spark, sf_dir).orderBy(F.desc("n"), "series_id") \
-        .limit(4).toPandas()
-    rows = []
-    for r in arrays.itertuples(index=False):
+    corpus = hourly_series(spark, sf_dir).orderBy(F.desc("n"), "series_id") \
+        .limit(4)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
-        s = np.asarray(r.values, dtype=np.float64)[:256]
-        lc = LocalConcurrences(s)
-        lc.estimate_settings_from_ssm(rho=0.8)
-        for m in lc.kbest_matches(k=3, minlen=5, buffer=3):
-            rows.append((r.series_id, m["row"], m["col"],
-                         round(m["value"], 6), len(m["path"])))
-    return spark.createDataFrame(
-        rows or [("none", -1, -1, 0.0, 0)],
-        "series_id string, row int, col int, value double, path_len int")
+        from ..kernels.loco import LocalConcurrences
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s = np.asarray(r.values, dtype=np.float64)[:256]
+                lc = LocalConcurrences(s)
+                lc.estimate_settings_from_ssm(rho=0.8)
+                for m in lc.kbest_matches(k=3, minlen=5, buffer=3):
+                    rows.append((r.series_id, m["row"], m["col"],
+                                 round(m["value"], 6), len(m["path"])))
+            yield pd.DataFrame(rows, columns=["series_id", "row", "col",
+                                              "value", "path_len"])
+
+    return corpus.mapInPandas(
+        run, schema="series_id string, row int, col int, value double, "
+                    "path_len int")
 
 
 def q_symbolize(spark, sf_dir):
@@ -442,6 +451,84 @@ def q_ann_lsh_topk(spark, sf_dir):
     return ANN.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
 
 
+def q_embedding_neardup_lsh(spark, sf_dir):
+    return DD.embedding_neardup_lsh(_emb(spark, sf_dir), dim=64,
+                                    threshold=0.2, n_planes=4)
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters: shingle-Jaccard pairs → transitive closure →
+    (doc_id, cluster_id = min reachable doc id)."""
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.05)
+    return DD.connected_components(pairs)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return DD.simhash_neighbor_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_nw_align(spark, sf_dir):
+    """Needleman-Wunsch scores of a fixed event-type pattern against every
+    user's symbolic event sequence (distributed alignment surface for the
+    reference's alignment.py kernel; kernel itself is ref-oracled in
+    pytest — NW is not SQL-expressible → rows-only)."""
+    from ..operators.align import event_type_sequences, nw_align_series
+
+    seqs = event_type_sequences(_events(spark, sf_dir), max_len=48)
+    pattern = ["view", "click", "purchase", "view", "click"]
+    out = nw_align_series(seqs, pattern)
+    return out.select("series_id", F.round("nw_value", 6).alias("nw_value"))
+
+
+def q_edit_distance(spark, sf_dir):
+    """Levenshtein distance of each document prefix to a fixed probe
+    string, computed with the generic DP engine (kernels/dp.py — the
+    reference's dp.dp specialized to unit edit costs).  DuckDB's
+    levenshtein() is the value-level oracle."""
+    from typing import Iterator
+    import pandas as pd
+    from ..kernels.dp import dp
+
+    probe = "the quick brown fox jumps"
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.substring(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                     "\\s+", " "), 1, 40).alias("prefix"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = lambda a, b: ((0.0 if a == b else 1.0), 1.0)
+        border = lambda ri, ci: float(ri + ci)
+        rows = []
+        for pdf in batches:
+            rows = []
+            for did, pref in zip(pdf["doc_id"], pdf["prefix"]):
+                d, _, _ = dp(probe, pref, fn, border=border)
+                rows.append((did, int(d)))
+            yield pd.DataFrame(rows, columns=["doc_id", "edit_dist"])
+
+    return docs.mapInPandas(compute, schema="doc_id long, edit_dist int")
+
+
+def q_dtw_ndim_matrix(spark, sf_dir):
+    """Multivariate DTW matrix: 2-dim series (hourly event count, hourly
+    value sum) per user — reference dtw_ndim.py:43-94 semantics (summed
+    per-dim squared differences inside one DP)."""
+    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    filled = R.gap_fill(agg1h, "1h", policy="zero", align="global")
+    cnt_arr = R.series_arrays(filled, "1h", value_col="cnt")
+    sum_arr = R.series_arrays(filled, "1h", value_col="sum") \
+        .select("series_id", F.col("values").alias("values2"))
+    nd = (cnt_arr.join(sum_arr, "series_id")
+          .where(F.col("n") >= 24)
+          .select("series_id",
+                  F.zip_with("values", "values2",
+                             lambda a, b: F.array(a, b)).alias("values")))
+    series = with_index(nd, order_col="series_id")
+    dist = distance_matrix(series.where(F.col("i") < 64),
+                           settings=DtwSettings(window=24))
+    return dist.select("i", "j", F.round("d", 6).alias("d"))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, ANSI core)
 # ---------------------------------------------------------------------------
@@ -458,6 +545,57 @@ def _cos_sql(a: str, b: str) -> str:
     na = f"sqrt(list_sum(list_apply(range(1, 65), i -> {a}[i] * {a}[i])))"
     nb = f"sqrt(list_sum(list_apply(range(1, 65), i -> {b}[i] * {b}[i])))"
     return f"{dot} / ({na} * {nb})"
+
+
+# md5-derived 60-bit hash twin of operators/dedup.py:_md5_long
+def _md5_long_sql(x: str) -> str:
+    return f"CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _bucket_sql(vec: str, planes) -> str:
+    """LSH hyperplane bucket twin of operators/ann.py:lsh_bucket —
+    Σ 2^p · [dot(vec, plane_p) ≥ 0], planes inlined as DOUBLE literals."""
+    terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(float(v)) for v in plane)
+        dot = (f"list_sum(list_apply(range(1, {len(plane) + 1}), "
+               f"i -> {vec}[i] * (CAST([{lits}] AS DOUBLE[]))[i]))")
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _simhash_sql(n_bits: int = 15) -> str:
+    """CTE computing (doc_id, simhash) — twin of dedup.simhash64."""
+    hs = _md5_long_sql("s")
+    bit_terms = []
+    for b in range(n_bits):
+        vote = (f"list_sum(list_apply(hs, h -> CASE WHEN (h >> {b * 4}) & 1 "
+                f"= 1 THEN 1 ELSE -1 END))")
+        bit_terms.append(f"(CASE WHEN {vote} > 0 THEN {2 ** b} ELSE 0 END)")
+    return f"""
+        simt AS (
+          SELECT doc_id,
+                 list_apply(list_distinct({_TOKS}), s -> {hs}) AS hs
+          FROM documents),
+        sim AS (
+          SELECT doc_id,
+                 CAST({' + '.join(bit_terms)} AS BIGINT) AS simhash
+          FROM simt)
+    """
+
+
+def _minhash_sig_sql(n_hashes: int = 16) -> str:
+    """CTE computing (doc_id, sig LIST(BIGINT)) — twin of
+    dedup.minhash_signature (md5-derived mins over shingles)."""
+    mins = ", ".join(
+        "list_min(list_apply(shs, s -> "
+        + _md5_long_sql(f"'{i}:' || s") + "))"
+        for i in range(n_hashes))
+    return f"""
+        shx AS (SELECT doc_id, {_SHINGLES} AS shs
+                FROM (SELECT doc_id, {_TOKS} AS l FROM documents)),
+        sigs AS (SELECT doc_id, [{mins}] AS sig FROM shx)
+    """
 
 
 ORACLES: dict[str, str] = {
@@ -726,3 +864,118 @@ ORACLES: dict[str, str] = {
         QUALIFY rank <= 5
     """,
 }
+
+
+ORACLES["edit_distance"] = """
+    SELECT doc_id,
+           CAST(levenshtein(
+               substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      1, 40),
+               'the quick brown fox jumps') AS INT) AS edit_dist
+    FROM documents
+"""
+
+
+def _register_generated_oracles():
+    """Oracles whose SQL is generated (hash families, plane literals)."""
+    from ..operators.ann import _planes
+
+    ORACLES["simhash"] = f"""
+        WITH {_simhash_sql(15)}
+        SELECT doc_id, simhash FROM sim
+    """
+
+    # simhash hamming-neighbor pairs: 4 pigeonhole chunks of the 15 bits
+    n_bits, max_h = 15, 3
+    n_chunks = max_h + 1
+    base = n_bits // n_chunks
+    sizes = [base + (1 if c < n_bits % n_chunks else 0)
+             for c in range(n_chunks)]
+    offs = [sum(sizes[:c]) for c in range(n_chunks)]
+    chunk_sel = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash >> {offs[c]}) & {(1 << sizes[c]) - 1} AS cval FROM sim"
+        for c in range(n_chunks))
+    ORACLES["simhash_pairs"] = f"""
+        WITH {_simhash_sql(15)},
+        banded AS ({chunk_sel}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM banded a JOIN banded b
+            ON a.chunk = b.chunk AND a.cval = b.cval
+           AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        FROM cands WHERE hamming <= {max_h}
+    """
+
+    # minhash LSH pairs: md5-derived signatures, banded bucket join
+    n_hashes, bands = 16, 4
+    rpb = n_hashes // bands
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {b} AS band, md5(concat_ws(','"
+        + "".join(f", CAST(sig[{b * rpb + r + 1}] AS VARCHAR)"
+                  for r in range(rpb))
+        + ")) AS bkey FROM sigs"
+        for b in range(bands))
+    eq_cnt = ("list_sum(list_apply(range(1, 17), "
+              "i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))")
+    ORACLES["minhash_lsh"] = f"""
+        WITH {_minhash_sig_sql(16)},
+        banded AS ({band_sel}),
+        cands AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.sig AS sa, b.sig AS sb
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bkey = b.bkey
+           AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b,
+               round({eq_cnt} / 16.0, 6) AS jaccard_est
+        FROM cands
+        WHERE {eq_cnt} / 16.0 >= 0.2
+    """
+
+    # ANN via LSH buckets (6 deterministic planes, dim 64)
+    b6 = _bucket_sql("v", _planes(64, 6))
+    ORACLES["ann_lsh_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bkt AS (SELECT vec_id, v, {b6} AS bucket FROM e),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+                 round({_cos_sql('q.v', 'c.v')}, 6) AS cosine
+          FROM bkt c JOIN bkt q ON c.bucket = q.bucket
+          WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+        SELECT query_id, nn_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nn_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+    # embedding near-dup through LSH buckets (4 planes)
+    b4 = _bucket_sql("v", _planes(64, 4))
+    ORACLES["embedding_neardup_lsh"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        bkt AS (SELECT vec_id, v, {b4} AS bucket FROM e)
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_cos_sql('a.v', 'b.v')}, 6) AS cosine
+        FROM bkt a JOIN bkt b ON a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id
+          AND {_cos_sql('a.v', 'b.v')} >= 0.2
+    """
+
+    # connected components of the ngram-jaccard dup graph
+    ngram = ORACLES["ngram_jaccard"]
+    ORACLES["dedup_clusters"] = f"""
+        WITH RECURSIVE pairs AS ({ngram}),
+        edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach(n, m) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+          UNION
+          SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n)
+        SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+    """
+
+
+_register_generated_oracles()

@@ -59,14 +59,16 @@ n_points = agg1m.count() + agg1h.count() + agg1d.count()
 # pre-select the DTW subset BEFORE gap-fill/array building: the global
 # grid is O(n_series × span) rows, so build it only for the series that
 # will be compared
-n_series_target = int(os.environ.get("SCALING_SERIES", "2048"))
+n_series_target = int(os.environ.get("SCALING_SERIES", "4096"))
 tr_agg = agg1h.where(F.col("series_id").endswith(":turn_rate"))
 sids = (tr_agg.select("series_id").distinct()
         .orderBy("series_id").limit(n_series_target))
 filled = R.gap_fill(tr_agg.join(F.broadcast(sids), "series_id"),
                     "1h", policy="zero", align="global")
 arrays = R.series_arrays(filled, "1h", value_col="cnt")
-series = with_index(arrays, order_col="series_id")
+# ordered=False: all-pairs DTW is symmetric in the index, so skip the
+# range-exchange sampling pass + sort — the index is a dense handle
+series = with_index(arrays, order_col="series_id", ordered=False)
 t_dtw0 = time.time()
 dist = distance_matrix(series, settings=DtwSettings(window=24), chunk_size=64)
 dist.write.format("noop").mode("overwrite").save()
@@ -122,7 +124,7 @@ def run_at(cores: int, src: str) -> dict:
 
 
 def main():
-    n_convs = int(os.environ.get("SCALING_CONVS", "4000"))
+    n_convs = int(os.environ.get("SCALING_CONVS", "200000"))
     max_turns = int(os.environ.get("SCALING_MAX_TURNS", "2000"))
     src = os.environ.get("SCALING_INPUT")
     if not src:
@@ -134,18 +136,18 @@ def main():
     levels = [int(x) for x in
               os.environ.get("SCALING_LEVELS", "4,8,16,32").split(",")]
     results = {}
-    for cores in levels:
-        best = None
-        for rep in range(repeats):
+    # interleave reps across levels (4,16,4,16,…): this virtualized host
+    # drifts minute-to-minute (observed 2× swings between identical
+    # runs), so adjacent legs see similar conditions; best-of-N per leg
+    # then compares compute capacity, not neighbor noise
+    for rep in range(repeats):
+        for cores in levels:
             print(f"running at local[{cores}] (rep {rep}) ...", flush=True)
             r = run_at(cores, src)
             print(json.dumps(r), flush=True)
+            best = results.get(cores)
             if best is None or r["t_total"] < best["t_total"]:
-                best = r
-        # best-of-N per leg: the sandbox host shows multi-second
-        # run-to-run noise (page-cache effects); minima compare the
-        # compute capacity at each parallelism level
-        results[cores] = best
+                results[cores] = r
 
     n_head = int(os.environ.get("SCALING_N", "4"))
     rN, r4N = results[n_head], results[4 * n_head]
