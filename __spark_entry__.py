@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": DQ.q_embedding_neardup_lsh,
         "ann_brute_topk": DQ.q_ann_brute_topk,
         "ann_lsh_topk": DQ.q_ann_lsh_topk,
+        "ann_ivf_topk": DQ.q_ann_ivf_topk,
     }
 
 

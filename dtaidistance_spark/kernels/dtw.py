@@ -59,7 +59,11 @@ __all__ = [
     "dtw_distance_batch",
     "warping_paths",
     "best_path",
+    "best_path2",
+    "best_path_prob",
     "warping_path",
+    "warping_path_prob",
+    "warping_path_lowmem",
     "warp",
     "warping_amount",
     "dba_update",
@@ -812,6 +816,89 @@ def best_path(paths: np.ndarray, row=None, col=None, penalty: float = 0.0):
     return p
 
 
+def best_path2(paths: np.ndarray):
+    """Value-following traceback (reference dtw.py:1164-1190): step to
+    the neighbor with the smallest accumulated value, scanning diag →
+    up → left with ``<=`` so later candidates win ties — a different
+    tie order than :func:`best_path`'s penalty-aware argmin."""
+    r = paths.shape[0] - 1
+    c = paths.shape[1] - 1
+    path = []
+    v = paths[r, c]
+    if v != -1:
+        path.append((r - 1, c - 1))
+    while r > 0 and c > 0:
+        if v == -1:
+            v = INF
+        r_c, c_c = r, c
+        if r >= 1 and c >= 1 and paths[r - 1, c - 1] <= v:
+            r_c, c_c, v = r - 1, c - 1, paths[r - 1, c - 1]
+        if r >= 1 and paths[r - 1, c] <= v:
+            r_c, c_c, v = r - 1, c, paths[r - 1, c]
+        if c >= 1 and paths[r, c - 1] <= v:
+            r_c, c_c, v = r, c - 1, paths[r, c - 1]
+        if v != -1:
+            path.append((r_c - 1, c_c - 1))
+        r, c = r_c, c_c
+    path.pop()
+    path.reverse()
+    return path
+
+
+def best_path_prob(paths: np.ndarray, avg: float, rng: np.random.Generator,
+                   penalty: float = 0.0):
+    """Probabilistic traceback (reference dd_dtw.c:3759-3960
+    dtw_best_path_prob): at each cell the step is sampled with
+    probability ∝ 1/(avg + min_diff − Δ_k), Δ_k = cell − neighbor_k, so
+    cheaper predecessors are proportionally likelier.  Deviation: the C
+    path draws (rand()%1000)/1000 from the global C RNG; this uses a
+    seeded numpy Generator (same distribution, reproducible here)."""
+    if avg == 0.0:
+        avg = 1.0
+    i = paths.shape[0] - 1
+    j = paths.shape[1] - 1
+    p = []
+    if paths[i, j] != -1:
+        p.append((i - 1, j - 1))
+    while i > 0 and j > 0:
+        prev = paths[i, j]
+        d0 = prev - paths[i - 1, j - 1]          # diagonal
+        d1 = prev - paths[i, j - 1] - penalty    # left
+        d2 = prev - paths[i - 1, j] - penalty    # up
+        min_diff = max(d0, d1, d2, 0.0)
+        p0 = 1.0 / (avg + min_diff - d0)
+        p1 = 1.0 / (avg + min_diff - d1)
+        p2 = 1.0 / (avg + min_diff - d2)
+        s = p0 + p1 + p2
+        rnum = rng.integers(0, 1000) / 1000.0
+        if rnum < p0 / s:
+            i, j = i - 1, j - 1
+        elif rnum < (p0 + p1) / s:
+            j -= 1
+        else:
+            i -= 1
+        if paths[i, j] != -1:
+            p.append((i - 1, j - 1))
+    p.pop()
+    p.reverse()
+    return p
+
+
+def warping_path_prob(from_s, to_s, avg: float, seed: int = 42,
+                      include_distance: bool = False,
+                      settings: Optional[DtwSettings] = None, **kwargs):
+    """Probabilistically sampled warping path (reference dtw.py:1041-1048,
+    C-only there; numpy-RNG port of dd_dtw.c:3759) — used by DBA to
+    spread the barycenter update across near-optimal alignments."""
+    s = settings if settings is not None else DtwSettings(**kwargs)
+    d, paths = warping_paths(from_s, to_s, keep_int_repr=True, settings=s)
+    rng = np.random.default_rng(seed)
+    path = best_path_prob(paths, avg, rng, penalty=s.adj_penalty)
+    if include_distance:
+        return path, d
+    return path
+
+
 def warping_path(from_s, to_s, include_distance: bool = False,
                  settings: Optional[DtwSettings] = None, **kwargs):
     """Warping path between two sequences (reference dtw.py:975-990)."""
@@ -914,34 +1001,58 @@ def warp(from_s, to_s, path=None, settings: Optional[DtwSettings] = None, **kwar
 
 
 def dba_update(series: Sequence[np.ndarray], c: np.ndarray,
-               settings: Optional[DtwSettings] = None, **kwargs) -> np.ndarray:
+               settings: Optional[DtwSettings] = None,
+               nb_prob_samples: int = 0, seed: int = 42,
+               **kwargs) -> np.ndarray:
     """One DBA update step (reference dtw_barycenter.py:208-243): align
     every series to the center ``c``, bucket aligned values per center
-    index, and average each bucket."""
+    index, and average each bucket.
+
+    ``nb_prob_samples > 0`` additionally buckets that many
+    probabilistically sampled near-optimal paths per series (reference
+    C-only feature, dd_dtw.c:5491-5600; numpy-RNG port — the reference
+    Python raises for it)."""
     s = settings if settings is not None else DtwSettings(**kwargs)
     c = np.asarray(c, dtype=np.float64)
     t = len(c)
     sums = np.zeros(t)
     counts = np.zeros(t)
+    rng = np.random.default_rng(seed)
     for seq in series:
         seq = np.asarray(seq, dtype=np.float64)
-        path = warping_path(c, seq, settings=s)
-        for i, j in path:
-            sums[i] += seq[j]
-            counts[i] += 1
+        if nb_prob_samples <= 0:
+            paths = [warping_path(c, seq, settings=s)]
+        else:
+            d, wps = warping_paths(c, seq, keep_int_repr=True, settings=s)
+            avg = (d * d) / max(len(c), 1)
+            paths = [best_path_prob(wps, avg, rng, penalty=s.adj_penalty)
+                     for _ in range(nb_prob_samples)]
+        for path in paths:
+            for i, j in path:
+                sums[i] += seq[j]
+                counts[i] += 1
     counts[counts == 0] = 1
     return sums / counts
 
 
 def dba_loop(series: Sequence[np.ndarray], c: Optional[np.ndarray] = None,
              max_it: int = 10, thr: float = 0.001,
-             settings: Optional[DtwSettings] = None, **kwargs) -> np.ndarray:
-    """Iterate DBA to convergence (reference dtw_barycenter.py:66-165)."""
+             settings: Optional[DtwSettings] = None,
+             nb_initial_samples: Optional[int] = None,
+             nb_prob_samples: int = 0, **kwargs) -> np.ndarray:
+    """Iterate DBA to convergence (reference dtw_barycenter.py:66-165).
+    ``nb_initial_samples`` seeds with get_good_c (reference :46-63);
+    ``nb_prob_samples`` enables probabilistic path sampling per update."""
     s = settings if settings is not None else DtwSettings(**kwargs)
     if c is None:
-        c = np.asarray(series[0], dtype=np.float64)
+        if nb_initial_samples:
+            from ..operators.cluster import get_good_c
+            c = get_good_c(list(series), nb_initial_samples, settings=s)
+        else:
+            c = np.asarray(series[0], dtype=np.float64)
     for _ in range(max_it):
-        new_c = dba_update(series, c, settings=s)
+        new_c = dba_update(series, c, settings=s,
+                           nb_prob_samples=nb_prob_samples)
         if len(new_c) == len(c):
             diff = float(np.mean(np.abs(new_c - c)))
         else:

@@ -95,7 +95,9 @@ def search_topk(corpus: DataFrame, query: np.ndarray, k: int = 5,
         scored = score_series(corpus, query, penalty=penalty)
         return scored.orderBy(F.asc("match_value"), F.asc("series_id")).limit(k)
     corpus = corpus.persist()
-    bounds = score_bounds(corpus, query)
+    # bounds feed two consumers (τ and the survivor filter) — persist so
+    # the prefilter pass runs once
+    bounds = score_bounds(corpus, query).persist()
     tau = (bounds.orderBy(F.asc("ub")).limit(k)
            .agg(F.max("ub").alias("tau")))
     keep = (bounds.crossJoin(F.broadcast(tau))

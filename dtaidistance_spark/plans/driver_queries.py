@@ -296,7 +296,7 @@ def q_subsequence_matches(spark, sf_dir):
     from ..operators.subsequence import kbest_matches_df
     import numpy as np
 
-    corpus = hourly_series(spark, sf_dir).limit(20)
+    corpus = hourly_series(spark, sf_dir).orderBy("series_id").limit(20)
     query = np.concatenate([np.zeros(4), np.ones(8) * 2, np.zeros(4)])
     return kbest_matches_df(corpus, query, k=2, minlength=4)
 
@@ -363,7 +363,7 @@ def q_symbolize(spark, sf_dir):
     import pandas as pd
     from typing import Iterator
 
-    corpus = hourly_series(spark, sf_dir).limit(16)
+    corpus = hourly_series(spark, sf_dir).orderBy("series_id").limit(16)
     codebook = [list(np.concatenate([np.zeros(4), np.ones(6) * 2, np.zeros(4)])),
                 list(np.linspace(0.0, 3.0, 12))]
 
@@ -449,6 +449,17 @@ def q_ann_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
     return ANN.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic coarse quantizer (md5-seeded numpy k-means
+    on the vec_id-ordered sample) → inverted lists → nprobe probing →
+    exact re-rank.  Centroids are deterministic, so the whole plan has a
+    SQL twin with inlined centroid literals."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    cents = ANN.train_ivf_centroids(emb, n_centroids=8)
+    return ANN.ivf_topk(emb, queries, k=5, nprobe=3, centroids=cents)
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
@@ -963,6 +974,72 @@ def _register_generated_oracles():
         WHERE a.vec_id < b.vec_id
           AND {_cos_sql('a.v', 'b.v')} >= 0.2
     """
+
+    # IVF ANN: centroids are a deterministic function of the sf0.01
+    # embeddings (vec_id-ordered sample + md5-seeded numpy k-means), so
+    # the oracle re-derives them with pyarrow (no Spark) and inlines
+    # them; the driver's gate runs at sf0.01.  Skipped (rows-only
+    # fallback) if the testdata is not readable at import time.
+    try:
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        _t = _pq.read_table("/root/testdata/sf0.01/embeddings.parquet",
+                            columns=["vec_id", "embedding"]).to_pandas()
+        _t = _t.sort_values("vec_id").head(2048)
+        _X = _np.stack([_np.asarray(v, dtype=_np.float64)
+                        for v in _t["embedding"]])
+        # numpy twin of operators/ann.py::train_ivf_centroids on _X
+        import hashlib as _hl
+        _Xn = _X / _np.linalg.norm(_X, axis=1, keepdims=True)
+        _idx, _ctr = [], 0
+        while len(_idx) < 8:
+            _h = _hl.md5(f"ivf:{_ctr}".encode()).digest()
+            _cand = int.from_bytes(_h[:4], "big") % len(_Xn)
+            if _cand not in _idx:
+                _idx.append(_cand)
+            _ctr += 1
+        _C = _Xn[_idx].copy()
+        for _ in range(10):
+            _assign = _np.argmax(_Xn @ _C.T, axis=1)
+            for _c in range(8):
+                _m = _assign == _c
+                if _m.any():
+                    _v = _Xn[_m].mean(axis=0)
+                    _n = _np.linalg.norm(_v)
+                    if _n > 0:
+                        _C[_c] = _v / _n
+        cent_rows = ",\n          ".join(
+            f"({ci}, CAST([{', '.join(repr(float(x)) for x in _C[ci])}] "
+            f"AS DOUBLE[]))" for ci in range(len(_C)))
+        _dot = "list_sum(list_apply(range(1, 65), i -> e.v[i] * c.cv[i]))"
+        _nrm = "sqrt(list_sum(list_apply(range(1, 65), i -> e.v[i] * e.v[i])))"
+        ORACLES["ann_ivf_topk"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(cid, cv) AS (VALUES {cent_rows}),
+        scored AS (
+          SELECT e.vec_id, e.v, c.cid, {_dot} / {_nrm} AS score
+          FROM e CROSS JOIN cents c),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY score DESC, cid DESC) AS rn
+          FROM scored),
+        corp AS (SELECT vec_id AS nn_id, v AS vc, cid FROM ranked WHERE rn <= 1),
+        qry AS (SELECT vec_id AS query_id, v AS vq, cid FROM ranked
+                WHERE rn <= 3 AND vec_id < 5),
+        cand AS (
+          SELECT DISTINCT query_id, nn_id,
+                 round({_cos_sql('vq', 'vc')}, 6) AS cosine
+          FROM corp JOIN qry USING (cid)
+          WHERE query_id != nn_id)
+        SELECT query_id, nn_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, nn_id ASC) AS rank
+        FROM cand
+        QUALIFY rank <= 5
+        """
+    except Exception:
+        pass  # testdata absent → ann_ivf_topk stays rows-only
 
     # connected components of the ngram-jaccard dup graph
     ngram = ORACLES["ngram_jaccard"]

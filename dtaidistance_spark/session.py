@@ -36,9 +36,14 @@ def get_spark(app_name: str = "dtaidistance_spark", cores: int | None = None,
         # throughput GC: G1 measured 6× slower than ParallelGC on this
         # host at 32-way task concurrency (174.7s vs 27.3s for the same
         # 35M-row rollup job); batch-analytics workloads prefer
-        # throughput collectors anyway
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # throughput collectors anyway.  GC threads are pinned to the
+        # requested core count — the JVM default (~23 on a 32-CPU host)
+        # would let a local[4] "cluster slice" borrow extra cores during
+        # GC bursts, which skews N-vs-4N scaling legs
+        .config("spark.driver.extraJavaOptions",
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cores)}")
+        .config("spark.executor.extraJavaOptions",
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cores)}")
     )
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 cores = int(sys.argv[1])
 src = sys.argv[2]
 spark = get_spark(app_name=f"scaling-{{cores}}", cores=cores,
-                  shuffle_partitions=max(8, cores))
+                  shuffle_partitions=4 * cores)
 tr = spark.read.parquet(src)
 
 t0 = time.time()

@@ -128,3 +128,59 @@ class TestStreaming:
         wm_cutoff = batch["bucket_ts"].max() - np.timedelta64(11, "m")
         closed = batch[batch["bucket_ts"] < wm_cutoff]
         assert len(got) >= len(closed)
+
+    def test_stateful_sessionize_matches_batch(self, spark, tmp_path):
+        """applyInPandasWithState sessionizer vs the batch window-cumsum
+        sessionization, on the safely-closed subset."""
+        from dtaidistance_spark.streaming.sessionize_stream import (
+            stream_sessionize)
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        tr = synth_transcripts(spark, n_convs=8, seed=5, max_turns=80)
+        pts = transcript_points(tr, kinds=("turn_rate",)) \
+            .select("series_id", "ts", "value")
+        src_dir = str(tmp_path / "sess_src")
+        pts.write.parquet(src_dir)
+        out_dir = str(tmp_path / "sess_out")
+        ck_dir = str(tmp_path / "sess_ck")
+        src = spark.readStream.schema(
+            "series_id string, ts timestamp, value double").parquet(src_dir)
+        q = (stream_sessionize(src, gap_s=600.0, watermark="30 minutes")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = spark.read.parquet(out_dir) \
+            .orderBy("series_id", "session_start").toPandas()
+
+        # batch twin: cumsum of >600 s silence flags
+        w = W.partitionBy("series_id").orderBy("ts")
+        ep = F.unix_micros(F.col("ts")) / 1e6
+        g = pts.withColumn(
+            "new_sess",
+            F.when(F.lag("ts").over(w).isNull(), 1)
+             .when(ep - F.unix_micros(F.lag("ts").over(w)) / 1e6 > 600.0, 1)
+             .otherwise(0))
+        g = g.withColumn("session_no", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        batch = (g.groupBy("series_id", "session_no")
+                 .agg(F.min("ts").alias("session_start"),
+                      F.max("ts").alias("session_end"),
+                      F.count("*").alias("n_events"),
+                      F.sum("value").alias("sum_val"))
+                 .orderBy("series_id", "session_start").toPandas())
+        merged = got.merge(
+            batch, on=["series_id", "session_start"], suffixes=("_s", "_b"))
+        # every emitted (closed) session must exist in batch with equal
+        # boundaries and aggregates
+        assert len(merged) == len(got) and len(got) > 0
+        assert (merged["session_end_s"].values ==
+                merged["session_end_b"].values).all()
+        assert (merged["n_events_s"].values ==
+                merged["n_events_b"].values).all()
+        np.testing.assert_allclose(merged["sum_val_s"], merged["sum_val_b"],
+                                   rtol=1e-12)
