@@ -40,34 +40,43 @@ def dp(s1: Sequence, s2: Sequence, fn: Callable, border: Optional[Callable] = No
     pen = 0.0 if not penalty else penalty
     p = 0 if psi is None else psi
 
-    scores = np.full((r + 1, c + 1), np.inf)
+    # plain-Python cell loop: a generic engine is per-cell by nature, and
+    # list indexing beats numpy scalar boxing ~20× in this hot loop
+    inf = float("inf")
+    sc = [[inf] * (c + 1) for _ in range(r + 1)]
+    pt = [[""] * (c + 1) for _ in range(r + 1)]
     if border:
-        scores[0, :] = [border(0, ci) for ci in range(c + 1)]
-        scores[1:, 0] = [border(ri, 0) for ri in range(1, r + 1)]
-    scores[0, : p + 1] = 0.0
-    scores[: p + 1, 0] = 0.0
-    paths = np.full((r + 1, c + 1), "", dtype="<U4")
+        sc[0] = [float(border(0, ci)) for ci in range(c + 1)]
+        for ri in range(1, r + 1):
+            sc[ri][0] = float(border(ri, 0))
+    for ci in range(p + 1):
+        sc[0][ci] = 0.0
+    for ri in range(min(p, r) + 1):
+        sc[ri][0] = 0.0
 
     M, N = max(0, r - c), max(0, c - r)
     last_ok = 0
     for i0 in range(r):
         i1 = i0 + 1
-        prev_ok = np.inf if last_ok == -1 else last_ok
+        prev_ok = inf if last_ok == -1 else last_ok
         last_ok = -1
+        row1, row0 = sc[i1], sc[i0]
+        prow = pt[i1]
+        x = s1[i0]
         for j0 in range(max(0, i0 - M - win + 1), min(c, i0 + N + win)):
             j1 = j0 + 1
-            d, d_indel = fn(s1[i0], s2[j0])
+            d, d_indel = fn(x, s2[j0])
             if d > ms:
-                d = np.inf
+                d = inf
             if d_indel > ms:
-                d_indel = np.inf
-            if np.isinf(d) and np.isinf(d_indel):
+                d_indel = inf
+            if d == inf and d_indel == inf:
                 continue
-            from_left = d_indel + scores[i1, j0] + pen
-            from_up = d_indel + scores[i0, j1] + pen
-            from_diag = d + scores[i0, j0]
+            from_left = d_indel + row1[j0] + pen
+            from_up = d_indel + row0[j1] + pen
+            from_diag = d + row0[j0]
             best = min(from_left, from_up, from_diag)
-            scores[i1, j1] = best
+            row1[j1] = best
             tag = ""
             if best == from_left:
                 tag += _LEFT
@@ -75,15 +84,17 @@ def dp(s1: Sequence, s2: Sequence, fn: Callable, border: Optional[Callable] = No
                 tag += _UP
             if best == from_diag:
                 tag += _DIAG
-            paths[i1, j1] = tag
+            prow[j1] = tag
             if best <= md:
                 last_ok = j0
             else:
-                scores[i1, j1] = np.inf
+                row1[j1] = inf
                 if prev_ok < j1:
                     break
-        if last_ok == -1 and md != np.inf:
-            return np.inf, scores
+        if last_ok == -1 and md != inf:
+            return np.inf, np.array(sc)
+    scores = np.array(sc)
+    paths = np.array(pt, dtype="<U4")
     if p == 0:
         d = scores[r, c]
     else:

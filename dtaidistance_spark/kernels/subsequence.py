@@ -105,6 +105,34 @@ def best_match_value(query, series, penalty: float = 0.1, **kwargs) -> float:
     return float(np.min(sa.matching))
 
 
+def linearly_scale(match: SubseqMatch, query, series,
+                   return_coeff: bool = False):
+    """Linearly rescale the query onto the matched segment (reference
+    SAMatch.linearly_scale, subsequencealignment.py:109-135): fit a
+    weighted straight line through the warping path (weights = |query
+    derivative| at each matched query index), widen the segment to the
+    line's span, and resample the query to the segment length."""
+    from .preprocessing import derivative
+
+    query = np.asarray(query, dtype=np.float64)
+    series = np.asarray(series, dtype=np.float64)
+    seg0, seg1 = match.start, match.end
+    xy = np.array(match.path, dtype=np.float64)
+    xy[:, 1] -= seg0
+    wf = derivative(query)
+    w = np.abs(wf[xy[:, 0].astype(int)])
+    b, m = np.polynomial.polynomial.Polynomial.fit(
+        xy[:, 1], xy[:, 0], 1, w=w).convert().coef
+    segment = (int(max(0, seg0 - b / m)),
+               int(min(len(series), seg0 + (len(query) - b) / m)))
+    x = np.arange(len(query))
+    x_new = np.linspace(x[0], x[-1], segment[1] - segment[0] + 1)
+    scaled = np.interp(x_new, x, query)
+    if return_coeff:
+        return scaled, segment, (m, b), len(scaled) / len(query)
+    return scaled, segment
+
+
 # --- batched / bounded fast paths (reference subsequencesearch.py:225-246:
 # LB prefilter + shrinking bound before the expensive alignment) ------------
 

@@ -46,6 +46,25 @@ class TestMatchingLastrow:
         assert np.allclose(a["match_value"], b["match_value"], rtol=0, atol=0)
 
 
+class TestLinearlyScale:
+    def test_matches_reference(self, rng):
+        from dtaidistance.subsequence.subsequencealignment import (
+            subsequence_alignment as ref_sa)
+        from dtaidistance_spark.kernels.subsequence import (
+            linearly_scale, subsequence_alignment)
+        series = np.concatenate([np.zeros(20),
+                                 np.sin(np.linspace(0, np.pi, 25)) * 2,
+                                 np.zeros(20)]) + rng.normal(0, 0.01, 65)
+        query = np.sin(np.linspace(0, np.pi, 15)) * 2
+        m_r = ref_sa(query, series).best_match()
+        q_r, seg_r = m_r.linearly_scale()
+        sa = subsequence_alignment(query, series)
+        m = sa.match_at(int(np.argmin(sa.matching)))
+        q_o, seg_o = linearly_scale(m, query, series)
+        assert tuple(seg_o) == tuple(seg_r)
+        assert np.allclose(q_o, q_r)
+
+
 class TestHirschberg:
     def test_path_equals_full_matrix(self, rng):
         for r, c in ((50, 50), (120, 80), (300, 300)):
