@@ -78,7 +78,7 @@ def rollup_cascade(agg: DataFrame, to_bucket: str) -> DataFrame:
 
 
 def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
-             align: str = "series") -> DataFrame:
+             align: str = "series", span_cap: int | None = None) -> DataFrame:
     """Materialize missing buckets between each series' first and last
     bucket.
 
@@ -94,6 +94,13 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
     so all downstream dense arrays share one time grid (equal lengths →
     the DTW kernel batches across all pairs at once).
 
+    ``span_cap`` (global align only) bounds the grid to the LAST
+    ``span_cap`` buckets of the corpus span: with power-law series
+    lifetimes one long-lived series otherwise forces a full-span dense
+    row for *every* series (grid rows = n_series × global span — the
+    100× scale-killer); capping keeps the grid at n_series × cap and
+    the downstream arrays equal-length.
+
     Scale note: the grid is generated with a two-level explode (days ×
     intra-day offsets) so no ``sequence()`` array exceeds 1440 elements
     regardless of the series' time span.
@@ -102,6 +109,14 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
     if align == "global":
         gb = agg.agg(F.min("bucket_ts").alias("b0"),
                      F.max("bucket_ts").alias("b1"))
+        if span_cap is not None:
+            gb = gb.select(
+                F.greatest(
+                    F.col("b0"),
+                    F.col("b1") - F.expr(
+                        f"interval {int(span_cap - 1) * step} second"),
+                ).alias("b0"),
+                "b1")
         bounds = agg.select("series_id").distinct().crossJoin(F.broadcast(gb))
     else:
         bounds = agg.groupBy("series_id").agg(

@@ -418,7 +418,10 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.05)
+    # max_df caps hot-shingle fan-out before the self-join (scale-safe
+    # plan); the oracle applies the same document-frequency filter
+    return DD.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.05,
+                                  max_df=1000)
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -470,7 +473,8 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: shingle-Jaccard pairs → transitive closure →
     (doc_id, cluster_id = min reachable doc id)."""
-    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.05)
+    pairs = DD.ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.05,
+                                   max_df=1000)
     return DD.connected_components(pairs)
 
 
@@ -842,9 +846,11 @@ ORACLES: dict[str, str] = {
           SELECT doc_id, unnest({_SHINGLES}) AS shingle
           FROM (SELECT doc_id, {_TOKS} AS l FROM documents)),
         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+        keep AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) <= 1000),
+        shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep USING (shingle)),
         inter AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2)
         SELECT doc_a, doc_b,
                round(cast(n_inter AS double)

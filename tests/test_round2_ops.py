@@ -226,6 +226,34 @@ class TestNdimMatrix:
             assert r.d == pytest.approx(exp, rel=1e-12)
 
 
+class TestGapFillSpanCap:
+    def test_capped_global_grid(self, spark):
+        from dtaidistance_spark.operators.rollup import gap_fill, series_arrays
+        import datetime as dt
+        base = dt.datetime(2024, 1, 1)
+        rows = []
+        # long-lived series: 200 hourly buckets; short one: last 3
+        for h in range(0, 200, 7):
+            rows.append(("long", base + dt.timedelta(hours=h), 1.0))
+        for h in (197, 198, 199):
+            rows.append(("short", base + dt.timedelta(hours=h), 2.0))
+        pts = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, value double") \
+            .withColumn("seq", __import__("pyspark.sql.functions",
+                                          fromlist=["col"]).col("value") * 0)
+        from dtaidistance_spark.operators.rollup import rollup_points
+        agg = rollup_points(pts, "1h")
+        filled = gap_fill(agg, "1h", policy="zero", align="global",
+                          span_cap=24)
+        arrays = series_arrays(filled, "1h", value_col="cnt").toPandas()
+        assert set(arrays["n"]) == {24}  # every series on the capped grid
+        # uncapped: every series spans the full 200-bucket grid
+        full = series_arrays(
+            gap_fill(agg, "1h", policy="zero", align="global"),
+            "1h", value_col="cnt").toPandas()
+        assert set(full["n"]) == {200}
+
+
 class TestConnectedComponents:
     def test_chain_and_islands(self, spark):
         from dtaidistance_spark.operators.dedup import (connected_components,
