@@ -49,7 +49,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_1h": DQ.q_similarity_1h,
         "squash_latency": DQ.q_squash_latency,
         "sessionize": DQ.q_sessionize,
-        # DTW analytics (not SQL-expressible → rows-only oracle)
+        # DTW analytics (dtw_daily_pairs carries a full value-level DuckDB
+        # oracle — an exact recursive-CTE replay of the DP; the long-series
+        # matrices below are rows-only)
+        "dtw_daily_pairs": DQ.q_dtw_daily_pairs,
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
         "dtw_ndim_matrix": DQ.q_dtw_ndim_matrix,
         "dtw_flagship": DQ.q_dtw_flagship,

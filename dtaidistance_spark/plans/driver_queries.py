@@ -204,6 +204,22 @@ def q_dtw_distance_matrix(spark, sf_dir):
     return dist.select("i", "j", F.round("d", 6).alias("d"))
 
 
+def q_dtw_daily_pairs(spark, sf_dir):
+    """Value-level-oracled DTW: full (unbanded) DTW over short per-user
+    daily count series, capped to the first 32 series.  Short series make
+    the DP small enough that the DuckDB twin can replay the exact
+    recurrence (reference dtw.py:233-319 semantics: squared-euclidean
+    inner distance, sqrt at the end) as an anti-diagonal recursive CTE —
+    the driver-level value oracle for the DTW kernel itself."""
+    agg1d = R.rollup_points(event_points(spark, sf_dir), "1d")
+    filled = R.gap_fill(agg1d, "1d", policy="zero", align="global")
+    arrays = R.series_arrays(filled, "1d", value_col="cnt")
+    series = with_index(arrays, order_col="series_id") \
+        .where(F.col("i") < 32)
+    dist = distance_matrix(series, settings=DtwSettings(), chunk_size=128)
+    return dist.select("i", "j", F.round("d", 6).alias("d"))
+
+
 def q_dtw_flagship(spark, sf_dir):
     """Full pipeline: points → 1m → cascade → gap-fill → arrays → banded
     blocked DTW matrix → similarity join back to series ids."""
@@ -890,6 +906,92 @@ ORACLES["edit_distance"] = """
                       1, 40),
                'the quick brown fox jumps') AS INT) AS edit_dist
     FROM documents
+"""
+
+
+ORACLES["dtw_daily_pairs"] = f"""
+    -- exact DTW replay in SQL: anti-diagonal recursive CTE over the DP
+    -- lattice.  Cell (i,j) at diagonal d=i+j needs (i-1,j),(i,j-1) at d-1
+    -- and (i-1,j-1) at d-2, so the working set carries two diagonals
+    -- (fresh = d, carried = d-1); borders are inf and simply absent from
+    -- the min.  Mirrors q_dtw_daily_pairs: daily counts, global-aligned
+    -- zero-filled grid, first 32 series by series_id, squared-euclidean
+    -- inner distance, sqrt at the end.
+    WITH RECURSIVE
+    pts AS ({{pts}}),
+    agg AS (SELECT series_id, date_trunc('day', ts) AS bucket_ts,
+                   count(value) AS cnt
+            FROM pts GROUP BY 1, 2),
+    gb AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM agg),
+    grid AS (SELECT s.series_id,
+                    unnest(generate_series(gb.b0, gb.b1, interval 1 day))
+                      AS bucket_ts
+             FROM (SELECT DISTINCT series_id FROM agg) s, gb),
+    filled AS (SELECT g.series_id, g.bucket_ts,
+                      CAST(coalesce(a.cnt, 0) AS DOUBLE) AS v
+               FROM grid g LEFT JOIN agg a
+                 ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+    sids AS (SELECT series_id, dense_rank() OVER (ORDER BY series_id) - 1 AS i
+             FROM (SELECT DISTINCT series_id FROM filled)
+             QUALIFY i < 32),
+    sv AS (SELECT s.i AS sid,
+                  row_number() OVER (PARTITION BY s.i ORDER BY f.bucket_ts)
+                    AS idx,
+                  f.v AS v
+           FROM filled f JOIN sids s ON f.series_id = s.series_id),
+    slen AS (SELECT sid, CAST(max(idx) AS INT) AS n FROM sv GROUP BY 1),
+    pairs AS (SELECT a.sid * 1000 + b.sid AS pid, a.sid AS sa, b.sid AS sb,
+                     a.n AS la, b.n AS lb
+              FROM slen a JOIN slen b ON a.sid < b.sid),
+    roles(di, dj, src_fresh, carry) AS (VALUES
+      (1, 0, true, false), (0, 1, true, false),
+      (1, 1, false, false), (0, 0, true, true)),
+    rec(pid, i, j, val, fresh) AS (
+      SELECT pid, 0, 0, CAST(0.0 AS DOUBLE), false FROM pairs
+      UNION ALL
+      SELECT e.pid, e.ti, e.tj,
+             CASE WHEN e.carry THEN min(e.val)
+                  ELSE min(e.val)
+                       + power(any_value(av.v) - any_value(bv.v), 2)
+             END AS val,
+             NOT e.carry AS fresh
+      FROM (
+        SELECT r.pid AS pid, r.i + x.di AS ti, r.j + x.dj AS tj,
+               r.val AS val, x.carry AS carry
+        FROM rec r
+        JOIN roles x ON x.src_fresh = r.fresh
+           AND (NOT (x.di = 1 AND x.dj = 0 AND NOT x.carry) OR r.j >= 1)
+           AND (NOT (x.di = 0 AND x.dj = 1) OR r.i >= 1)
+      ) e
+      JOIN pairs p ON e.pid = p.pid AND e.ti <= p.la AND e.tj <= p.lb
+      LEFT JOIN sv av ON av.sid = p.sa AND av.idx = e.ti
+      LEFT JOIN sv bv ON bv.sid = p.sb AND bv.idx = e.tj
+      GROUP BY e.pid, e.ti, e.tj, e.carry
+    )
+    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
+           round(sqrt(r.val), 6) AS d
+    FROM rec r JOIN pairs p ON r.pid = p.pid
+    WHERE r.fresh AND r.i = p.la AND r.j = p.lb
+""".format(pts=_PTS_SQL)
+
+
+ORACLES["media_features"] = """
+    -- twin of synth_media(n=64) + _fake_decode(payload, 8): payload is the
+    -- UTF-8 bytes of sha2-hex('m42:<id>'); the fake decoder hashes
+    -- payload || uint32_be(0) and stretches digest bytes into [0,1) floats
+    SELECT media_id,
+           CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           round(list_sum(list_transform(range(0, 8), i ->
+             ((strpos('0123456789abcdef', substr(dg, 2*i+1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(dg, 2*i+2, 1)) - 1))
+             / 256.0)), 6) AS feat_sum
+    FROM (
+      SELECT r.range AS media_id,
+             sha256(sha256('m42:' || r.range::VARCHAR)
+                    || chr(0) || chr(0) || chr(0) || chr(0)) AS dg
+      FROM range(0, 64) r
+    )
 """
 
 
