@@ -975,6 +975,57 @@ ORACLES["dtw_daily_pairs"] = f"""
 """.format(pts=_PTS_SQL)
 
 
+ORACLES["nw_align"] = f"""
+    -- Needleman-Wunsch replay (min-edit form, kernels/alignment.py:55):
+    -- m[0][j]=j, m[i][0]=i, m[i][j]=min(diag+d, up+1, left+1) with
+    -- d = -1 on match else +1; nw_value = -m[r][c].  Same anti-diagonal
+    -- recursive-CTE scheme as dtw_daily_pairs, but borders are real
+    -- cells (they emerge naturally from the h/v candidates) and each
+    -- candidate carries its own increment.
+    WITH RECURSIVE
+    seqs AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS idx,
+             event_type AS sym
+      FROM events
+      QUALIFY idx <= 48),
+    pat(idx, sym) AS (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'),
+                             (4, 'view'), (5, 'click')),
+    lens AS (SELECT series_id, CAST(max(idx) AS INT) AS lb FROM seqs
+             GROUP BY 1),
+    roles(di, dj, src_fresh, carry, is_diag) AS (VALUES
+      (1, 0, true, false, false), (0, 1, true, false, false),
+      (1, 1, false, false, true), (0, 0, true, true, false)),
+    rec(series_id, i, j, val, fresh) AS (
+      SELECT series_id, 0, 0, CAST(0.0 AS DOUBLE), true FROM lens
+      UNION ALL
+      SELECT e.series_id, e.ti, e.tj, min(e.cand) AS val,
+             NOT e.carry AS fresh
+      FROM (
+        SELECT r.series_id AS series_id, r.i + x.di AS ti, r.j + x.dj AS tj,
+               x.carry AS carry,
+               r.val + CASE
+                 WHEN x.carry THEN 0.0
+                 WHEN NOT x.is_diag THEN 1.0
+                 WHEN pv.sym = sv.sym THEN -1.0
+                 ELSE 1.0 END AS cand
+        FROM rec r
+        JOIN roles x ON x.src_fresh = r.fresh
+        LEFT JOIN pat pv ON pv.idx = r.i + x.di
+        LEFT JOIN seqs sv ON sv.series_id = r.series_id
+          AND sv.idx = r.j + x.dj
+      ) e
+      JOIN lens l ON e.series_id = l.series_id
+        AND e.ti <= 5 AND e.tj <= l.lb
+      GROUP BY e.series_id, e.ti, e.tj, e.carry
+    )
+    SELECT r.series_id AS series_id, round(-r.val, 6) AS nw_value
+    FROM rec r JOIN lens l ON r.series_id = l.series_id
+    WHERE r.fresh AND r.i = 5 AND r.j = l.lb
+"""
+
+
 ORACLES["media_features"] = """
     -- twin of synth_media(n=64) + _fake_decode(payload, 8): payload is the
     -- UTF-8 bytes of sha2-hex('m42:<id>'); the fake decoder hashes
@@ -997,7 +1048,82 @@ ORACLES["media_features"] = """
 
 def _register_generated_oracles():
     """Oracles whose SQL is generated (hash families, plane literals)."""
+    import numpy as np
+
     from ..operators.ann import _planes
+
+    # subsequence_topk: replay the free-start/free-end subsequence DP
+    # (kernels/subsequence.py:34-50) as an anti-diagonal recursive CTE.
+    # Row 0 is the psi border (D[0][j]=0, propagated left-to-right with
+    # zero step cost); column 0 stays inf (v-steps into j=0 forbidden);
+    # h/v steps into interior cells add the adjusted penalty (0.1^2 —
+    # squared like every cost in the squared-euclidean DP); matching
+    # value = sqrt(D[24][j]) / 24, minimized over end positions.  The
+    # query-motif literals are repr'd from the exact numpy doubles so
+    # DuckDB parses bit-identical values.
+    _q = np.concatenate([np.zeros(6), np.linspace(0, 3, 6),
+                         np.linspace(3, 0, 6), np.zeros(6)])
+    _qlit = ", ".join(f"({i + 1}, {float(v)!r})" for i, v in enumerate(_q))
+    _p = repr(0.1 ** 2)
+    ORACLES["subsequence_topk"] = f"""
+        WITH RECURSIVE
+        pts AS ({_PTS_SQL}),
+        agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                       count(value) AS cnt
+                FROM pts GROUP BY 1, 2),
+        gb AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM agg),
+        grid AS (SELECT s.series_id,
+                        unnest(generate_series(gb.b0, gb.b1, interval 1 hour))
+                          AS bucket_ts
+                 FROM (SELECT DISTINCT series_id FROM agg) s, gb),
+        sv AS MATERIALIZED (
+          SELECT g.series_id,
+                 row_number() OVER (PARTITION BY g.series_id
+                                    ORDER BY g.bucket_ts) AS idx,
+                 CAST(coalesce(a.cnt, 0) AS DOUBLE) AS v
+          FROM grid g LEFT JOIN agg a
+            ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+        lens AS MATERIALIZED (
+          SELECT series_id, CAST(max(idx) AS INT) AS lb FROM sv
+          GROUP BY 1 HAVING max(idx) >= 24),
+        qv(idx, v) AS (VALUES {_qlit}),
+        roles(di, dj, src_fresh, carry) AS (VALUES
+          (1, 0, true, false), (0, 1, true, false),
+          (1, 1, false, false), (0, 0, true, true)),
+        rec(series_id, i, j, val, fresh) AS (
+          SELECT series_id, 0, 0, CAST(0.0 AS DOUBLE), true FROM lens
+          UNION ALL
+          SELECT e.series_id, e.ti, e.tj,
+                 min(e.cand)
+                 + CASE WHEN e.carry OR e.ti = 0 THEN 0.0
+                        ELSE power(any_value(qq.v) - any_value(ss.v), 2)
+                   END AS val,
+                 NOT e.carry AS fresh
+          FROM (
+            SELECT r.series_id AS series_id, r.i + x.di AS ti,
+                   r.j + x.dj AS tj, x.carry AS carry,
+                   r.val + CASE
+                     WHEN x.carry THEN 0.0
+                     WHEN x.di = 1 AND x.dj = 0 THEN {_p}
+                     WHEN x.di = 0 AND x.dj = 1 AND r.i >= 1 THEN {_p}
+                     ELSE 0.0 END AS cand
+            FROM rec r
+            JOIN roles x ON x.src_fresh = r.fresh
+               AND (NOT (x.di = 1 AND x.dj = 0 AND NOT x.carry)
+                    OR r.j >= 1)
+          ) e
+          JOIN lens l ON e.series_id = l.series_id
+            AND e.ti <= 24 AND e.tj <= l.lb
+          LEFT JOIN qv qq ON qq.idx = e.ti
+          LEFT JOIN sv ss ON ss.series_id = e.series_id AND ss.idx = e.tj
+          GROUP BY e.series_id, e.ti, e.tj, e.carry
+        )
+        SELECT series_id, round(min(sqrt(val) / 24.0), 6) AS match_value
+        FROM rec WHERE fresh AND i = 24 AND j >= 1
+        GROUP BY series_id
+        ORDER BY min(sqrt(val) / 24.0) ASC, series_id ASC
+        LIMIT 10
+    """
 
     ORACLES["simhash"] = f"""
         WITH {_simhash_sql(15)}
