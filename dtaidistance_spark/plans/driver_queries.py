@@ -220,6 +220,27 @@ def q_dtw_daily_pairs(spark, sf_dir):
     return dist.select("i", "j", F.round("d", 6).alias("d"))
 
 
+def q_dtw_ndim_daily_pairs(spark, sf_dir):
+    """Oracled multivariate DTW: 2-dim daily series (event count, daily
+    max value) over the first 24 series, full DTW (reference
+    dtw_ndim.py:43-94: summed per-dim squared differences inside one
+    DP).  The second dimension is a daily max — order-independent, so
+    Spark and the DuckDB CTE replay see bit-identical inputs (a daily
+    *sum* would depend on float summation order)."""
+    agg1d = R.rollup_points(event_points(spark, sf_dir), "1d")
+    filled = R.gap_fill(agg1d, "1d", policy="zero", align="global")
+    cnt_arr = R.series_arrays(filled, "1d", value_col="cnt")
+    max_arr = R.series_arrays(filled, "1d", value_col="max") \
+        .select("series_id", F.col("values").alias("values2"))
+    nd = (cnt_arr.join(max_arr, "series_id")
+          .select("series_id",
+                  F.zip_with("values", "values2",
+                             lambda a, b: F.array(a, b)).alias("values")))
+    series = with_index(nd, order_col="series_id").where(F.col("i") < 24)
+    dist = distance_matrix(series, settings=DtwSettings(), chunk_size=128)
+    return dist.select("i", "j", F.round("d", 6).alias("d"))
+
+
 def q_dtw_flagship(spark, sf_dir):
     """Full pipeline: points → 1m → cascade → gap-fill → arrays → banded
     blocked DTW matrix → similarity join back to series ids."""
@@ -953,6 +974,73 @@ ORACLES["dtw_daily_pairs"] = f"""
              CASE WHEN e.carry THEN min(e.val)
                   ELSE min(e.val)
                        + power(any_value(av.v) - any_value(bv.v), 2)
+             END AS val,
+             NOT e.carry AS fresh
+      FROM (
+        SELECT r.pid AS pid, r.i + x.di AS ti, r.j + x.dj AS tj,
+               r.val AS val, x.carry AS carry
+        FROM rec r
+        JOIN roles x ON x.src_fresh = r.fresh
+           AND (NOT (x.di = 1 AND x.dj = 0 AND NOT x.carry) OR r.j >= 1)
+           AND (NOT (x.di = 0 AND x.dj = 1) OR r.i >= 1)
+      ) e
+      JOIN pairs p ON e.pid = p.pid AND e.ti <= p.la AND e.tj <= p.lb
+      LEFT JOIN sv av ON av.sid = p.sa AND av.idx = e.ti
+      LEFT JOIN sv bv ON bv.sid = p.sb AND bv.idx = e.tj
+      GROUP BY e.pid, e.ti, e.tj, e.carry
+    )
+    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
+           round(sqrt(r.val), 6) AS d
+    FROM rec r JOIN pairs p ON r.pid = p.pid
+    WHERE r.fresh AND r.i = p.la AND r.j = p.lb
+""".format(pts=_PTS_SQL)
+
+
+ORACLES["dtw_ndim_daily_pairs"] = f"""
+    -- multivariate twin of the dtw_daily_pairs CTE: per-dim squared
+    -- differences summed inside one DP (dtw_ndim semantics); dim 1 =
+    -- daily event count, dim 2 = daily max value (order-independent,
+    -- bit-exact on both engines)
+    WITH RECURSIVE
+    pts AS ({{pts}}),
+    agg AS (SELECT series_id, date_trunc('day', ts) AS bucket_ts,
+                   count(value) AS cnt, max(value) AS max_val
+            FROM pts GROUP BY 1, 2),
+    gb AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM agg),
+    grid AS (SELECT s.series_id,
+                    unnest(generate_series(gb.b0, gb.b1, interval 1 day))
+                      AS bucket_ts
+             FROM (SELECT DISTINCT series_id FROM agg) s, gb),
+    filled AS (SELECT g.series_id, g.bucket_ts,
+                      CAST(coalesce(a.cnt, 0) AS DOUBLE) AS v1,
+                      CAST(coalesce(a.max_val, 0.0) AS DOUBLE) AS v2
+               FROM grid g LEFT JOIN agg a
+                 ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+    sids AS (SELECT series_id, dense_rank() OVER (ORDER BY series_id) - 1 AS i
+             FROM (SELECT DISTINCT series_id FROM filled)
+             QUALIFY i < 24),
+    sv AS (SELECT s.i AS sid,
+                  row_number() OVER (PARTITION BY s.i ORDER BY f.bucket_ts)
+                    AS idx,
+                  f.v1 AS v1, f.v2 AS v2
+           FROM filled f JOIN sids s ON f.series_id = s.series_id),
+    slen AS (SELECT sid, CAST(max(idx) AS INT) AS n FROM sv GROUP BY 1),
+    pairs AS (SELECT a.sid * 1000 + b.sid AS pid, a.sid AS sa, b.sid AS sb,
+                     a.n AS la, b.n AS lb
+              FROM slen a JOIN slen b ON a.sid < b.sid),
+    roles(di, dj, src_fresh, carry) AS (VALUES
+      (1, 0, true, false), (0, 1, true, false),
+      (1, 1, false, false), (0, 0, true, true)),
+    rec(pid, i, j, val, fresh) AS (
+      SELECT pid, 0, 0, CAST(0.0 AS DOUBLE), false FROM pairs
+      UNION ALL
+      SELECT e.pid, e.ti, e.tj,
+             CASE WHEN e.carry THEN min(e.val)
+                  -- parenthesized: the kernel sums the per-dim costs
+                  -- first, then adds to the min (FP associativity)
+                  ELSE min(e.val)
+                       + (power(any_value(av.v1) - any_value(bv.v1), 2)
+                          + power(any_value(av.v2) - any_value(bv.v2), 2))
              END AS val,
              NOT e.carry AS fresh
       FROM (
