@@ -182,7 +182,11 @@ def q_event_type_daily(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# DTW analytics (rows-only oracle: not SQL-expressible)
+# DTW analytics.  Short-series DP queries (dtw_daily_pairs,
+# dtw_ndim_daily_pairs, nw_align, subsequence_topk) carry exact
+# recursive-CTE DuckDB value oracles; the long-series matrices are
+# rows-only (their DP lattices are ~400M cells at sf0.01 — too large
+# for a SQL replay) and are pinned by pytest ref-oracles instead.
 # ---------------------------------------------------------------------------
 
 
