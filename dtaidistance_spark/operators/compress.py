@@ -30,18 +30,30 @@ CHUNK_SCHEMA = ("series_id string, chunk_start timestamp, codec string, "
 
 
 def compress_tier(agg: DataFrame, value_col: str = "sum",
-                  chunk_span: str = "day") -> DataFrame:
-    """Encode one tier into chunks: (series_id, chunk_start) → payload."""
+                  chunk_span: str = "day",
+                  num_buckets: int = 128) -> DataFrame:
+    """Encode one tier into chunks: (series_id, chunk_start) → payload.
+
+    Groups by a *hash bucket* of series rather than per series: one
+    Arrow group then carries ~n_series/num_buckets series and the
+    encoder splits chunks with numpy inside, so the per-group
+    Python/Arrow overhead is amortized over thousands of chunks (a
+    per-series groupBy costs one exchange per series — measured 6 s of
+    pure group overhead at 1,500 64-point series on this box).
+    ``num_buckets`` bounds the group size: at any scale a bucket holds
+    ~|tier| / num_buckets rows, so size it to keep buckets within
+    executor memory (default 128 ≈ 2-4 groups per core on local[32])."""
     src = agg.select(
         "series_id",
         F.date_trunc(chunk_span, F.col("bucket_ts")).alias("chunk_start"),
         F.col("bucket_ts").cast("long").alias("ts_s"),
         F.coalesce(F.col(value_col).cast("double"), F.lit(float("nan"))).alias("v"),
+        F.pmod(F.xxhash64("series_id"), F.lit(num_buckets)).alias("__bkt"),
     )
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one pandas group per series; chunks split with numpy inside —
-        # far fewer Arrow groups than grouping by (series, chunk) directly
+        # one pandas group per series-hash bucket; series and chunk
+        # boundaries split with numpy inside
         out = []
         pdf = pdf.sort_values(["series_id", "ts_s"])
         sids_all = pdf["series_id"].to_numpy()
@@ -59,7 +71,7 @@ def compress_tier(agg: DataFrame, value_col: str = "sum",
         return pd.DataFrame(out, columns=["series_id", "chunk_start", "codec",
                                           "n", "first_val", "checksum", "payload"])
 
-    return src.groupBy("series_id").applyInPandas(encode_groups, schema=CHUNK_SCHEMA)
+    return src.groupBy("__bkt").applyInPandas(encode_groups, schema=CHUNK_SCHEMA)
 
 
 def decompress_chunks(chunks: DataFrame) -> DataFrame:
