@@ -59,6 +59,23 @@ def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_points_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``event_points`` minus the ``row_number`` window: tier rollups
+    need only an *orderable* per-series key for first/last (min_by /
+    max_by), so the ``(ts, event_id)`` struct — order-isomorphic to the
+    row_number over the same keys — serves as the surrogate.  This
+    drops the exchange+sort before every tier aggregation: partial
+    (map-side) aggregation starts directly on the parquet scan, one
+    full pass over the raw events instead of two.  Queries that emit
+    ``seq`` itself (latency, sessionize) keep the windowed variant."""
+    ev = _events(spark, sf_dir)
+    return ev.select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")).alias("series_id"),
+        F.struct("ts", "event_id").alias("seq"),
+        "ts", "value",
+    )
+
+
 _PTS_SQL = """
     SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq,
@@ -93,21 +110,21 @@ def _rollup_sql(trunc: str) -> str:
 
 
 def q_rollup_1m(spark, sf_dir):
-    return _rollup_named(R.rollup_points(event_points(spark, sf_dir), "1m"))
+    return _rollup_named(R.rollup_points(event_points_rollup(spark, sf_dir), "1m"))
 
 
 def q_rollup_1h_cascade(spark, sf_dir):
-    agg1m = R.rollup_points(event_points(spark, sf_dir), "1m")
+    agg1m = R.rollup_points(event_points_rollup(spark, sf_dir), "1m")
     return _rollup_named(R.rollup_cascade(agg1m, "1h"))
 
 
 def q_rollup_1d_cascade(spark, sf_dir):
-    agg1m = R.rollup_points(event_points(spark, sf_dir), "1m")
+    agg1m = R.rollup_points(event_points_rollup(spark, sf_dir), "1m")
     return _rollup_named(R.rollup_cascade(R.rollup_cascade(agg1m, "1h"), "1d"))
 
 
 def q_gap_fill_1h(spark, sf_dir):
-    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     filled = R.gap_fill(agg1h, "1h")
     return filled.select("series_id", "bucket_ts", "cnt",
                          F.round("sum", 6).alias("sum_val"), "gap")
@@ -130,7 +147,7 @@ def q_znormal_latency(spark, sf_dir):
 
 
 def q_derivative_1h(spark, sf_dir):
-    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     pts = agg1h.select("series_id", F.col("bucket_ts").alias("ts"),
                        F.col("sum").alias("value"))
     d = PP.derivative(pts, order_col="ts")
@@ -139,7 +156,7 @@ def q_derivative_1h(spark, sf_dir):
 
 
 def q_diff_1h(spark, sf_dir):
-    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     pts = agg1h.select("series_id", F.col("bucket_ts").alias("ts"),
                        F.col("sum").alias("value"))
     d = PP.differencing(pts, order_col="ts")
@@ -148,7 +165,7 @@ def q_diff_1h(spark, sf_dir):
 
 
 def q_top_users_1d(spark, sf_dir):
-    agg1m = R.rollup_points(event_points(spark, sf_dir), "1m")
+    agg1m = R.rollup_points(event_points_rollup(spark, sf_dir), "1m")
     agg1d = R.rollup_cascade(R.rollup_cascade(agg1m, "1h"), "1d")
     return (agg1d.groupBy("series_id")
             .agg(F.sum("cnt").cast("long").alias("total_events"),
@@ -158,7 +175,7 @@ def q_top_users_1d(spark, sf_dir):
 
 
 def q_retention_7d(spark, sf_dir):
-    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     cutoff = agg1h.agg(F.max("bucket_ts").alias("m")) \
         .select(F.col("m") - F.expr("interval 7 day")).collect()[0][0]
     kept = R.apply_retention(agg1h, "1h", cutoff)
@@ -166,7 +183,7 @@ def q_retention_7d(spark, sf_dir):
 
 
 def q_compress_roundtrip_1h(spark, sf_dir):
-    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     chunks = compress_tier(agg1h, value_col="sum")
     back = decompress_chunks(chunks)
     return back.select("series_id", "bucket_ts",
@@ -193,7 +210,7 @@ def q_event_type_daily(spark, sf_dir):
 def hourly_series(spark, sf_dir, min_len: int = 24) -> DataFrame:
     """Gap-filled per-user hourly event-count arrays — the engine's dense
     series input for DTW."""
-    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     # global alignment: one shared time grid → equal-length arrays →
     # the DTW kernel batches every pair in one vectorized sweep
     filled = R.gap_fill(agg1h, "1h", policy="zero", align="global")
@@ -215,7 +232,7 @@ def q_dtw_daily_pairs(spark, sf_dir):
     recurrence (reference dtw.py:233-319 semantics: squared-euclidean
     inner distance, sqrt at the end) as an anti-diagonal recursive CTE —
     the driver-level value oracle for the DTW kernel itself."""
-    agg1d = R.rollup_points(event_points(spark, sf_dir), "1d")
+    agg1d = R.rollup_points(event_points_rollup(spark, sf_dir), "1d")
     filled = R.gap_fill(agg1d, "1d", policy="zero", align="global")
     arrays = R.series_arrays(filled, "1d", value_col="cnt")
     series = with_index(arrays, order_col="series_id") \
@@ -231,7 +248,7 @@ def q_dtw_ndim_daily_pairs(spark, sf_dir):
     DP).  The second dimension is a daily max — order-independent, so
     Spark and the DuckDB CTE replay see bit-identical inputs (a daily
     *sum* would depend on float summation order)."""
-    agg1d = R.rollup_points(event_points(spark, sf_dir), "1d")
+    agg1d = R.rollup_points(event_points_rollup(spark, sf_dir), "1d")
     filled = R.gap_fill(agg1d, "1d", policy="zero", align="global")
     cnt_arr = R.series_arrays(filled, "1d", value_col="cnt")
     max_arr = R.series_arrays(filled, "1d", value_col="max") \
@@ -261,7 +278,7 @@ def q_dtw_flagship(spark, sf_dir):
 
 
 def q_smoothing_1h(spark, sf_dir):
-    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     pts = agg1h.select("series_id", F.col("bucket_ts").alias("ts"),
                        F.col("sum").alias("value"))
     sm = PP.smoothing(pts, order_col="ts", width=5)
@@ -279,7 +296,7 @@ def q_logdomain_latency(spark, sf_dir):
 def q_similarity_1h(spark, sf_dir):
     from ..functions.similarity import distance_to_similarity
 
-    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     dist = agg1h.select("series_id", "bucket_ts",
                         F.abs(F.col("max") - F.col("min")).alias("d"))
     sim = distance_to_similarity(dist, d_col="d", method="exponential", r=10.0)
@@ -569,7 +586,7 @@ def q_dtw_ndim_matrix(spark, sf_dir):
     """Multivariate DTW matrix: 2-dim series (hourly event count, hourly
     value sum) per user — reference dtw_ndim.py:43-94 semantics (summed
     per-dim squared differences inside one DP)."""
-    agg1h = R.rollup_points(event_points(spark, sf_dir), "1h")
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     filled = R.gap_fill(agg1h, "1h", policy="zero", align="global")
     cnt_arr = R.series_arrays(filled, "1h", value_col="cnt")
     sum_arr = R.series_arrays(filled, "1h", value_col="sum") \
