@@ -67,6 +67,7 @@ __all__ = [
     "warp",
     "warping_amount",
     "dba_update",
+    "dba_partial",
     "dba_loop",
 ]
 
@@ -1012,6 +1013,22 @@ def dba_update(series: Sequence[np.ndarray], c: np.ndarray,
     probabilistically sampled near-optimal paths per series (reference
     C-only feature, dd_dtw.c:5491-5600; numpy-RNG port — the reference
     Python raises for it)."""
+    sums, counts = dba_partial(series, c, settings=settings,
+                               nb_prob_samples=nb_prob_samples, seed=seed,
+                               **kwargs)
+    counts[counts == 0] = 1
+    return sums / counts
+
+
+def dba_partial(series: Sequence[np.ndarray], c: np.ndarray,
+                settings: Optional[DtwSettings] = None,
+                nb_prob_samples: int = 0, seed: int = 42,
+                **kwargs) -> tuple:
+    """The associative half of a DBA step: per-center-position aligned
+    sums and counts over ``series``.  Partials from disjoint member
+    subsets add element-wise, which is what lets the Spark k-means
+    update run as map-side partials + a tiny reduce instead of
+    collecting a whole cluster into one task."""
     s = settings if settings is not None else DtwSettings(**kwargs)
     c = np.asarray(c, dtype=np.float64)
     t = len(c)
@@ -1031,8 +1048,7 @@ def dba_update(series: Sequence[np.ndarray], c: np.ndarray,
             for i, j in path:
                 sums[i] += seq[j]
                 counts[i] += 1
-    counts[counts == 0] = 1
-    return sums / counts
+    return sums, counts
 
 
 def dba_loop(series: Sequence[np.ndarray], c: Optional[np.ndarray] = None,

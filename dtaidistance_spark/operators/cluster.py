@@ -19,8 +19,11 @@ reference (clustering/hierarchical.py:60-137).
   environment; tie-breaking picks the row-major first minimum).
 * ``kmeans_dtw`` is the Lloyd loop of clustering/kmeans.py:241-420,
   Spark-shaped: assignment = broadcast centers × corpus via
-  distance_matrix_cross + window argmin; update = one DBA step per
-  cluster inside applyInPandas (cluster = pandas group).
+  distance_matrix_cross + window argmin; update = distributed DBA —
+  map-side per-batch (sums, counts) partials per cluster
+  (kernels/dtw.py::dba_partial, the associative half of the step) and
+  a k × n_partitions driver reduce, so no cluster's membership ever
+  has to be co-resident in one task.
 """
 
 from __future__ import annotations
@@ -33,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from ..kernels.dtw import DtwSettings, dba_update
+from ..kernels.dtw import DtwSettings, dba_partial
 from .matrix import distance_matrix, distance_matrix_cross, to_matrix
 
 
@@ -300,30 +303,56 @@ def kmeans_dtw(spark, series_df: DataFrame, k: int, max_it: int = 10,
             assign.unpersist()
             assign = kmeans_assign(series_df, centers, st, spark).persist()
         members = series_df.join(assign, on="i")
-        ds = float(drop_stddev) if drop_stddev is not None else -1.0
+        if drop_stddev is not None and float(drop_stddev) > 0:
+            # per-cluster trim thresholds (mean + ds·sample-σ of distances,
+            # reference :327-345) via a tiny broadcast-joined aggregate —
+            # no cluster ever has to fit in one task
+            thr = (assign.groupBy("cluster")
+                   .agg((F.mean("dist_to_center")
+                         + F.lit(float(drop_stddev))
+                         * F.coalesce(F.stddev("dist_to_center"), F.lit(0.0))
+                         ).alias("__thr"),
+                        F.count("*").alias("__cn")))
+            members = (members.join(F.broadcast(thr), on="cluster")
+                       .where((F.col("__cn") <= 2)
+                              | (F.col("dist_to_center") <= F.col("__thr")))
+                       .drop("__thr", "__cn"))
+        members = members.persist()
 
-        def update(pdf: pd.DataFrame) -> pd.DataFrame:
-            stt = DtwSettings.from_json(st_json)
-            cl = int(pdf["cluster"].iloc[0])
-            if ds > 0 and len(pdf) > 2:
-                dist = pdf["dist_to_center"].to_numpy()
-                keep = dist <= dist.mean() + ds * dist.std()
-                if keep.any():
-                    pdf = pdf[keep]
-            seqs = [np.asarray(v, dtype=np.float64) for v in pdf["values"]]
-            c = seqs[0]
-            for _ in range(dba_max_it):
-                c = dba_update(seqs, c, settings=stt)
-            return pd.DataFrame({"cluster": [cl],
-                                 "center": [[float(x) for x in c]]})
+        # distributed DBA: each inner iteration is one map-side pass
+        # emitting per-batch (sums, counts) partials per cluster (the
+        # associative half of the update, kernels/dtw.py::dba_partial)
+        # plus a k × n_partitions driver reduce — a cluster's membership
+        # never has to be co-resident in a single task, unlike a
+        # groupBy(cluster).applyInPandas barycenter (one task per
+        # cluster = OOM at corpus scale).
+        new_centers = [np.asarray(c, dtype=np.float64) for c in centers]
+        for _ in range(dba_max_it):
+            bc = [c.tolist() for c in new_centers]
 
-        new_centers_pdf = (members.groupBy("cluster")
-                           .applyInPandas(update,
-                                          schema="cluster long, center array<double>")
-                           .toPandas())
-        new_centers = list(centers)
-        for row in new_centers_pdf.itertuples(index=False):
-            new_centers[int(row.cluster)] = np.asarray(row.center)
+            def partials(batches):
+                stt = DtwSettings.from_json(st_json)
+                cs = [np.asarray(x, dtype=np.float64) for x in bc]
+                for pdf in batches:
+                    rows = []
+                    for cl, grp in pdf.groupby("cluster"):
+                        seqs = [np.asarray(v, dtype=np.float64)
+                                for v in grp["values"]]
+                        s_, n_ = dba_partial(seqs, cs[int(cl)], settings=stt)
+                        rows.append((int(cl), s_.tolist(), n_.tolist()))
+                    yield pd.DataFrame(rows, columns=["cluster", "sums",
+                                                      "counts"])
+
+            part = members.select("cluster", "values").mapInPandas(
+                partials,
+                schema="cluster long, sums array<double>, counts array<double>"
+            ).toPandas()
+            for cl, grp in part.groupby("cluster"):
+                S = np.sum([np.asarray(x) for x in grp["sums"]], axis=0)
+                N = np.sum([np.asarray(x) for x in grp["counts"]], axis=0)
+                N[N == 0] = 1
+                new_centers[int(cl)] = S / N
+        members.unpersist()
         moved = max(
             (float(np.mean(np.abs(a - b))) if len(a) == len(b) else np.inf)
             for a, b in zip(centers, new_centers))
