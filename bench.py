@@ -64,6 +64,13 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         if name.startswith("rollup_"):
             rows[name] = df.count()  # cheap re-agg, untimed
+        # queries are independent measurements: release any caches a
+        # query persisted (search prefilters, index passes) and nudge the
+        # driver GC so the ContextCleaner actually frees broadcasts and
+        # shuffle state before the next timing — measured 3× on the DTW
+        # matrix when run after the full pack without this
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     if "dtw_distance_matrix" in selected:
         # pair count from the series cardinality (n·(n-1)/2), not a re-run
         from dtaidistance_spark.plans import driver_queries as DQ
