@@ -149,7 +149,13 @@ def main():
             if best is None or r["t_total"] < best["t_total"]:
                 results[cores] = r
 
-    n_head = int(os.environ.get("SCALING_N", "4"))
+    # headline pair: SCALING_N, else the first measured level whose 4×
+    # partner was also measured (so SCALING_LEVELS=2,8 works unchanged)
+    n_env = os.environ.get("SCALING_N")
+    if n_env is not None:
+        n_head = int(n_env)
+    else:
+        n_head = next((c for c in levels if 4 * c in results), levels[0])
     rN, r4N = results[n_head], results[4 * n_head]
     eff_total = (rN["t_total"] / r4N["t_total"]) / 4
     eff_rollup = (rN["t_rollup"] / r4N["t_rollup"]) / 4
