@@ -381,6 +381,29 @@ class TestButterworthGust:
         assert np.allclose(y, y_rev, atol=1e-8)
 
 
+class TestDbaPartial:
+    def test_chunked_partials_match_whole_update(self):
+        """The distributed k-means update sums dba_partial over member
+        chunks; the reduced center must match the single-pass
+        dba_update on the full membership (exact up to FP summation
+        order)."""
+        from dtaidistance_spark.kernels.dtw import (DtwSettings, dba_partial,
+                                                    dba_update)
+        rng = np.random.default_rng(11)
+        series = [rng.normal(0, 1, 40) for _ in range(17)]
+        c0 = rng.normal(0, 1, 40)
+        st = DtwSettings(window=8)
+        want = dba_update(series, c0, settings=st)
+        S = np.zeros(len(c0))
+        N = np.zeros(len(c0))
+        for lo in range(0, len(series), 5):  # uneven chunks: 5,5,5,2
+            s_, n_ = dba_partial(series[lo:lo + 5], c0, settings=st)
+            S += s_
+            N += n_
+        N[N == 0] = 1
+        assert np.allclose(S / N, want, atol=1e-12)
+
+
 class TestKmeansInit:
     def test_kmeanspp_separated_clusters(self, spark):
         from dtaidistance_spark.operators.cluster import kmeans_dtw
