@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle — an exact recursive-CTE replay of the DP; the long-series
         # matrices below are rows-only)
         "dtw_daily_pairs": DQ.q_dtw_daily_pairs,
+        "dtw_banded_pairs": DQ.q_dtw_banded_pairs,
         "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
         "dtw_ndim_matrix": DQ.q_dtw_ndim_matrix,

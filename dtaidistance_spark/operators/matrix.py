@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from ..kernels.dtw import DtwSettings, dtw_distance_batch, lb_keogh_batch
+from ..resources import track_broadcast, track_persist
 
 PAIR_SCHEMA = "i long, j long, d double"
 
@@ -83,7 +84,7 @@ def with_index(series_df: DataFrame, order_col: str = "series_id",
     else:
         part = series_df.withColumn("__pid", F.spark_partition_id())
     if persist:
-        part = part.persist()
+        part = track_persist(part.persist())
     counts = {r["__pid"]: r["cnt"] for r in
               part.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
     offsets = {}
@@ -197,7 +198,7 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
     # whole rollup → gap-fill → arrays pipeline) must execute exactly
     # once — round 1 executed it twice (stats agg + broadcast collect),
     # which showed up as a large serial component in the N-vs-4N curve.
-    src = src.persist()
+    src = track_persist(src.persist())
     stats = src.agg(F.count("*").alias("n"),
                     F.avg(F.size("values")).alias("alen"),
                     F.max("i").alias("imax")).collect()[0]
@@ -226,31 +227,7 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
         n = int(stats["imax"]) + 1 if stats["imax"] is not None else 1
         n_chunks = max(1, int(np.ceil(np.sqrt(16.0 * par))))
         chunk_size = max(8, -(-n // n_chunks))
-    src = src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
-
-    # --- declarative pair-space pruning over chunk ids ---
-    chunks = src.select("chunk").distinct()
-    ca = chunks.select(F.col("chunk").alias("ci"))
-    cb_df = chunks.select(F.col("chunk").alias("cj"))
-    cp = ca.crossJoin(cb_df)
-    if triu:
-        cp = cp.where(F.col("ci") <= F.col("cj"))
-    if blk is not None:
-        (rb, re_), (cb, ce) = blk
-        cp = cp.where(
-            (F.col("ci") >= rb // chunk_size) & (F.col("ci") <= (re_ - 1) // chunk_size) &
-            (F.col("cj") >= cb // chunk_size) & (F.col("cj") <= (ce - 1) // chunk_size))
-
-    left = src.join(F.broadcast(cp), src["chunk"] == cp["ci"]) \
-              .select("ci", "cj", F.lit(0).alias("side"), "i", "values")
-    right = src.join(F.broadcast(cp), src["chunk"] == cp["cj"]) \
-               .select("ci", "cj", F.lit(1).alias("side"), "i", "values")
-    # explicit hash repartitioning on the group key: the UDF stage's cost
-    # is CPU (quadratic pairs per group), not bytes — AQE's byte-based
-    # partition coalescing must not shrink its parallelism (observed 3×32
-    # cores idle when it did).  groupBy below reuses this partitioning,
-    # and AQE leaves user-specified repartitioning alone.
-    tagged = left.unionByName(right).repartition(4 * par, "ci", "cj")
+    tagged = _chunk_pair_tagged(src, chunk_size, triu, blk, ["values"], par)
 
     rb_, re__, cb_, ce_ = (-1, -1, -1, -1)
     if blk is not None:
@@ -278,6 +255,38 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
         return pd.DataFrame({"i": oi, "j": oj, "d": od})
 
     return tagged.groupBy("ci", "cj").applyInPandas(compute, schema=PAIR_SCHEMA)
+
+
+def _chunk_pair_tagged(src: DataFrame, chunk_size: int, triu: bool, blk,
+                       data_cols: list, par: int) -> DataFrame:
+    """Shared chunked-shuffle plan: assign chunk ids, prune the chunk-pair
+    space declaratively (triangular symmetry + block restriction — the
+    reference's own distribution primitive, dtw.py:757-761), replicate
+    each row to its surviving partner chunks, and hash-repartition on the
+    group key.  Callers groupBy("ci","cj") and apply their kernel.
+
+    The explicit repartition matters: the UDF stage's cost is CPU
+    (quadratic pairs per group), not bytes — AQE's byte-based partition
+    coalescing must not shrink its parallelism (observed 3×32 cores idle
+    when it did).  groupBy reuses this partitioning, and AQE leaves
+    user-specified repartitioning alone."""
+    src = src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
+    chunks = src.select("chunk").distinct()
+    ca = chunks.select(F.col("chunk").alias("ci"))
+    cb_df = chunks.select(F.col("chunk").alias("cj"))
+    cp = ca.crossJoin(cb_df)
+    if triu:
+        cp = cp.where(F.col("ci") <= F.col("cj"))
+    if blk is not None:
+        (rb, re_), (cb, ce) = blk
+        cp = cp.where(
+            (F.col("ci") >= rb // chunk_size) & (F.col("ci") <= (re_ - 1) // chunk_size) &
+            (F.col("cj") >= cb // chunk_size) & (F.col("cj") <= (ce - 1) // chunk_size))
+    left = src.join(F.broadcast(cp), src["chunk"] == cp["ci"]) \
+              .select("ci", "cj", F.lit(0).alias("side"), "i", *data_cols)
+    right = src.join(F.broadcast(cp), src["chunk"] == cp["cj"]) \
+               .select("ci", "cj", F.lit(1).alias("side"), "i", *data_cols)
+    return left.unionByName(right).repartition(4 * par, "ci", "cj")
 
 
 def _triu_unrank(p: np.ndarray, n: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -309,7 +318,7 @@ def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
     vals = {int(i): _series_np(v)
             for i, v in zip(pdf["i"], pdf["values"])}
     ids = np.array(sorted(vals), dtype=np.int64)
-    bc = spark.sparkContext.broadcast(vals)
+    bc = track_broadcast(spark.sparkContext.broadcast(vals))
     par = spark.sparkContext.defaultParallelism
     n_tasks = max(par * 4, 8)
 
@@ -322,8 +331,8 @@ def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
         rows = ids[(ids >= rb) & (ids < re_)]
         cols = ids[(ids >= cb) & (ids < ce)]
         n_pairs = len(rows) * len(cols)
-        rows_b = spark.sparkContext.broadcast(rows)
-        cols_b = spark.sparkContext.broadcast(cols)
+        rows_b = track_broadcast(spark.sparkContext.broadcast(rows))
+        cols_b = track_broadcast(spark.sparkContext.broadcast(cols))
     if n_pairs == 0:
         return spark.createDataFrame([], PAIR_SCHEMA)
     bounds = np.linspace(0, n_pairs, min(n_tasks, n_pairs) + 1, dtype=np.int64)
@@ -331,7 +340,7 @@ def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
               for k in range(len(bounds) - 1) if bounds[k] < bounds[k + 1]]
     rdf = spark.createDataFrame(ranges, "lo long, hi long") \
         .repartition(len(ranges))
-    ids_b = spark.sparkContext.broadcast(ids)
+    ids_b = track_broadcast(spark.sparkContext.broadcast(ids))
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         st = DtwSettings.from_json(settings_json)
@@ -360,16 +369,37 @@ def distance_matrix_weighted(series_df: DataFrame, window: Optional[int] = None,
                              weights_col: str = "weights") -> DataFrame:
     """All-pairs *weighted* DTW (reference dtw_weighted.py:121-152
     distance_matrix): per-point 8-knot weight profiles reshape the local
-    difference of the row series.  Work is distributed as pair-range
-    tasks over a broadcast corpus (weights live beside the values); the
-    per-pair kernel is kernels/extras.weighted_warping_paths.  Like the
-    reference (triu only, matrix[i,j] uses weights[i]), the output is
-    asymmetric in principle and only i<j pairs are produced."""
+    difference of the row series.  The per-pair kernel is
+    kernels/extras.weighted_warping_paths.  Like the reference (triu
+    only, matrix[i,j] uses weights[i]), the output is asymmetric in
+    principle and only i<j pairs are produced.
+
+    Physical strategy mirrors :func:`distance_matrix`: when the corpus
+    (values + 8-knot weight profiles ≈ 9 doubles/point) fits under the
+    broadcast gate, it is collected once and work distributes as pair-
+    range tasks; otherwise the blocked chunk-pair shuffle path runs —
+    no ungated driver collect at any size."""
     from ..kernels.extras import weighted_warping_paths
 
     spark = series_df.sparkSession
-    pdf = (series_df.select(F.col(index_col).cast("long").alias("i"),
-                            values_col, weights_col).toPandas())
+    src = series_df.select(F.col(index_col).cast("long").alias("i"),
+                           F.col(values_col).alias("values"),
+                           F.col(weights_col).alias("weights"))
+    src = track_persist(src.persist())
+    stats = src.agg(F.count("*").alias("n"),
+                    F.avg(F.size("values")).alias("alen"),
+                    F.max("i").alias("imax")).collect()[0]
+    n_total = int(stats["n"] or 0)
+    # values (1 double/point) + weight profile (8 knots/point)
+    est_bytes = n_total * float(stats["alen"] or 0) * 8 * 9
+    conf = spark.conf
+    max_bytes = float(conf.get("spark.dtaidistance.broadcastMatrixMaxBytes",
+                               str(256 * 1024 * 1024)))
+    max_pairs = int(conf.get("spark.dtaidistance.broadcastMatrixMaxPairs",
+                             str(20_000_000)))
+    if est_bytes > max_bytes or n_total * (n_total - 1) // 2 > max_pairs:
+        return _distance_matrix_weighted_shuffle(src, window, stats)
+    pdf = src.toPandas()
     vals = {int(r.i): np.asarray(r[1], dtype=np.float64)
             for r in pdf.itertuples(index=False)}
     wts = {int(r.i): (None if r[2] is None else np.asarray(
@@ -377,8 +407,8 @@ def distance_matrix_weighted(series_df: DataFrame, window: Optional[int] = None,
         for r in pdf.itertuples(index=False)}
     ids = np.array(sorted(vals), dtype=np.int64)
     n = len(ids)
-    bc_v = spark.sparkContext.broadcast(vals)
-    bc_w = spark.sparkContext.broadcast(wts)
+    bc_v = track_broadcast(spark.sparkContext.broadcast(vals))
+    bc_w = track_broadcast(spark.sparkContext.broadcast(wts))
     par = spark.sparkContext.defaultParallelism
     n_pairs = n * (n - 1) // 2
     if n_pairs == 0:
@@ -404,6 +434,47 @@ def distance_matrix_weighted(series_df: DataFrame, window: Optional[int] = None,
                 yield pd.DataFrame({"i": ids[ri], "j": ids[rj], "d": out})
 
     return rdf.mapInPandas(compute, schema=PAIR_SCHEMA)
+
+
+def _distance_matrix_weighted_shuffle(src: DataFrame, window: Optional[int],
+                                      stats) -> DataFrame:
+    """Blocked chunk-pair fallback for the weighted matrix: same plan
+    shape as the unweighted shuffle path (values AND weight profiles ride
+    the shuffle), so corpora above the broadcast gate never hit the
+    driver."""
+    from ..kernels.extras import weighted_warping_paths
+
+    spark = src.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < max(2, par // 2):
+        src = src.repartition(par)
+    n = int(stats["imax"]) + 1 if stats["imax"] is not None else 1
+    n_chunks = max(1, int(np.ceil(np.sqrt(16.0 * par))))
+    chunk_size = max(8, -(-n // n_chunks))
+    tagged = _chunk_pair_tagged(src, chunk_size, True, None,
+                                ["values", "weights"], par)
+    win = window
+
+    def compute(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals, wts = {}, {}
+        for r in pdf.itertuples(index=False):
+            if r.i not in vals:
+                vals[r.i] = np.asarray(r.values, dtype=np.float64)
+                wts[r.i] = (None if r.weights is None else np.asarray(
+                    [list(x) for x in r.weights], dtype=np.float64))
+        li = np.sort(pdf.loc[pdf["side"] == 0, "i"].unique())
+        rj = np.sort(pdf.loc[pdf["side"] == 1, "i"].unique())
+        ii, jj = np.meshgrid(li, rj, indexing="ij")
+        ii, jj = ii.ravel(), jj.ravel()
+        keep = ii < jj
+        ii, jj = ii[keep], jj[keep]
+        out = [weighted_warping_paths(vals[a], vals[b], weights=wts[a],
+                                      window=win)[0]
+               for a, b in zip(ii, jj)]
+        return pd.DataFrame({"i": ii, "j": jj,
+                             "d": np.asarray(out, dtype=np.float64)})
+
+    return tagged.groupBy("ci", "cj").applyInPandas(compute, schema=PAIR_SCHEMA)
 
 
 def distance_matrix_cross(query_df: DataFrame, corpus_df: DataFrame,

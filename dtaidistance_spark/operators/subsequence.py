@@ -81,23 +81,47 @@ def score_bounds(corpus: DataFrame, query: np.ndarray,
 
 
 def search_topk(corpus: DataFrame, query: np.ndarray, k: int = 5,
-                penalty: float = 0.1, prune: bool = True) -> DataFrame:
+                penalty: float = 0.1, prune: bool = True,
+                prune_sample: int = 256,
+                prune_min_frac: float = 0.3) -> DataFrame:
     """k series that contain the best matches (reference
     SubsequenceSearch.kbest_matches) — exact top-k via TakeOrdered.
 
-    With ``prune`` (default): two-stage plan. Stage 1 computes cheap
-    admissible (lb, ub) per series; τ = k-th smallest ub (distributed
+    With ``prune`` (default): the prefilter is *selectivity-gated*.  A
+    small sample's (lb, ub) bounds estimate how much the LB stage would
+    actually prune at τ̂ = the sample's k-th smallest ub; below
+    ``prune_min_frac`` the whole prefilter (bounds pass + τ TakeOrdered
+    + survivor re-join) is skipped — on data where LB prunes nothing
+    (e.g. zero-heavy count series, where the envelope always contains
+    the query) the old always-on prefilter paid ~2× the plan for
+    negative pruning.  τ̂ from a sample ≥ the true τ, so the estimate
+    *understates* real pruning — the gate only errs toward skipping,
+    never toward a uselessly-applied prefilter being measured as a win.
+
+    When the prefilter does run: τ = k-th smallest ub (distributed
     TakeOrdered, scalar result); only series with lb ≤ τ reach the exact
     DP.  Output identical to the unpruned plan: ≥ k series have true
     value ≤ τ, and a pruned series has true ≥ lb > τ.  A relative ε on τ
     absorbs float summation-order noise (loosens pruning, never drops)."""
+    from ..resources import track_persist
+
+    if prune:
+        corpus = track_persist(corpus.persist())
+        sample = corpus.limit(int(prune_sample))
+        bpdf = score_bounds(sample, query).toPandas()
+        if len(bpdf) > k:
+            tau_hat = np.sort(bpdf["ub"].to_numpy())[k - 1] * (1 + 1e-9) + 1e-12
+            frac_pruned = float((bpdf["lb"].to_numpy() > tau_hat).mean())
+            if frac_pruned < prune_min_frac:
+                prune = False
+        else:
+            prune = False  # corpus barely larger than k: nothing to prune
     if not prune:
         scored = score_series(corpus, query, penalty=penalty)
         return scored.orderBy(F.asc("match_value"), F.asc("series_id")).limit(k)
-    corpus = corpus.persist()
     # bounds feed two consumers (τ and the survivor filter) — persist so
     # the prefilter pass runs once
-    bounds = score_bounds(corpus, query).persist()
+    bounds = track_persist(score_bounds(corpus, query).persist())
     tau = (bounds.orderBy(F.asc("ub")).limit(k)
            .agg(F.max("ub").alias("tau")))
     keep = (bounds.crossJoin(F.broadcast(tau))

@@ -207,13 +207,26 @@ def q_event_type_daily(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+HOURLY_SPAN_CAP = 504  # trailing 21 days of hourly buckets
+
+
 def hourly_series(spark, sf_dir, min_len: int = 24) -> DataFrame:
     """Gap-filled per-user hourly event-count arrays — the engine's dense
-    series input for DTW."""
+    series input for DTW.
+
+    ``span_cap`` bounds the global grid to the trailing
+    ``HOURLY_SPAN_CAP`` hourly buckets: with global alignment one
+    long-lived series otherwise forces a full-span dense row for *every*
+    series (grid rows = n_series × corpus span — the 100×-scale killer
+    flagged in rounds 1-2; the fix existed in gap_fill but the flagship
+    path didn't use it).  All downstream consumers (DTW matrices,
+    subsequence search, kmeans, linkage) see equal-length trailing-window
+    arrays; the subsequence_topk SQL oracle applies the same cap."""
     agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     # global alignment: one shared time grid → equal-length arrays →
     # the DTW kernel batches every pair in one vectorized sweep
-    filled = R.gap_fill(agg1h, "1h", policy="zero", align="global")
+    filled = R.gap_fill(agg1h, "1h", policy="zero", align="global",
+                        span_cap=HOURLY_SPAN_CAP)
     arrays = R.series_arrays(filled, "1h", value_col="cnt")
     return arrays.where(F.col("n") >= min_len)
 
@@ -238,6 +251,25 @@ def q_dtw_daily_pairs(spark, sf_dir):
     series = with_index(arrays, order_col="series_id") \
         .where(F.col("i") < 32)
     dist = distance_matrix(series, settings=DtwSettings(), chunk_size=128)
+    return dist.select("i", "j", F.round("d", 6).alias("d"))
+
+
+def q_dtw_banded_pairs(spark, sf_dir):
+    """Value-level-oracled *banded + psi-relaxed* DTW — the exact code
+    path the flagship runs (``DtwSettings(window=12, psi=2)``,
+    q_dtw_flagship) but over short daily series so the DuckDB twin can
+    replay the recurrence.  Band semantics (reference dtw.py:329-352):
+    interior cell (I,J) exists iff |I-J| <= window-1 (equal lengths);
+    psi relaxation (reference dtw.py:336-337,:386-396): border cells
+    (0,j), (i,0) are 0 for i,j <= psi, and the final distance is the min
+    of the corner and the last psi cells of the last row/column."""
+    agg1d = R.rollup_points(event_points_rollup(spark, sf_dir), "1d")
+    filled = R.gap_fill(agg1d, "1d", policy="zero", align="global")
+    arrays = R.series_arrays(filled, "1d", value_col="cnt")
+    series = with_index(arrays, order_col="series_id") \
+        .where(F.col("i") < 32)
+    dist = distance_matrix(series, settings=DtwSettings(window=12, psi=2),
+                           chunk_size=128)
     return dist.select("i", "j", F.round("d", 6).alias("d"))
 
 
@@ -555,31 +587,19 @@ def q_nw_align(spark, sf_dir):
 
 def q_edit_distance(spark, sf_dir):
     """Levenshtein distance of each document prefix to a fixed probe
-    string, computed with the generic DP engine (kernels/dp.py — the
-    reference's dp.dp specialized to unit edit costs).  DuckDB's
-    levenshtein() is the value-level oracle."""
-    from typing import Iterator
-    import pandas as pd
-    from ..kernels.dp import dp
-
+    string — JVM-side ``F.levenshtein`` (whole-stage codegen, no Python
+    in the plan).  The generic DP engine (kernels/dp.py, the reference's
+    dp.dp specialized to unit edit costs) stays exercised by its pytest
+    ref-oracle (tests/test_extras.py); the driver query uses the
+    built-in, which matches the DuckDB levenshtein() oracle exactly."""
     probe = "the quick brown fox jumps"
     docs = _docs(spark, sf_dir).select(
         "doc_id",
         F.substring(F.regexp_replace(F.lower(F.trim(F.col("text"))),
                                      "\\s+", " "), 1, 40).alias("prefix"))
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = lambda a, b: ((0.0 if a == b else 1.0), 1.0)
-        border = lambda ri, ci: float(ri + ci)
-        rows = []
-        for pdf in batches:
-            rows = []
-            for did, pref in zip(pdf["doc_id"], pdf["prefix"]):
-                d, _, _ = dp(probe, pref, fn, border=border)
-                rows.append((did, int(d)))
-            yield pd.DataFrame(rows, columns=["doc_id", "edit_dist"])
-
-    return docs.mapInPandas(compute, schema="doc_id long, edit_dist int")
+    return docs.select(
+        "doc_id",
+        F.levenshtein(F.col("prefix"), F.lit(probe)).alias("edit_dist"))
 
 
 def q_dtw_ndim_matrix(spark, sf_dir):
@@ -1017,6 +1037,91 @@ ORACLES["dtw_daily_pairs"] = f"""
 """.format(pts=_PTS_SQL)
 
 
+ORACLES["dtw_banded_pairs"] = f"""
+    -- banded + psi-relaxed DTW replay (the flagship's settings:
+    -- window=12, psi=2).  Extensions over the dtw_daily_pairs CTE:
+    --   band (reference dtw.py:329-352): interior cell (i,j) exists iff
+    --     |i-j| <= window-1 = 11 (equal lengths) — enforced in the cell
+    --     filter, so out-of-band cells are simply absent (= inf);
+    --   psi borders (reference dtw.py:336-337): cells (0,j), (i,0) are
+    --     0 for i,j <= 2 — the diag-1 borders (0,1),(1,0) are seeded
+    --     fresh in the base case (keeping the diagonal schedule: fresh
+    --     cells at iteration k sit on anti-diagonal k+1), the rest walk
+    --     out via relaxed h/v guards at zero cost;
+    --   psi end (reference dtw.py:386-396): distance = min over the
+    --     corner and the last 2 cells of the last row and last column.
+    WITH RECURSIVE
+    pts AS ({{pts}}),
+    agg AS (SELECT series_id, date_trunc('day', ts) AS bucket_ts,
+                   count(value) AS cnt
+            FROM pts GROUP BY 1, 2),
+    gb AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM agg),
+    grid AS (SELECT s.series_id,
+                    unnest(generate_series(gb.b0, gb.b1, interval 1 day))
+                      AS bucket_ts
+             FROM (SELECT DISTINCT series_id FROM agg) s, gb),
+    filled AS (SELECT g.series_id, g.bucket_ts,
+                      CAST(coalesce(a.cnt, 0) AS DOUBLE) AS v
+               FROM grid g LEFT JOIN agg a
+                 ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+    sids AS (SELECT series_id, dense_rank() OVER (ORDER BY series_id) - 1 AS i
+             FROM (SELECT DISTINCT series_id FROM filled)
+             QUALIFY i < 32),
+    sv AS (SELECT s.i AS sid,
+                  row_number() OVER (PARTITION BY s.i ORDER BY f.bucket_ts)
+                    AS idx,
+                  f.v AS v
+           FROM filled f JOIN sids s ON f.series_id = s.series_id),
+    slen AS (SELECT sid, CAST(max(idx) AS INT) AS n FROM sv GROUP BY 1),
+    pairs AS (SELECT a.sid * 1000 + b.sid AS pid, a.sid AS sa, b.sid AS sb,
+                     a.n AS la, b.n AS lb
+              FROM slen a JOIN slen b ON a.sid < b.sid),
+    roles(di, dj, src_fresh, carry) AS (VALUES
+      (1, 0, true, false), (0, 1, true, false),
+      (1, 1, false, false), (0, 0, true, true)),
+    rec(pid, i, j, val, fresh) AS (
+      SELECT pid, 0, 0, CAST(0.0 AS DOUBLE), false FROM pairs
+      UNION ALL
+      SELECT pid, b.bi, b.bj, CAST(0.0 AS DOUBLE), true
+      FROM pairs, (VALUES (0, 1), (1, 0)) b(bi, bj)
+      UNION ALL
+      SELECT e.pid, e.ti, e.tj,
+             CASE WHEN e.carry THEN min(e.val)
+                  WHEN e.ti = 0 OR e.tj = 0 THEN CAST(0.0 AS DOUBLE)
+                  ELSE min(e.val)
+                       + power(any_value(av.v) - any_value(bv.v), 2)
+             END AS val,
+             NOT e.carry AS fresh
+      FROM (
+        SELECT r.pid AS pid, r.i + x.di AS ti, r.j + x.dj AS tj,
+               r.val AS val, x.carry AS carry
+        FROM rec r
+        JOIN roles x ON x.src_fresh = r.fresh
+           -- v-step: into the interior (needs j>=1) or down the psi
+           -- column border (target row <= psi)
+           AND (NOT (x.di = 1 AND x.dj = 0 AND NOT x.carry)
+                OR r.j >= 1 OR r.i < 2)
+           -- h-step: into the interior (needs i>=1) or along the psi
+           -- row border (target col <= psi)
+           AND (NOT (x.di = 0 AND x.dj = 1) OR r.i >= 1 OR r.j < 2)
+      ) e
+      JOIN pairs p ON e.pid = p.pid AND e.ti <= p.la AND e.tj <= p.lb
+        -- Sakoe-Chiba band: interior cells only inside |i-j| <= w-1
+        AND (e.ti = 0 OR e.tj = 0 OR abs(e.ti - e.tj) <= 11)
+      LEFT JOIN sv av ON av.sid = p.sa AND av.idx = e.ti
+      LEFT JOIN sv bv ON bv.sid = p.sb AND bv.idx = e.tj
+      GROUP BY e.pid, e.ti, e.tj, e.carry
+    )
+    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
+           round(sqrt(min(r.val)), 6) AS d
+    FROM rec r JOIN pairs p ON r.pid = p.pid
+    WHERE r.fresh
+      AND ((r.i = p.la AND r.j >= p.lb - 2 AND r.j >= 1)
+           OR (r.j = p.lb AND r.i >= p.la - 2 AND r.i >= 1))
+    GROUP BY p.sa, p.sb
+""".format(pts=_PTS_SQL)
+
+
 ORACLES["dtw_ndim_daily_pairs"] = f"""
     -- multivariate twin of the dtw_daily_pairs CTE: per-dim squared
     -- differences summed inside one DP (dtw_ndim semantics); dim 1 =
@@ -1180,7 +1285,12 @@ def _register_generated_oracles():
         agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
                        count(value) AS cnt
                 FROM pts GROUP BY 1, 2),
-        gb AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM agg),
+        -- trailing-window cap twin of hourly_series (HOURLY_SPAN_CAP
+        -- buckets): grid starts at greatest(b0, b1 - (cap-1) hours)
+        gb AS (SELECT greatest(min(bucket_ts),
+                               max(bucket_ts)
+                               - interval {HOURLY_SPAN_CAP - 1} hour) AS b0,
+                      max(bucket_ts) AS b1 FROM agg),
         grid AS (SELECT s.series_id,
                         unnest(generate_series(gb.b0, gb.b1, interval 1 hour))
                           AS bucket_ts
