@@ -211,6 +211,8 @@ def kmeanspp_centers(spark, series_df: DataFrame, k: int,
 
     if n_samples is None:
         n_samples = max(1, 2 + int(math.log(k)))
+    # deterministic pseudo-random first pick; orderBy+limit(1) compiles
+    # to TakeOrderedAndProject (no global sort — verified in the plan)
     first = series_df.orderBy(F.xxhash64(F.lit(seed), "i")).limit(1).toPandas()
     centers = [np.asarray(first["values"].iloc[0], dtype=np.float64)]
     cdf = spark.createDataFrame(

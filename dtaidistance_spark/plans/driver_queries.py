@@ -539,9 +539,12 @@ def q_ann_brute_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """Multi-probe LSH ANN: each query probes its own bucket plus the 6
+    Hamming-1 neighbors (recall@5 0.08 → 0.25 on sf0.01, measured in
+    tests/test_ann_recall.py; IVF below remains the high-recall path)."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
-    return ANN.lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    return ANN.lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_probes=6)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -552,7 +555,9 @@ def q_ann_ivf_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
     cents = ANN.train_ivf_centroids(emb, n_centroids=8)
-    return ANN.ivf_topk(emb, queries, k=5, nprobe=3, centroids=cents)
+    # nprobe=5 of 8 lists: measured recall@5 = 0.848 vs brute on sf0.01
+    # (tests/test_ann_recall.py; nprobe=3 measured only 0.624)
+    return ANN.ivf_topk(emb, queries, k=5, nprobe=5, centroids=cents)
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
@@ -1399,16 +1404,22 @@ def _register_generated_oracles():
         WHERE {eq_cnt} / 16.0 >= 0.2
     """
 
-    # ANN via LSH buckets (6 deterministic planes, dim 64)
+    # ANN via LSH buckets (6 deterministic planes, dim 64) with 6
+    # Hamming-1 multi-probes on the query side (twin of lsh_topk
+    # n_probes=6: probe list = [bucket, bucket^1, ..., bucket^32])
     b6 = _bucket_sql("v", _planes(64, 6))
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {2 ** p})" for p in range(6)) + "]"
     ORACLES["ann_lsh_topk"] = f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         bkt AS (SELECT vec_id, v, {b6} AS bucket FROM e),
+        qprobe AS (SELECT vec_id, v, unnest({probe_list}) AS bucket
+                   FROM bkt WHERE vec_id < 5),
         scored AS (
           SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
                  round({_cos_sql('q.v', 'c.v')}, 6) AS cosine
-          FROM bkt c JOIN bkt q ON c.bucket = q.bucket
-          WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+          FROM bkt c JOIN qprobe q ON c.bucket = q.bucket
+          WHERE q.vec_id != c.vec_id)
         SELECT query_id, nn_id, cosine,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, nn_id ASC) AS rank
@@ -1479,7 +1490,7 @@ def _register_generated_oracles():
           FROM scored),
         corp AS (SELECT vec_id AS nn_id, v AS vc, cid FROM ranked WHERE rn <= 1),
         qry AS (SELECT vec_id AS query_id, v AS vq, cid FROM ranked
-                WHERE rn <= 3 AND vec_id < 5),
+                WHERE rn <= 5 AND vec_id < 5),
         cand AS (
           SELECT DISTINCT query_id, nn_id,
                  round({_cos_sql('vq', 'vc')}, 6) AS cosine
