@@ -35,15 +35,22 @@ class TestMatchingLastrow:
         assert (ub >= mf - 1e-12).all()
 
     def test_search_topk_prune_equals_brute(self, spark, rng):
+        """Pruned == unpruned through BOTH gated outcomes: prefilter
+        forced on (prune_min_frac=0.0 — the selectivity gate never
+        skips) and forced off, plus the default gate."""
         rows = [(f"s{k:03d}", rng.normal(0, 1, 120).tolist())
                 for k in range(40)]
         df = spark.createDataFrame(rows, "series_id string, values array<double>")
         q = np.sin(np.linspace(0, 3, 15))
         from dtaidistance_spark.operators.subsequence import search_topk
-        a = search_topk(df, q, k=5, prune=True).toPandas()
         b = search_topk(df, q, k=5, prune=False).toPandas()
-        assert list(a["series_id"]) == list(b["series_id"])
-        assert np.allclose(a["match_value"], b["match_value"], rtol=0, atol=0)
+        for kw in ({"prune_min_frac": 0.0},   # prefilter always runs
+                   {"prune_min_frac": 1.1},   # prefilter always skipped
+                   {}):                        # default gate
+            a = search_topk(df, q, k=5, prune=True, **kw).toPandas()
+            assert list(a["series_id"]) == list(b["series_id"]), kw
+            assert np.allclose(a["match_value"], b["match_value"],
+                               rtol=0, atol=0), kw
 
 
 class TestLinearlyScale:
