@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_SERIES = int(os.environ.get("CONTROL_SERIES", "2048"))
 SERIES_LEN = int(os.environ.get("CONTROL_LEN", "504"))
 WINDOW = int(os.environ.get("CONTROL_WINDOW", "24"))
-AGG_ROWS = int(os.environ.get("CONTROL_AGG_ROWS", "4000000"))
+AGG_ROWS = int(os.environ.get("CONTROL_AGG_ROWS", "128000000"))
 
 _corpus = None
 
