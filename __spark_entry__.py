@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # matrices below are rows-only)
         "dtw_daily_pairs": DQ.q_dtw_daily_pairs,
         "dtw_banded_pairs": DQ.q_dtw_banded_pairs,
+        "lb_keogh_pairs": DQ.q_lb_keogh_pairs,
+        "ub_euclidean_pairs": DQ.q_ub_euclidean_pairs,
+        "msm_pairs": DQ.q_msm_pairs,
         "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
         "dtw_ndim_matrix": DQ.q_dtw_ndim_matrix,

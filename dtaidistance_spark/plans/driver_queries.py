@@ -273,6 +273,67 @@ def q_dtw_banded_pairs(spark, sf_dir):
     return dist.select("i", "j", F.round("d", 6).alias("d"))
 
 
+def _daily_series(spark, sf_dir, cap: int) -> DataFrame:
+    """First ``cap`` per-user daily count series on the global grid —
+    the shared short-series input of the value-oracled DP queries."""
+    agg1d = R.rollup_points(event_points_rollup(spark, sf_dir), "1d")
+    filled = R.gap_fill(agg1d, "1d", policy="zero", align="global")
+    arrays = R.series_arrays(filled, "1d", value_col="cnt")
+    return with_index(arrays, order_col="series_id").where(F.col("i") < cap)
+
+
+def q_lb_keogh_pairs(spark, sf_dir):
+    """LB_Keogh lower bound over all ordered pairs of the first 32 daily
+    series, window=12 — pure JVM column algebra (functions/bounds.py:
+    envelope via transform/slice/array_min, excess via zip_with +
+    aggregate; no UDF in the plan).  Reference dtw.py:266-291; DuckDB
+    twin replays the envelope with a ROWS BETWEEN window."""
+    from ..functions.bounds import lb_keogh_pairs
+
+    series = _daily_series(spark, sf_dir, 32)
+    out = lb_keogh_pairs(series, window=12)
+    return out.select("i", "j", F.round("lb", 6).alias("lb"))
+
+
+def q_ub_euclidean_pairs(spark, sf_dir):
+    """Euclidean DTW upper bound (reference ed.py:47-79, equal-length
+    case) over the same pairs — one zip_with/aggregate expression."""
+    from ..functions.bounds import ub_euclidean_pairs
+
+    series = _daily_series(spark, sf_dir, 32)
+    out = ub_euclidean_pairs(series)
+    return out.select("i", "j", F.round("ub", 6).alias("ub"))
+
+
+def q_msm_pairs(spark, sf_dir):
+    """Move-Split-Merge metric (reference msm.py:19-57; Stefan/Athitsos/
+    Das TKDE'12) over all pairs of the first 16 daily series — the MSM
+    DP replayed exactly by a DuckDB recursive CTE (borders are real
+    cells whose recurrence emerges from the h/v candidates, each
+    candidate carrying its own move/split/merge cost)."""
+    from typing import Iterator
+    import pandas as pd
+    from ..kernels.extras import msm_distance
+
+    series = _daily_series(spark, sf_dir, 16)
+    a = series.select("i", "values")
+    b = series.select(F.col("i").alias("j"), F.col("values").alias("values_j"))
+    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = [(int(r.i), int(r.j),
+                     msm_distance(np.asarray(r.values, dtype=np.float64),
+                                  np.asarray(r.values_j, dtype=np.float64),
+                                  sm_cost=0.1))
+                    for r in pdf.itertuples(index=False)]
+            yield pd.DataFrame(rows, columns=["i", "j", "d"])
+
+    return (pairs.mapInPandas(compute, schema="i long, j long, d double")
+            .select("i", "j", F.round("d", 6).alias("d")))
+
+
 def q_dtw_ndim_daily_pairs(spark, sf_dir):
     """Oracled multivariate DTW: 2-dim daily series (event count, daily
     max value) over the first 24 series, full DTW (reference
@@ -1125,6 +1186,120 @@ ORACLES["dtw_banded_pairs"] = f"""
            OR (r.j = p.lb AND r.i >= p.la - 2 AND r.i >= 1))
     GROUP BY p.sa, p.sb
 """.format(pts=_PTS_SQL)
+
+
+_DAILY_SV_SQL = """
+    pts AS ({pts}),
+    agg AS (SELECT series_id, date_trunc('day', ts) AS bucket_ts,
+                   count(value) AS cnt
+            FROM pts GROUP BY 1, 2),
+    gb AS (SELECT min(bucket_ts) AS b0, max(bucket_ts) AS b1 FROM agg),
+    grid AS (SELECT s.series_id,
+                    unnest(generate_series(gb.b0, gb.b1, interval 1 day))
+                      AS bucket_ts
+             FROM (SELECT DISTINCT series_id FROM agg) s, gb),
+    filled AS (SELECT g.series_id, g.bucket_ts,
+                      CAST(coalesce(a.cnt, 0) AS DOUBLE) AS v
+               FROM grid g LEFT JOIN agg a
+                 ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+    sids AS (SELECT series_id, dense_rank() OVER (ORDER BY series_id) - 1 AS i
+             FROM (SELECT DISTINCT series_id FROM filled)
+             QUALIFY i < {cap}),
+    sv AS (SELECT s.i AS sid,
+                  row_number() OVER (PARTITION BY s.i ORDER BY f.bucket_ts)
+                    AS idx,
+                  f.v AS v
+           FROM filled f JOIN sids s ON f.series_id = s.series_id)
+""".format(pts=_PTS_SQL, cap="{cap}")
+
+
+ORACLES["lb_keogh_pairs"] = f"""
+    -- LB_Keogh twin: envelope of series j at position idx covers
+    -- idx-(w-1) .. idx+(w-1) (w=12 → ROWS BETWEEN 11 AND 11); excess =
+    -- max(a - hi, 0) + max(lo - a, 0); lb = sqrt(Σ excess²)
+    WITH {_DAILY_SV_SQL.format(cap=32)},
+    env AS (SELECT sid, idx, v,
+                   min(v) OVER w AS lo, max(v) OVER w AS hi
+            FROM sv
+            WINDOW w AS (PARTITION BY sid ORDER BY idx
+                         ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)),
+    ex AS (SELECT a.sid AS i, e.sid AS j,
+                  greatest(a.v - e.hi, 0) + greatest(e.lo - a.v, 0) AS x
+           FROM sv a JOIN env e ON a.idx = e.idx AND a.sid < e.sid)
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           round(sqrt(sum(x * x)), 6) AS lb
+    FROM ex GROUP BY 1, 2
+"""
+
+
+ORACLES["ub_euclidean_pairs"] = f"""
+    WITH {_DAILY_SV_SQL.format(cap=32)}
+    SELECT CAST(a.sid AS BIGINT) AS i, CAST(b.sid AS BIGINT) AS j,
+           round(sqrt(sum((a.v - b.v) * (a.v - b.v))), 6) AS ub
+    FROM sv a JOIN sv b ON a.idx = b.idx AND a.sid < b.sid
+    GROUP BY 1, 2
+"""
+
+
+ORACLES["msm_pairs"] = f"""
+    -- MSM replay (reference msm.py:19-57), recursive anti-diagonal CTE.
+    -- Cells are 1-based matrix elements (i,j) over (x_i, y_j); the seed
+    -- is (1,1) = |x1 - y1|; borders are REAL cells whose recurrence
+    -- emerges from the single h/v candidate that exists there; each
+    -- candidate carries its own cost:
+    --   v into (i+1,j): + c(x_(i+1), x_i, y_j)
+    --   h into (i,j+1): + c(y_(j+1), x_i, y_j)
+    --   diag into (i+1,j+1): + |x_(i+1) - y_(j+1)|
+    -- with c(a,b,cc) = sm if a between b and cc else sm + min(|a-b|,
+    -- |a-cc|), sm = 0.1.
+    WITH RECURSIVE {_DAILY_SV_SQL.format(cap=16)},
+    slen AS (SELECT sid, CAST(max(idx) AS INT) AS n FROM sv GROUP BY 1),
+    pairs AS (SELECT a.sid * 1000 + b.sid AS pid, a.sid AS sa, b.sid AS sb,
+                     a.n AS la, b.n AS lb
+              FROM slen a JOIN slen b ON a.sid < b.sid),
+    roles(di, dj, src_fresh, carry) AS (VALUES
+      (1, 0, true, false), (0, 1, true, false),
+      (1, 1, false, false), (0, 0, true, true)),
+    rec(pid, i, j, val, fresh) AS (
+      SELECT p.pid, 1, 1, abs(xa.v - yb.v), true
+      FROM pairs p
+      JOIN sv xa ON xa.sid = p.sa AND xa.idx = 1
+      JOIN sv yb ON yb.sid = p.sb AND yb.idx = 1
+      UNION ALL
+      SELECT e.pid, e.ti, e.tj, min(e.cand) AS val, NOT e.carry AS fresh
+      FROM (
+        SELECT r.pid AS pid, r.i + x.di AS ti, r.j + x.dj AS tj,
+               x.carry AS carry,
+               r.val + CASE
+                 WHEN x.carry THEN 0.0
+                 WHEN x.di = 1 AND x.dj = 1 THEN abs(xa.v - yb.v)
+                 WHEN x.di = 1 THEN
+                   CASE WHEN (xp.v <= xa.v AND xa.v <= yp.v)
+                          OR (xp.v >= xa.v AND xa.v >= yp.v) THEN 0.1
+                        ELSE 0.1 + least(abs(xa.v - xp.v),
+                                         abs(xa.v - yp.v)) END
+                 ELSE
+                   CASE WHEN (xp.v <= yb.v AND yb.v <= yp.v)
+                          OR (xp.v >= yb.v AND yb.v >= yp.v) THEN 0.1
+                        ELSE 0.1 + least(abs(yb.v - xp.v),
+                                         abs(yb.v - yp.v)) END
+                 END AS cand
+        FROM rec r
+        JOIN roles x ON x.src_fresh = r.fresh
+        JOIN pairs p2 ON p2.pid = r.pid
+        LEFT JOIN sv xa ON xa.sid = p2.sa AND xa.idx = r.i + x.di
+        LEFT JOIN sv xp ON xp.sid = p2.sa AND xp.idx = r.i
+        LEFT JOIN sv yb ON yb.sid = p2.sb AND yb.idx = r.j + x.dj
+        LEFT JOIN sv yp ON yp.sid = p2.sb AND yp.idx = r.j
+      ) e
+      JOIN pairs p ON e.pid = p.pid AND e.ti <= p.la AND e.tj <= p.lb
+      GROUP BY e.pid, e.ti, e.tj, e.carry
+    )
+    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
+           round(r.val, 6) AS d
+    FROM rec r JOIN pairs p ON r.pid = p.pid
+    WHERE r.fresh AND r.i = p.la AND r.j = p.lb
+"""
 
 
 ORACLES["dtw_ndim_daily_pairs"] = f"""

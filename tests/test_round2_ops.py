@@ -466,3 +466,55 @@ class TestKmeansInit:
         seqs.append(np.zeros(20))  # central-ish? just check it returns one
         c = get_good_c(seqs, 5, settings=DtwSettings())
         assert any(np.array_equal(c, s) for s in seqs)
+
+
+class TestBoundsColumnAlgebra:
+    """functions/bounds.py (pure JVM column algebra) must equal the
+    numpy kernels — same envelope reach, same excess terms (summation
+    association differs: JVM left-to-right vs numpy pairwise)."""
+
+    def test_lb_keogh_pairs_vs_kernel(self, spark, rng):
+        from dtaidistance_spark.functions.bounds import lb_keogh_pairs
+        from dtaidistance_spark.kernels.dtw import lb_keogh_batch
+
+        n, L, w = 8, 40, 7
+        S = rng.normal(0, 1, (n, L))
+        df = spark.createDataFrame(
+            [(i, S[i].tolist()) for i in range(n)],
+            "i long, values array<double>")
+        got = lb_keogh_pairs(df, window=w).toPandas()
+        assert len(got) == n * (n - 1) // 2
+        for r in got.itertuples(index=False):
+            exp = lb_keogh_batch(S[r.i][None, :], S[r.j][None, :], window=w)[0]
+            # JVM aggregate() sums left-to-right; np.sum is pairwise —
+            # identical terms, different association → last-ulp drift
+            assert r.lb == pytest.approx(exp, rel=1e-12)
+
+    def test_ub_euclidean_pairs_vs_kernel(self, spark, rng):
+        from dtaidistance_spark.functions.bounds import ub_euclidean_pairs
+        from dtaidistance_spark.kernels.dtw import ed_distance
+
+        n, L = 6, 25
+        S = rng.normal(0, 1, (n, L))
+        df = spark.createDataFrame(
+            [(i, S[i].tolist()) for i in range(n)],
+            "i long, values array<double>")
+        got = ub_euclidean_pairs(df).toPandas()
+        for r in got.itertuples(index=False):
+            assert r.ub == pytest.approx(ed_distance(S[r.i], S[r.j]),
+                                         rel=1e-12)
+
+    def test_lb_is_admissible_for_banded_dtw(self, spark, rng):
+        """lb_keogh(window=w) <= dtw(window=w) — the pruning contract."""
+        from dtaidistance_spark.functions.bounds import lb_keogh_pairs
+        from dtaidistance_spark.kernels.dtw import DtwSettings, dtw_distance
+
+        n, L, w = 6, 30, 6
+        S = rng.normal(0, 1, (n, L))
+        df = spark.createDataFrame(
+            [(i, S[i].tolist()) for i in range(n)],
+            "i long, values array<double>")
+        got = lb_keogh_pairs(df, window=w).toPandas()
+        st = DtwSettings(window=w)
+        for r in got.itertuples(index=False):
+            assert r.lb <= dtw_distance(S[r.i], S[r.j], settings=st) + 1e-12
