@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lb_keogh_pairs": DQ.q_lb_keogh_pairs,
         "ub_euclidean_pairs": DQ.q_ub_euclidean_pairs,
         "msm_pairs": DQ.q_msm_pairs,
+        "dtw_path_pairs": DQ.q_dtw_path_pairs,
         "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
         "dtw_ndim_matrix": DQ.q_dtw_ndim_matrix,

@@ -334,6 +334,37 @@ def q_msm_pairs(spark, sf_dir):
             .select("i", "j", F.round("d", 6).alias("d")))
 
 
+def q_dtw_path_pairs(spark, sf_dir):
+    """Optimal warping paths (reference dtw.py:975-990 warping_path +
+    best_path :1121-1161) over all pairs of the first 8 daily series,
+    as long-format rows (i, j, step, pi, pj).  The DuckDB twin replays
+    the DP lattice AND the greedy argmin traceback (diag→up→left
+    first-min tie order) as two chained recursive CTEs — so even the
+    path operator is value-oracled at the driver, not rows-only."""
+    from typing import Iterator
+    import pandas as pd
+    from ..kernels.dtw import warping_path
+
+    series = _daily_series(spark, sf_dir, 8)
+    a = series.select("i", "values")
+    b = series.select(F.col("i").alias("j"), F.col("values").alias("values_j"))
+    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                path = warping_path(np.asarray(r.values, dtype=np.float64),
+                                    np.asarray(r.values_j, dtype=np.float64))
+                rows.extend((int(r.i), int(r.j), s, int(pi), int(pj))
+                            for s, (pi, pj) in enumerate(path))
+            yield pd.DataFrame(rows, columns=["i", "j", "step", "pi", "pj"])
+
+    return pairs.mapInPandas(
+        compute, schema="i long, j long, step int, pi int, pj int")
+
+
 def q_dtw_ndim_daily_pairs(spark, sf_dir):
     """Oracled multivariate DTW: 2-dim daily series (event count, daily
     max value) over the first 24 series, full DTW (reference
@@ -1299,6 +1330,82 @@ ORACLES["msm_pairs"] = f"""
            round(r.val, 6) AS d
     FROM rec r JOIN pairs p ON r.pid = p.pid
     WHERE r.fresh AND r.i = p.la AND r.j = p.lb
+"""
+
+
+ORACLES["dtw_path_pairs"] = f"""
+    -- warping-path replay: the full-DTW lattice CTE (as in
+    -- dtw_daily_pairs) followed by a greedy traceback WALK — a second
+    -- recursive CTE whose working set is one cursor per pair, stepping
+    -- to min_by(candidate, (value, priority)) with the reference's
+    -- diag(0) → up(1) → left(2) first-min tie order (dtw.py:1121-1161;
+    -- penalty 0, and argmin order is invariant to the sqrt domain).
+    -- Output: forward path points (pi, pj) = lattice (i-1, j-1), step
+    -- numbered from (0,0).
+    WITH RECURSIVE {_DAILY_SV_SQL.format(cap=8)},
+    slen AS (SELECT sid, CAST(max(idx) AS INT) AS n FROM sv GROUP BY 1),
+    pairs AS (SELECT a.sid * 1000 + b.sid AS pid, a.sid AS sa, b.sid AS sb,
+                     a.n AS la, b.n AS lb
+              FROM slen a JOIN slen b ON a.sid < b.sid),
+    roles(di, dj, src_fresh, carry) AS (VALUES
+      (1, 0, true, false), (0, 1, true, false),
+      (1, 1, false, false), (0, 0, true, true)),
+    rec(pid, i, j, val, fresh) AS (
+      SELECT pid, 0, 0, CAST(0.0 AS DOUBLE), false FROM pairs
+      UNION ALL
+      SELECT e.pid, e.ti, e.tj,
+             CASE WHEN e.carry THEN min(e.val)
+                  ELSE min(e.val)
+                       + power(any_value(av.v) - any_value(bv.v), 2)
+             END AS val,
+             NOT e.carry AS fresh
+      FROM (
+        SELECT r.pid AS pid, r.i + x.di AS ti, r.j + x.dj AS tj,
+               r.val AS val, x.carry AS carry
+        FROM rec r
+        JOIN roles x ON x.src_fresh = r.fresh
+           AND (NOT (x.di = 1 AND x.dj = 0 AND NOT x.carry) OR r.j >= 1)
+           AND (NOT (x.di = 0 AND x.dj = 1) OR r.i >= 1)
+      ) e
+      JOIN pairs p ON e.pid = p.pid AND e.ti <= p.la AND e.tj <= p.lb
+      LEFT JOIN sv av ON av.sid = p.sa AND av.idx = e.ti
+      LEFT JOIN sv bv ON bv.sid = p.sb AND bv.idx = e.tj
+      GROUP BY e.pid, e.ti, e.tj, e.carry
+    ),
+    cells AS MATERIALIZED (SELECT pid, i, j, val FROM rec WHERE fresh),
+    walk(pid, i, j, step) AS (
+      SELECT pid, la, lb, 0 FROM pairs
+      UNION ALL
+      SELECT e.pid,
+             CASE WHEN e.vd <= e.vu AND e.vd <= e.vl THEN e.i - 1
+                  WHEN e.vu <= e.vl THEN e.i - 1
+                  ELSE e.i END,
+             CASE WHEN e.vd <= e.vu AND e.vd <= e.vl THEN e.j - 1
+                  WHEN e.vu <= e.vl THEN e.j
+                  ELSE e.j - 1 END,
+             e.step + 1
+      FROM (
+        SELECT w.pid AS pid, w.step AS step, w.i AS i, w.j AS j,
+               coalesce(cd.val, 1e308) AS vd,
+               coalesce(cu.val, 1e308) AS vu,
+               coalesce(cl.val, 1e308) AS vl
+        FROM walk w
+        LEFT JOIN cells cd ON cd.pid = w.pid AND cd.i = w.i - 1
+                           AND cd.j = w.j - 1
+        LEFT JOIN cells cu ON cu.pid = w.pid AND cu.i = w.i - 1
+                           AND cu.j = w.j
+        LEFT JOIN cells cl ON cl.pid = w.pid AND cl.i = w.i
+                           AND cl.j = w.j - 1
+        WHERE w.i > 1 OR w.j > 1
+      ) e
+    ),
+    wl AS (SELECT pid, max(step) AS ns FROM walk GROUP BY 1)
+    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
+           CAST(wl.ns - w.step AS INT) AS step,
+           CAST(w.i - 1 AS INT) AS pi, CAST(w.j - 1 AS INT) AS pj
+    FROM walk w
+    JOIN pairs p ON w.pid = p.pid
+    JOIN wl ON wl.pid = w.pid
 """
 
 
