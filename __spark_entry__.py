@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ub_euclidean_pairs": DQ.q_ub_euclidean_pairs,
         "msm_pairs": DQ.q_msm_pairs,
         "dtw_path_pairs": DQ.q_dtw_path_pairs,
+        "warp_pairs": DQ.q_warp_pairs,
+        "warping_amount_pairs": DQ.q_warping_amount_pairs,
+        "dtw_block_pairs": DQ.q_dtw_block_pairs,
         "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
         "dtw_ndim_matrix": DQ.q_dtw_ndim_matrix,

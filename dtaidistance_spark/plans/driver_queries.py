@@ -365,6 +365,76 @@ def q_dtw_path_pairs(spark, sf_dir):
         compute, schema="i long, j long, step int, pi int, pj int")
 
 
+def q_warp_pairs(spark, sf_dir):
+    """``warp`` (reference dtw.py:1099-1118): resample series i onto
+    series j's time axis along the optimal path — per to-index, the
+    mean of the mapped from-values.  Long format (i, j, pos, warped);
+    the DuckDB twin aggregates the traceback-walk CTE (daily counts →
+    bucket sums are integer-exact, so the mean is reproducible)."""
+    from typing import Iterator
+    import pandas as pd
+    from ..kernels.dtw import warp
+
+    series = _daily_series(spark, sf_dir, 8)
+    a = series.select("i", "values")
+    b = series.select(F.col("i").alias("j"), F.col("values").alias("values_j"))
+    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                warped, _ = warp(np.asarray(r.values, dtype=np.float64),
+                                 np.asarray(r.values_j, dtype=np.float64))
+                rows.extend((int(r.i), int(r.j), pos, float(v))
+                            for pos, v in enumerate(warped))
+            yield pd.DataFrame(rows, columns=["i", "j", "pos", "warped"])
+
+    return (pairs.mapInPandas(
+        compute, schema="i long, j long, pos int, warped double")
+        .select("i", "j", "pos", F.round("warped", 6).alias("warped")))
+
+
+def q_warping_amount_pairs(spark, sf_dir):
+    """``warping_amount`` (reference dtw.py:1051-1066): number of
+    non-diagonal steps on the optimal path per pair."""
+    from typing import Iterator
+    import pandas as pd
+    from ..kernels.dtw import warping_amount, warping_path
+
+    series = _daily_series(spark, sf_dir, 8)
+    a = series.select("i", "values")
+    b = series.select(F.col("i").alias("j"), F.col("values").alias("values_j"))
+    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = [(int(r.i), int(r.j),
+                     int(warping_amount(warping_path(
+                         np.asarray(r.values, dtype=np.float64),
+                         np.asarray(r.values_j, dtype=np.float64)))))
+                    for r in pdf.itertuples(index=False)]
+            yield pd.DataFrame(rows, columns=["i", "j", "amount"])
+
+    return pairs.mapInPandas(compute, schema="i long, j long, amount int")
+
+
+def q_dtw_block_pairs(spark, sf_dir):
+    """Block-restricted distance matrix (reference dtw.py:757-761 — the
+    reference's own multi-node distribution primitive): rows [0,16) ×
+    cols [8,32) of the 32-series daily matrix, triangular."""
+    agg1d = R.rollup_points(event_points_rollup(spark, sf_dir), "1d")
+    filled = R.gap_fill(agg1d, "1d", policy="zero", align="global")
+    arrays = R.series_arrays(filled, "1d", value_col="cnt")
+    series = with_index(arrays, order_col="series_id") \
+        .where(F.col("i") < 32)
+    dist = distance_matrix(series, settings=DtwSettings(),
+                           block=((0, 16), (8, 32)), chunk_size=128)
+    return dist.select("i", "j", F.round("d", 6).alias("d"))
+
+
 def q_dtw_ndim_daily_pairs(spark, sf_dir):
     """Oracled multivariate DTW: 2-dim daily series (event count, daily
     max value) over the first 24 series, full DTW (reference
@@ -1407,6 +1477,42 @@ ORACLES["dtw_path_pairs"] = f"""
     JOIN pairs p ON w.pid = p.pid
     JOIN wl ON wl.pid = w.pid
 """
+
+# the same lattice + traceback base feeds warp and warping-amount: split
+# the path oracle at its final SELECT and graft different heads on
+_PATH_BASE, _PATH_FINAL = ORACLES["dtw_path_pairs"].rsplit(
+    "    wl AS (SELECT pid", 1)
+
+ORACLES["warp_pairs"] = _PATH_BASE + """    wagg AS (
+      SELECT w.pid, w.j - 1 AS pos,
+             sum(av.v) AS sv_sum, count(*) AS cnt
+      FROM walk w
+      JOIN pairs p ON w.pid = p.pid
+      JOIN sv av ON av.sid = p.sa AND av.idx = w.i
+      GROUP BY 1, 2)
+    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
+           CAST(a.pos AS INT) AS pos,
+           round(a.sv_sum / a.cnt, 6) AS warped
+    FROM wagg a JOIN pairs p ON a.pid = p.pid
+"""
+
+ORACLES["warping_amount_pairs"] = _PATH_BASE + """    steps AS (
+      -- b is the later forward path point (earlier walk step); a step
+      -- is non-diagonal when either coordinate repeats
+      SELECT a.pid,
+             CASE WHEN b.i = a.i OR b.j = a.j THEN 1 ELSE 0 END AS nd
+      FROM walk a JOIN walk b ON a.pid = b.pid AND a.step = b.step + 1)
+    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
+           CAST(sum(s.nd) AS INT) AS amount
+    FROM steps s JOIN pairs p ON s.pid = p.pid
+    GROUP BY 1, 2
+"""
+
+# block restriction (reference dtw.py:757-761): same full-DTW replay,
+# pair space limited to rows [0,16) x cols [8,32), triu
+ORACLES["dtw_block_pairs"] = ORACLES["dtw_daily_pairs"].replace(
+    "ON a.sid < b.sid",
+    "ON a.sid < b.sid AND a.sid < 16 AND b.sid >= 8")
 
 
 ORACLES["dtw_ndim_daily_pairs"] = f"""
