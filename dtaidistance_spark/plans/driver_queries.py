@@ -435,6 +435,44 @@ def q_dtw_block_pairs(spark, sf_dir):
     return dist.select("i", "j", F.round("d", 6).alias("d"))
 
 
+def q_dba_update(spark, sf_dir):
+    """One distributed DBA barycenter update (reference
+    dtw_barycenter.py:208-243) with center = daily series 0 and members
+    = series 1..7, in the engine's real scale shape: ``mapInPandas``
+    emits per-batch (pos, sum, count) partials (kernels/dtw.py::
+    dba_partial — the associative half), a hash aggregation reduces
+    them, and the mean per center position comes out.  The DuckDB twin
+    replays every member's warping path to the center via the
+    lattice+traceback CTE and buckets the aligned values (daily counts →
+    integer-exact sums)."""
+    from typing import Iterator
+    import pandas as pd
+
+    series = _daily_series(spark, sf_dir, 8)
+    center = series.where(F.col("i") == 0).select("values").collect()[0][0]
+    members = series.where(F.col("i") >= 1).select("values")
+    c_list = [float(x) for x in center]
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from ..kernels.dtw import dba_partial
+        c = np.asarray(c_list, dtype=np.float64)
+        for pdf in batches:
+            seqs = [np.asarray(v, dtype=np.float64) for v in pdf["values"]]
+            if not seqs:
+                continue
+            sums, counts = dba_partial(seqs, c)
+            yield pd.DataFrame({"pos": np.arange(len(c), dtype=np.int32),
+                                "s": sums, "cnt": counts})
+
+    part = members.mapInPandas(partials,
+                               schema="pos int, s double, cnt double")
+    return (part.groupBy("pos")
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+            .select("pos", F.round(F.col("s") / F.col("cnt"), 6)
+                    .alias("center_val")))
+
+
 def q_dtw_ndim_daily_pairs(spark, sf_dir):
     """Oracled multivariate DTW: 2-dim daily series (event count, daily
     max value) over the first 24 series, full DTW (reference
@@ -1513,6 +1551,23 @@ ORACLES["warping_amount_pairs"] = _PATH_BASE + """    steps AS (
 ORACLES["dtw_block_pairs"] = ORACLES["dtw_daily_pairs"].replace(
     "ON a.sid < b.sid",
     "ON a.sid < b.sid AND a.sid < 16 AND b.sid >= 8")
+
+# one DBA update: center = sid 0, members = sids 1..7 — paths replayed
+# by the same lattice+walk base restricted to center pairs, aligned
+# member values bucketed per center position (dtw_barycenter.py:208-243;
+# orientation: warping_path(c, seq) → walk i indexes the center, walk j
+# the member, sums[i-1] += member[j])
+ORACLES["dba_update"] = _PATH_BASE.replace(
+    "ON a.sid < b.sid",
+    "ON a.sid < b.sid AND a.sid = 0") + """    wagg AS (
+      SELECT w.i - 1 AS pos, sum(bv.v) AS s, count(*) AS cnt
+      FROM walk w
+      JOIN pairs p ON w.pid = p.pid
+      JOIN sv bv ON bv.sid = p.sb AND bv.idx = w.j
+      GROUP BY 1)
+    SELECT CAST(pos AS INT) AS pos, round(s / cnt, 6) AS center_val
+    FROM wagg
+"""
 
 
 ORACLES["dtw_ndim_daily_pairs"] = f"""
