@@ -129,6 +129,54 @@ class TestStreaming:
         closed = batch[batch["bucket_ts"] < wm_cutoff]
         assert len(got) >= len(closed)
 
+    def test_late_data_dropped_after_watermark(self, spark, tmp_path):
+        """Watermark semantics across incremental runs sharing one
+        checkpoint: a row arriving after its window's watermark has
+        passed is dropped; the already-emitted window is never revised
+        (append mode), and new in-watermark data still aggregates."""
+        import pandas as pd
+
+        src_dir = tmp_path / "late_src"
+        src_dir.mkdir()
+        out_dir = str(tmp_path / "late_out")
+        ck_dir = str(tmp_path / "late_ck")
+        schema = "series_id string, ts timestamp, value double"
+
+        def drop(name, rows):
+            pdf = pd.DataFrame(rows, columns=["series_id", "ts", "value"])
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            spark.createDataFrame(pdf).coalesce(1) \
+                .write.parquet(str(src_dir / name))
+
+        t = pd.Timestamp("2024-01-01 10:00:00")
+        # run 1: two events in the 10:00 window, then an event at 12:00
+        # that pushes the watermark (10 min) far past the window's end
+        drop("b1", [("a", t, 1.0), ("a", t + pd.Timedelta("20s"), 2.0),
+                    ("a", t + pd.Timedelta("2h"), 5.0)])
+        run_file_stream(spark, str(src_dir) + "/*", schema=schema,
+                        out_dir=out_dir, checkpoint_dir=ck_dir,
+                        series_expr="series_id")
+        first = spark.read.parquet(out_dir).toPandas()
+        w0 = first[first["bucket_ts"] == t]
+        assert len(w0) == 1 and int(w0["cnt"].iloc[0]) == 2
+
+        # run 2 (same checkpoint → watermark state persists): one LATE
+        # row back in the closed 10:00 window + one fresh row at 13:00
+        drop("b2", [("a", t + pd.Timedelta("30s"), 99.0),
+                    ("a", t + pd.Timedelta("3h"), 7.0)])
+        run_file_stream(spark, str(src_dir) + "/*", schema=schema,
+                        out_dir=out_dir, checkpoint_dir=ck_dir,
+                        series_expr="series_id")
+        final = spark.read.parquet(out_dir).toPandas()
+        w0 = final[final["bucket_ts"] == t]
+        # the late row was dropped: the 10:00 window was emitted exactly
+        # once, with the run-1 count, and never revised
+        assert len(w0) == 1 and int(w0["cnt"].iloc[0]) == 2
+        assert 99.0 not in set(final["max"])
+        # the 12:00 window (closed by the 13:00 watermark) did emit
+        w12 = final[final["bucket_ts"] == t + pd.Timedelta("2h")]
+        assert len(w12) == 1 and int(w12["cnt"].iloc[0]) == 1
+
     def test_stateful_sessionize_matches_batch(self, spark, tmp_path):
         """applyInPandasWithState sessionizer vs the batch window-cumsum
         sessionization, on the safely-closed subset."""
