@@ -1,0 +1,67 @@
+"""Physical-plan property assertions for the headline queries — the
+claims the docs make about the plans, pinned so regressions surface:
+
+* tier rollup: partial (map-side) aggregation starts on the scan and
+  the plan has exactly ONE shuffle exchange (no row_number window pass);
+* edit_distance: no Python evaluation node (JVM levenshtein only);
+* lb_keogh / ub_euclidean bounds: pure column algebra, no Python;
+* no SinglePartition exchange in any hot plan.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(f"{SF_DIR}/events.parquet"), reason="testdata absent")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython")
+
+
+class TestPlans:
+    def test_rollup_single_shuffle_partial_agg(self, spark):
+        from dtaidistance_spark.plans import driver_queries as DQ
+        plan = _plan(DQ.q_rollup_1m(spark, SF_DIR))
+        # one exchange: the final aggregation's hash partitioning — the
+        # partial agg runs map-side directly on the scan
+        assert plan.count("Exchange") == 1, plan
+        assert "partial" in plan.lower()
+        assert "SinglePartition" not in plan
+
+    def test_edit_distance_is_jvm_only(self, spark):
+        from dtaidistance_spark.plans import driver_queries as DQ
+        plan = _plan(DQ.q_edit_distance(spark, SF_DIR))
+        assert "levenshtein" in plan
+        for node in PY_EVAL_NODES:
+            assert node not in plan, plan
+
+    def test_bounds_are_jvm_only(self, spark):
+        from dtaidistance_spark.functions.bounds import (lb_keogh_pairs,
+                                                         ub_euclidean_pairs)
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0, 2.0]) for i in range(4)],
+            "i long, values array<double>")
+        for out in (lb_keogh_pairs(df, window=2), ub_euclidean_pairs(df)):
+            plan = _plan(out)
+            for node in PY_EVAL_NODES:
+                assert node not in plan, plan
+            assert "SinglePartition" not in plan
+
+    def test_retention_filter_reaches_scan_side(self, spark):
+        """apply_retention's bucket filter sits below the aggregation
+        output (declarative WHERE, not a post-collect filter)."""
+        from dtaidistance_spark.operators import rollup as R
+        from dtaidistance_spark.plans.driver_queries import event_points_rollup
+        agg = R.rollup_points(event_points_rollup(spark, SF_DIR), "1h")
+        kept = R.apply_retention(agg, "1h", "2024-01-15")
+        plan = _plan(kept)
+        assert "Filter" in plan
+        assert "SinglePartition" not in plan
