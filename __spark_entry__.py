@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warping_amount_pairs": DQ.q_warping_amount_pairs,
         "dtw_block_pairs": DQ.q_dtw_block_pairs,
         "dba_update": DQ.q_dba_update,
+        "distance_from_path_pairs": DQ.q_distance_from_path_pairs,
         "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
         "dtw_ndim_matrix": DQ.q_dtw_ndim_matrix,

