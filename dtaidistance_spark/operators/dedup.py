@@ -61,7 +61,13 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     threshold treated as approximate (standard stop-shingle trick); the
     default None keeps exact semantics.
     """
-    sh = docs.select("doc_id", F.explode(_shingles(k)).alias("shingle"))
+    # persisted: the exploded shingle table feeds three consumers (per-doc
+    # sizes, the df cap, and both sides of the co-occurrence self-join) —
+    # without the cache the normalize+shingle pipeline runs up to 4×
+    from ..resources import track_persist
+    sh = track_persist(
+        docs.select("doc_id", F.explode(_shingles(k)).alias("shingle"))
+        .persist())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     if max_df is not None:
         dfreq = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
@@ -132,6 +138,12 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
             for b in range(bands)])).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"),
              F.col("bb.bkey").alias("bkey"))
+    # persist the banded signatures: the self-join otherwise computes the
+    # shingle + n_hashes·md5 pipeline TWICE (the two join inputs differ
+    # after per-side predicate pushdown, so ReuseExchange never fires —
+    # verified: 2 parquet scans, 0 ReusedExchange in the physical plan)
+    from ..resources import track_persist
+    banded = track_persist(banded.persist())
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (
@@ -195,10 +207,12 @@ def simhash_neighbor_pairs(docs: DataFrame, max_hamming: int = 2,
                  F.shiftright("simhash", offs[c])
                  .bitwiseAND(F.lit((1 << sizes[c]) - 1)).alias("cval"))
         for c in range(n_chunks)])
-    banded = sh.select("doc_id", "simhash",
-                       F.explode(chunks).alias("cc")) \
+    from ..resources import track_persist
+    banded = track_persist(
+        sh.select("doc_id", "simhash", F.explode(chunks).alias("cc"))
         .select("doc_id", "simhash", F.col("cc.chunk").alias("chunk"),
                 F.col("cc.cval").alias("cval"))
+        .persist())  # both self-join sides read one simhash computation
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) &
