@@ -639,16 +639,22 @@ def q_kmeans_clusters(spark, sf_dir):
 
 
 def q_linkage_tree(spark, sf_dir):
+    """Complete-linkage agglomerative tree over the DTW distances of the
+    first 32 daily series (the exact distances the ``dtw_daily_pairs``
+    recursive-CTE oracle replays bit-exact).  The merge loop (reference
+    clustering/hierarchical.py:467-518 LinkageTree semantics, row-major
+    first-minimum tie-break) is deterministic, so the DuckDB twin replays
+    all 31 iterations as chained argmin/update CTEs — promoting this
+    query from rows-only to value-oracled."""
     from ..operators.cluster import linkage_tree_fit
     from ..kernels.dtw import DtwSettings
 
-    series = with_index(hourly_series(spark, sf_dir), order_col="series_id") \
-        .where(F.col("i") < 64)
-    Z = linkage_tree_fit(series, 64, settings=DtwSettings(window=12))
-    rows = [(int(a), int(b), round(float(d), 6), int(cnt))
-            for a, b, d, cnt in Z]
+    series = _daily_series(spark, sf_dir, 32)
+    Z = linkage_tree_fit(series, 32, settings=DtwSettings())
+    rows = [(step, int(a), int(b), round(float(d), 6), int(cnt))
+            for step, (a, b, d, cnt) in enumerate(Z)]
     return spark.createDataFrame(
-        rows, "left long, right long, dist double, count long")
+        rows, "step long, left long, right long, dist double, count long")
 
 
 def q_loco_matches(spark, sf_dir):
@@ -2007,6 +2013,67 @@ def _register_generated_oracles():
           SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n)
         SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
     """
+
+    # linkage_tree: complete-linkage agglomerative merge loop replayed as
+    # 31 chained CTE iterations on top of the bit-exact dtw_daily_pairs
+    # distance lattice (operators/cluster.py::linkage semantics, reference
+    # clustering/hierarchical.py:467-518).  Each step: argmin over the
+    # active pair set with row-major first-minimum tie-break (ORDER BY
+    # dist, a, b — active slots stay ascending so slot order == position
+    # order), emit the scipy-layout Z row, fold slot b into slot a with
+    # max-linkage distance updates.  No arithmetic touches the distances
+    # except max(), so bit-exactness carries through every iteration.
+    _LINK_N = 32
+    _link_base = ORACLES["dtw_daily_pairs"].rsplit("    SELECT CAST(p.sa", 1)[0]
+    _parts = [_link_base.rstrip().rstrip(","), ",",
+              f"""
+    d0 AS MATERIALIZED (SELECT p.sa AS a, p.sb AS b, sqrt(r.val) AS dist
+           FROM rec r JOIN pairs p ON r.pid = p.pid
+           WHERE r.fresh AND r.i = p.la AND r.j = p.lb),
+    m0 AS MATERIALIZED (SELECT CAST(t.i AS INT) AS slot, CAST(t.i AS INT) AS cid,
+                  1 AS sz
+           FROM range({_LINK_N}) t(i)),"""]
+    for k in range(1, _LINK_N):
+        _parts.append(f"""
+    sel{k} AS MATERIALIZED (SELECT a AS sa, b AS sb, dist AS sd
+               FROM d{k - 1} ORDER BY dist, a, b LIMIT 1),
+    out{k} AS MATERIALIZED (SELECT {k - 1} AS step,
+                      least(ma.cid, mb.cid) AS left_id,
+                      greatest(ma.cid, mb.cid) AS right_id,
+                      s.sd AS dist, ma.sz + mb.sz AS cnt
+               FROM sel{k} s
+               JOIN m{k - 1} ma ON ma.slot = s.sa
+               JOIN m{k - 1} mb ON mb.slot = s.sb),
+    m{k} AS MATERIALIZED (SELECT m.slot,
+                    CASE WHEN m.slot = s.sa THEN {_LINK_N} + {k - 1}
+                         ELSE m.cid END AS cid,
+                    CASE WHEN m.slot = s.sa THEN (SELECT cnt FROM out{k})
+                         ELSE m.sz END AS sz
+             FROM m{k - 1} m, sel{k} s WHERE m.slot <> s.sb),
+    d{k} AS MATERIALIZED (
+      SELECT d.a, d.b, d.dist FROM d{k - 1} d, sel{k} s
+      WHERE d.a NOT IN (s.sa, s.sb) AND d.b NOT IN (s.sa, s.sb)
+      UNION ALL
+      SELECT least(u.sa, u.o) AS a, greatest(u.sa, u.o) AS b,
+             max(u.dist) AS dist
+      FROM (SELECT s.sa AS sa,
+                   CASE WHEN d.a IN (s.sa, s.sb) THEN d.b
+                        ELSE d.a END AS o,
+                   d.dist
+            FROM d{k - 1} d, sel{k} s
+            WHERE (d.a IN (s.sa, s.sb) OR d.b IN (s.sa, s.sb))
+              AND NOT (d.a = s.sa AND d.b = s.sb)) u
+      GROUP BY u.sa, u.o
+    ),""")
+    _union = "\n      UNION ALL ".join(
+        f"SELECT * FROM out{k}" for k in range(1, _LINK_N))
+    _parts.append(f"""
+    z AS ({_union})
+    SELECT CAST(step AS BIGINT) AS step, CAST(left_id AS BIGINT) AS "left",
+           CAST(right_id AS BIGINT) AS "right", round(dist, 6) AS dist,
+           CAST(cnt AS BIGINT) AS "count"
+    FROM z""")
+    ORACLES["linkage_tree"] = "".join(_parts)
 
 
 _register_generated_oracles()
