@@ -66,7 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "subsequence_topk": DQ.q_subsequence_topk,
         "linkage_tree": DQ.q_linkage_tree,
-        "symbolize": DQ.q_symbolize,
+        "subsequence_matches": DQ.q_subsequence_matches,
         "nw_align": DQ.q_nw_align,
         "edit_distance": DQ.q_edit_distance,
         "media_features": DQ.q_media_features,
@@ -91,7 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ~400M-cell DP lattices; each is pytest-golden-pinned instead, see
         # tests/test_driver_golden.py). Placed last so every value-oracled
         # query sits inside the driver's correctness window.
-        "subsequence_matches": DQ.q_subsequence_matches,
+        "symbolize": DQ.q_symbolize,
         "kmeans_clusters": DQ.q_kmeans_clusters,
         "loco_matches": DQ.q_loco_matches,
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,

@@ -1845,6 +1845,145 @@ def _register_generated_oracles():
         LIMIT 10
     """
 
+    # subsequence_matches: k-best (k=2) subsequence matches with segment
+    # traceback, fully value-oracled.  Three stages on top of the same
+    # free-start/free-end subsequence DP as subsequence_topk (first 20
+    # series, query = [0×4, 2×8, 0×4]):
+    #   1. keep ALL lattice cells (not just the last row) MATERIALIZED;
+    #   2. greedy argmin traceback (kernels/dtw.py::best_path, reference
+    #      dtw.py:1121-1161: candidates diag / up+pen / left+pen,
+    #      first-minimum wins ties) from every end column simultaneously
+    #      as one recursive CTE → start[j] per end position;
+    #   3. the kbest masked-argmin loop (kernels/subsequence.py:65-103)
+    #      collapses to TWO closed-form selections for k=2, because the
+    #      inf-mask set never changes between the two emits and skip
+    #      iterations (length-gate → maxv, inf-in-window → maxv) only
+    #      remove the skipped candidate itself: emit 1 = global argmin
+    #      among len>=minlength candidates; emit 2 = argmin among those
+    #      whose mask window [mb, idx] is disjoint from emit 1's window
+    #      (verified bit-exact vs the kernel loop on all sf0.01 series).
+    _q2 = np.concatenate([np.zeros(4), np.ones(8) * 2, np.zeros(4)])
+    _q2lit = ", ".join(f"({i + 1}, {float(v)!r})" for i, v in enumerate(_q2))
+    _r2 = len(_q2)  # 16
+    ORACLES["subsequence_matches"] = f"""
+        WITH RECURSIVE
+        pts AS ({_PTS_SQL}),
+        agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                       count(value) AS cnt
+                FROM pts GROUP BY 1, 2),
+        gb AS (SELECT greatest(min(bucket_ts),
+                               max(bucket_ts)
+                               - interval {HOURLY_SPAN_CAP - 1} hour) AS b0,
+                      max(bucket_ts) AS b1 FROM agg),
+        grid AS (SELECT s.series_id,
+                        unnest(generate_series(gb.b0, gb.b1, interval 1 hour))
+                          AS bucket_ts
+                 FROM (SELECT DISTINCT series_id FROM agg) s, gb),
+        sv AS MATERIALIZED (
+          SELECT g.series_id,
+                 row_number() OVER (PARTITION BY g.series_id
+                                    ORDER BY g.bucket_ts) AS idx,
+                 CAST(coalesce(a.cnt, 0) AS DOUBLE) AS v
+          FROM grid g LEFT JOIN agg a
+            ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+        lens AS MATERIALIZED (
+          SELECT series_id, lb FROM (
+            SELECT series_id, CAST(max(idx) AS INT) AS lb FROM sv
+            GROUP BY 1 HAVING max(idx) >= 24)
+          QUALIFY row_number() OVER (ORDER BY series_id) <= 20),
+        qv(idx, v) AS (VALUES {_q2lit}),
+        roles(di, dj, src_fresh, carry) AS (VALUES
+          (1, 0, true, false), (0, 1, true, false),
+          (1, 1, false, false), (0, 0, true, true)),
+        rec(series_id, i, j, val, fresh) AS (
+          SELECT series_id, 0, 0, CAST(0.0 AS DOUBLE), true FROM lens
+          UNION ALL
+          SELECT e.series_id, e.ti, e.tj,
+                 min(e.cand)
+                 + CASE WHEN e.carry OR e.ti = 0 THEN 0.0
+                        ELSE power(any_value(qq.v) - any_value(ss.v), 2)
+                   END AS val,
+                 NOT e.carry AS fresh
+          FROM (
+            SELECT r.series_id AS series_id, r.i + x.di AS ti,
+                   r.j + x.dj AS tj, x.carry AS carry,
+                   r.val + CASE
+                     WHEN x.carry THEN 0.0
+                     WHEN x.di = 1 AND x.dj = 0 THEN {_p}
+                     WHEN x.di = 0 AND x.dj = 1 AND r.i >= 1 THEN {_p}
+                     ELSE 0.0 END AS cand
+            FROM rec r
+            JOIN roles x ON x.src_fresh = r.fresh
+               AND (NOT (x.di = 1 AND x.dj = 0 AND NOT x.carry)
+                    OR r.j >= 1)
+          ) e
+          JOIN lens l ON e.series_id = l.series_id
+            AND e.ti <= {_r2} AND e.tj <= l.lb
+          LEFT JOIN qv qq ON qq.idx = e.ti
+          LEFT JOIN sv ss ON ss.series_id = e.series_id AND ss.idx = e.tj
+          GROUP BY e.series_id, e.ti, e.tj, e.carry
+        ),
+        cells AS MATERIALIZED (
+          SELECT series_id, i, j, val FROM rec WHERE fresh),
+        tb(series_id, endj, i, j, sstart) AS (
+          SELECT series_id, j, {_r2}, j, CAST(NULL AS INT)
+          FROM cells WHERE i = {_r2} AND j >= 1
+          UNION ALL
+          SELECT series_id, endj,
+                 CASE WHEN mv IN (0, 1) THEN i - 1 ELSE i END,
+                 CASE WHEN mv IN (0, 2) THEN j - 1 ELSE j END,
+                 CASE WHEN mv IN (0, 1) AND i - 1 = 0 THEN j - 1
+                      ELSE NULL END
+          FROM (
+            SELECT t.series_id, t.endj, t.i, t.j,
+                   CASE WHEN dv <= uv AND dv <= lv THEN 0
+                        WHEN uv <= lv THEN 1 ELSE 2 END AS mv
+            FROM (
+              SELECT t.*,
+                     coalesce(cd.val, 1e308) AS dv,
+                     coalesce(cu.val, 1e308) + {_p} AS uv,
+                     coalesce(cl.val, 1e308) + {_p} AS lv
+              FROM tb t
+              LEFT JOIN cells cd ON cd.series_id = t.series_id
+                AND cd.i = t.i - 1 AND cd.j = t.j - 1
+              LEFT JOIN cells cu ON cu.series_id = t.series_id
+                AND cu.i = t.i - 1 AND cu.j = t.j
+              LEFT JOIN cells cl ON cl.series_id = t.series_id
+                AND cl.i = t.i AND cl.j = t.j - 1
+              WHERE t.sstart IS NULL AND t.i > 0 AND t.j > 0
+            ) t
+          )
+        ),
+        starts AS MATERIALIZED (
+          SELECT series_id, endj - 1 AS j0, sstart AS s0
+          FROM tb WHERE sstart IS NOT NULL),
+        stat AS MATERIALIZED (
+          SELECT s.series_id, s.j0, s.s0,
+                 sqrt(c.val) / {_r2} AS value,
+                 s.j0 - s.s0 + 1 AS seglen,
+                 CASE WHEN s.j0 > s.s0 THEN s.s0 + 1 ELSE s.s0 END AS mb
+          FROM starts s
+          JOIN cells c ON c.series_id = s.series_id
+            AND c.i = {_r2} AND c.j = s.j0 + 1),
+        sel1 AS MATERIALIZED (
+          SELECT * FROM stat WHERE seglen >= 4
+          QUALIFY row_number() OVER (PARTITION BY series_id
+                                     ORDER BY value, j0) = 1),
+        sel2 AS (
+          SELECT st.* FROM stat st JOIN sel1 s1
+            ON st.series_id = s1.series_id
+          WHERE st.seglen >= 4
+            AND (st.j0 < s1.mb OR st.mb > s1.j0)
+          QUALIFY row_number() OVER (PARTITION BY st.series_id
+                                     ORDER BY st.value, st.j0) = 1)
+        SELECT series_id, CAST(rank AS INT) AS rank,
+               CAST(j0 AS INT) AS end_idx, value,
+               CAST(s0 AS INT) AS seg_start, CAST(j0 AS INT) AS seg_end
+        FROM (SELECT series_id, 0 AS rank, j0, value, s0 FROM sel1
+              UNION ALL
+              SELECT series_id, 1 AS rank, j0, value, s0 FROM sel2)
+    """
+
     ORACLES["simhash"] = f"""
         WITH {_simhash_sql(15)}
         SELECT doc_id, simhash FROM sim
