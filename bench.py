@@ -127,7 +127,8 @@ def _child(name: str) -> None:
                                        "cold_sec": cold, "rows": rows}))
 
 
-def _emit(timings: dict, rows: dict, cold: dict | None = None) -> None:
+def _emit(timings: dict, rows: dict, cold: dict | None = None,
+          failed: list | None = None) -> None:
     n_points = rows.get("rollup_1m", 0) + rows.get("rollup_1h_cascade", 0) \
         + rows.get("rollup_1d_cascade", 0)
     t_tiers = (timings.get("rollup_1m", 0) + timings.get("rollup_1h_cascade", 0)
@@ -154,7 +155,13 @@ def _emit(timings: dict, rows: dict, cold: dict | None = None) -> None:
     }
     if cold:
         out["extra"]["queries_cold_first_run"] = cold
+    if failed:
+        # crashed bench children: the headline total understates, make the
+        # record of truth say so explicitly (ADVICE r3)
+        out["extra"]["failed_queries"] = failed
     print(json.dumps(out))
+    if failed:
+        sys.exit(3)
 
 
 def main():
@@ -168,6 +175,7 @@ def main():
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     cold: dict[str, float] = {}
+    failed: list[str] = []
     inproc = "--inproc" in flags or (bool(args) and "--isolate" not in flags)
     if inproc:
         from dtaidistance_spark.session import get_spark
@@ -197,12 +205,13 @@ def main():
             if result is None:
                 sys.stderr.write(f"bench child {name} failed (rc={proc.returncode})"
                                  f"; stderr tail:\n{proc.stderr[-2000:]}\n")
+                failed.append(name)
                 continue
             timings[name] = result["sec"]
             if result.get("cold_sec") is not None:
                 cold[name] = result["cold_sec"]
             rows.update({k: int(v) for k, v in result["rows"].items()})
-    _emit(timings, rows, cold)
+    _emit(timings, rows, cold, failed)
 
 
 if __name__ == "__main__":

@@ -504,6 +504,33 @@ class TestBoundsColumnAlgebra:
             assert r.ub == pytest.approx(ed_distance(S[r.i], S[r.j]),
                                          rel=1e-12)
 
+    def test_bounds_shuffle_fallback_vs_broadcast(self, spark, rng):
+        """Force the corpus above the broadcast gate so the chunk-pair
+        shuffle plan runs (ADVICE r3: the unconditional broadcast was an
+        OOM trap at corpus scale) and pin identical results."""
+        from dtaidistance_spark.functions.bounds import (lb_keogh_pairs,
+                                                         ub_euclidean_pairs)
+
+        n, L, w = 8, 40, 7
+        S = rng.normal(0, 1, (n, L))
+        df = spark.createDataFrame(
+            [(i, S[i].tolist()) for i in range(n)],
+            "i long, values array<double>")
+        bc_lb = lb_keogh_pairs(df, window=w).toPandas() \
+            .sort_values(["i", "j"]).reset_index(drop=True)
+        bc_ub = ub_euclidean_pairs(df).toPandas() \
+            .sort_values(["i", "j"]).reset_index(drop=True)
+        spark.conf.set("spark.dtaidistance.broadcastMatrixMaxPairs", "4")
+        try:
+            sh_lb = lb_keogh_pairs(df, window=w).toPandas() \
+                .sort_values(["i", "j"]).reset_index(drop=True)
+            sh_ub = ub_euclidean_pairs(df).toPandas() \
+                .sort_values(["i", "j"]).reset_index(drop=True)
+        finally:
+            spark.conf.unset("spark.dtaidistance.broadcastMatrixMaxPairs")
+        assert (sh_lb["lb"] == bc_lb["lb"]).all() and len(sh_lb) == len(bc_lb)
+        assert (sh_ub["ub"] == bc_ub["ub"]).all() and len(sh_ub) == len(bc_ub)
+
     def test_lb_is_admissible_for_banded_dtw(self, spark, rng):
         """lb_keogh(window=w) <= dtw(window=w) — the pruning contract."""
         from dtaidistance_spark.functions.bounds import lb_keogh_pairs
