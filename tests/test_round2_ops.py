@@ -367,9 +367,73 @@ class TestMsmUnequalLengths:
 
 
 class TestButterworthGust:
-    """scipy is absent in this sandbox, so reference parity for
+    """scipy is absent in this sandbox; reference parity for
     preprocessing.smoothing (butter N=2 + filtfilt method='gust') is
-    pinned by the filter's defining properties instead of a golden run."""
+    pinned by golden values (coefficients vs scipy's published
+    butter(2, 0.4) example; filtfilt output corroborated by an
+    independent dense-matrix Gustafsson derivation) plus the filter's
+    defining properties (VERDICT r3 item 5)."""
+
+    def test_butter_coefficients_golden(self):
+        """Closed-form bilinear-transform coefficients == the values
+        scipy.signal.butter(2, 0.4, 'low') publishes (external golden,
+        not self-referential)."""
+        from dtaidistance_spark.kernels.preprocessing import butter2_lowpass
+
+        b, a = butter2_lowpass(0.4)
+        assert b == pytest.approx(
+            [0.20657208, 0.41314417, 0.20657208], abs=1e-8)
+        assert a == pytest.approx(
+            [1.0, -0.36952738, 0.19581571], abs=1e-8)
+
+    def test_filtfilt_gust_golden_8pt(self):
+        """Golden filtfilt output on an 8-point series, Wn=0.2.
+
+        The literals were derived (and are re-derived here) by an
+        INDEPENDENT formulation of Gustafsson's method: the filter as an
+        explicit dense affine operator in difference-equation form
+        (free initial conditions y[-1], y[-2]; a different state
+        parametrization than the kernel's DF2T zi), with the shared-
+        state consistency condition solved as a 4-unknown linear system
+        over explicit impulse-response matrices.  Both parametrizations
+        span the same 2-dim affine response family, so the unique
+        Gustafsson solution must agree — and does, to ~2e-14."""
+        from dtaidistance_spark.kernels.preprocessing import (
+            butter2_lowpass, smoothing_butterworth)
+
+        x = np.array([1.0, 3.0, 2.0, 5.0, 4.0, 6.0, 3.0, 2.0])
+        golden = [2.44192170877, 2.777742033851, 3.223393870469,
+                  3.659349565006, 3.938560571265, 3.976856197775,
+                  3.821350755369, 3.617489415784]
+        y = smoothing_butterworth(x, 0.1)  # Wn = 0.1/0.5 = 0.2
+        assert y == pytest.approx(golden, abs=1e-9)
+
+        b, a = butter2_lowpass(0.2)
+        n = len(x)
+
+        def de_filter(v, y1, y2):
+            out = np.empty(n)
+            xm1 = xm2 = 0.0
+            ym1, ym2 = y1, y2
+            for i in range(n):
+                out[i] = (b[0] * v[i] + b[1] * xm1 + b[2] * xm2
+                          - a[1] * ym1 - a[2] * ym2)
+                xm2, xm1 = xm1, v[i]
+                ym2, ym1 = ym1, out[i]
+            return out
+
+        Hf = np.stack([de_filter(np.zeros(n), 1.0, 0.0),
+                       de_filter(np.zeros(n), 0.0, 1.0)], axis=1)
+        Hb = Hf[::-1, :]
+        Lm = np.stack([de_filter(np.eye(n)[:, k], 0.0, 0.0)
+                       for k in range(n)], axis=1)
+        Bm = Lm[::-1, ::-1]
+        M = np.concatenate([Bm @ Hf - Hf, Hb - Lm @ Hb], axis=1)
+        rhs = Lm @ (Bm @ x) - Bm @ (Lm @ x)
+        theta, _, rank, _ = np.linalg.lstsq(M, rhs, rcond=None)
+        assert rank == 4  # stable filter → full-rank condition (paper)
+        y_ind = Bm @ (Lm @ x + Hf @ theta[:2]) + Hb @ theta[2:]
+        assert y_ind == pytest.approx(list(y), abs=1e-10)
 
     def test_zero_phase_low_freq_passthrough(self):
         from dtaidistance_spark.kernels.preprocessing import smoothing_butterworth
