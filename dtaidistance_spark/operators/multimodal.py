@@ -2,13 +2,20 @@
 
 Binary media are opaque ``binary`` columns with typed metadata; the
 decode / feature-extract / resize / frame-sample operators are Arrow-
-batched ``mapInPandas`` stages.  The actual media codecs are NOT
-available in this environment, so the decode step is STUBBED: with
-``fake=True`` (default) a deterministic synthetic decoder derived from
-the payload bytes stands in (so schemas, batching, partitioning and
-downstream math are fully real and testable); with ``fake=False`` the
-codec boundary raises ``NotImplementedError`` where a real library
-(Pillow/ffmpeg/soundfile) would be invoked.
+batched ``mapInPandas`` stages.  The codec boundary is split:
+
+* **Real decode** for uncompressed raster formats — binary PPM (P6) and
+  24-bit BMP are parsed byte-for-byte by the pure-numpy codecs in
+  ``kernels/media.py``; ``synth_media`` emits genuine PPM payloads for
+  its image rows, so the image path (decode → grayscale → pooled
+  features / resize) exercises real format parsing end-to-end and the
+  ``media_features`` DuckDB oracle validates the decoded pixel values.
+* **Honest stub** for everything needing an external codec
+  (JPEG/PNG/audio/video): with ``fake=True`` (default) a deterministic
+  hash-derived decoder stands in (schemas, batching, partitioning and
+  downstream math stay real and testable); with ``fake=False`` the
+  boundary raises ``NotImplementedError`` where Pillow/ffmpeg/soundfile
+  would be invoked.
 """
 
 from __future__ import annotations
@@ -21,23 +28,49 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..kernels.media import decode_bmp, decode_ppm, encode_ppm, sniff_format
+
 MEDIA_SCHEMA = ("media_id long, kind string, payload binary, width int, "
                 "height int, sample_rate int, n_frames int")
 
+_IMG_W, _IMG_H = 32, 24
+
+
+def _synth_pixels(media_id: int, w: int = _IMG_W, h: int = _IMG_H) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 test image — integer formula kept
+    SQL-replayable so the DuckDB oracle can recompute the decoded pixels
+    without parsing binary: p = (7·id + 3·x + 5·y + 11·c + x·y) mod 256."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return ((7 * media_id + 3 * x + 5 * y + 11 * c + x * y) % 256
+            ).astype(np.uint8)
+
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (payload = hash-derived bytes)."""
-    df = spark.range(0, n).select(
-        F.col("id").alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-                     (F.pmod("id", F.lit(3)) + 1).cast("int")).alias("kind"),
-        F.sha2(F.concat(F.lit(f"m{seed}:"), F.col("id").cast("string")), 256)
-         .cast("binary").alias("payload"),
-        F.lit(32).alias("width"), F.lit(24).alias("height"),
-        F.lit(16000).alias("sample_rate"),
-        (F.pmod("id", F.lit(7)) + 3).cast("int").alias("n_frames"),
-    )
-    return df
+    """Deterministic synthetic media table.  Image rows carry a real
+    binary-PPM payload (decoded, not faked, downstream); audio/video
+    rows carry hash-derived opaque bytes for the stubbed codecs."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                mid = int(mid)
+                kind = kinds[mid % 3]
+                if kind == "image":
+                    payload = encode_ppm(_synth_pixels(mid))
+                else:
+                    payload = hashlib.sha256(
+                        f"m{seed}:{mid}".encode()).hexdigest().encode()
+                rows.append((mid, kind, payload, _IMG_W, _IMG_H, 16000,
+                             mid % 7 + 3))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "payload", "width", "height",
+                "sample_rate", "n_frames"])
+
+    return spark.range(0, n).mapInPandas(build, schema=MEDIA_SCHEMA)
 
 
 def _fake_decode(payload: bytes, n_values: int) -> np.ndarray:
@@ -56,22 +89,42 @@ def _fake_decode(payload: bytes, n_values: int) -> np.ndarray:
     return out
 
 
+def _raster_features(payload: bytes, n_features: int) -> np.ndarray:
+    """Real decode → grayscale → n_features vertical-strip means in
+    [0, 1).  Strip s covers columns [s·w/nf, (s+1)·w/nf)."""
+    fmt = sniff_format(payload)
+    img = decode_ppm(payload) if fmt == "ppm" else decode_bmp(payload)
+    gray = img.mean(axis=2)  # (h, w) float64, (r+g+b)/3
+    w = gray.shape[1]
+    out = np.empty(n_features)
+    for s in range(n_features):
+        lo, hi = s * w // n_features, (s + 1) * w // n_features
+        out[s] = gray[:, lo:max(hi, lo + 1)].mean() / 255.0
+    return out
+
+
 def decode_features(media: DataFrame, n_features: int = 16,
                     fake: bool = True) -> DataFrame:
     """media → fixed-width feature vectors (the embedding-extraction
     stage of a training-data pipeline).  Batched: one pandas frame per
-    Arrow batch, one numpy matrix per batch."""
+    Arrow batch, one numpy matrix per batch.  Raster payloads (PPM/BMP
+    magic) go through the REAL decoder; other formats use the hash stub
+    (or raise with ``fake=False``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decoding requires Pillow/ffmpeg/soundfile, "
-                    "not available in this environment")
-            feats = [
-                _fake_decode(bytes(p), n_features).tolist()
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for p in pdf["payload"]:
+                p = bytes(p)
+                if sniff_format(p) != "unknown":
+                    feats.append(_raster_features(p, n_features).tolist())
+                elif fake:
+                    feats.append(_fake_decode(p, n_features).tolist())
+                else:
+                    raise NotImplementedError(
+                        "real decoding of non-PPM/BMP media requires "
+                        "Pillow/ffmpeg/soundfile, not available in this "
+                        "environment")
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "kind": pdf["kind"],
                                 "features": feats})
@@ -91,12 +144,17 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 6,
             for row in pdf.itertuples(index=False):
                 if row.kind != "image":
                     continue
-                if not fake:
+                p = bytes(row.payload)
+                if sniff_format(p) != "unknown":
+                    fmt = sniff_format(p)
+                    rgb = decode_ppm(p) if fmt == "ppm" else decode_bmp(p)
+                    img = rgb.mean(axis=2) / 255.0  # gray in [0, 1)
+                elif not fake:
                     raise NotImplementedError("real image decode unavailable")
-                img = _fake_decode(bytes(row.payload),
-                                   row.width * row.height).reshape(
-                    row.height, row.width)
-                fy, fx = row.height // out_h, row.width // out_w
+                else:
+                    img = _fake_decode(p, row.width * row.height).reshape(
+                        row.height, row.width)
+                fy, fx = img.shape[0] // out_h, img.shape[1] // out_w
                 small = img[:out_h * fy, :out_w * fx] \
                     .reshape(out_h, fy, out_w, fx).mean(axis=(1, 3))
                 rows.append((row.media_id, out_w, out_h,

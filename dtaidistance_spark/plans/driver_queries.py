@@ -1742,12 +1742,30 @@ ORACLES["nw_align"] = f"""
 
 
 ORACLES["media_features"] = """
-    -- twin of synth_media(n=64) + _fake_decode(payload, 8): payload is the
-    -- UTF-8 bytes of sha2-hex('m42:<id>'); the fake decoder hashes
-    -- payload || uint32_be(0) and stretches digest bytes into [0,1) floats
+    -- twin of synth_media(n=64) + decode_features(n_features=8).
+    -- IMAGE rows carry a REAL binary-PPM payload of the deterministic
+    -- pixel image p(c) = (7·id + 3·x + 5·y + 11·c + x·y) mod 256; the
+    -- Spark side round-trips it through encode_ppm → decode_ppm →
+    -- grayscale → 8 vertical-strip means, so recomputing the features
+    -- from the pixel formula here validates the decoder end-to-end
+    -- (equal 4×24 strips make feat_sum = Σ gray / (96·255)).
+    -- AUDIO/VIDEO payloads are the UTF-8 bytes of sha2-hex('m42:<id>')
+    -- and go through the honest _fake_decode stub (hash payload ||
+    -- uint32_be(0), stretch digest bytes into [0,1) floats).
+    SELECT r.range AS media_id, 'image' AS kind,
+           round(sum(((7 * r.range + 3 * x.range + 5 * y.range
+                       + x.range * y.range) % 256
+                    + (7 * r.range + 3 * x.range + 5 * y.range + 11
+                       + x.range * y.range) % 256
+                    + (7 * r.range + 3 * x.range + 5 * y.range + 22
+                       + x.range * y.range) % 256) / 3.0 / 255.0)
+                 / 96.0, 6) AS feat_sum
+    FROM range(0, 64) r, range(0, 32) x, range(0, 24) y
+    WHERE r.range % 3 = 0
+    GROUP BY r.range
+    UNION ALL
     SELECT media_id,
-           CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                ELSE 'video' END AS kind,
+           CASE media_id % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
            round(list_sum(list_transform(range(0, 8), i ->
              ((strpos('0123456789abcdef', substr(dg, 2*i+1, 1)) - 1) * 16
               + (strpos('0123456789abcdef', substr(dg, 2*i+2, 1)) - 1))
@@ -1756,7 +1774,7 @@ ORACLES["media_features"] = """
       SELECT r.range AS media_id,
              sha256(sha256('m42:' || r.range::VARCHAR)
                     || chr(0) || chr(0) || chr(0) || chr(0)) AS dg
-      FROM range(0, 64) r
+      FROM range(0, 64) r WHERE r.range % 3 != 0
     )
 """
 
