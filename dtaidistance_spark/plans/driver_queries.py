@@ -778,12 +778,15 @@ def q_ann_brute_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Multi-probe LSH ANN: each query probes its own bucket plus the 6
-    Hamming-1 neighbors (recall@5 0.08 → 0.25 on sf0.01, measured in
-    tests/test_ann_recall.py; IVF below remains the high-recall path)."""
+    """Multi-table LSH ANN (VERDICT r3 item 7): 20 independent 6-plane
+    hash tables, candidates = union of per-table bucket matches, exact
+    re-rank.  Measured recall@5 on sf0.01 = 0.672 over 25 queries,
+    touching ~28% of the corpus per query (vs 0.08 single-table / 0.25
+    with Hamming-1 multi-probe; tests/test_ann_recall.py pins the 0.6
+    floor).  IVF below remains the highest-recall path (0.848)."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 5)
-    return ANN.lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_probes=6)
+    return ANN.lsh_topk(emb, queries, dim=64, k=5, n_planes=6, n_tables=20)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -2057,22 +2060,28 @@ def _register_generated_oracles():
         WHERE {eq_cnt} / 16.0 >= 0.2
     """
 
-    # ANN via LSH buckets (6 deterministic planes, dim 64) with 6
-    # Hamming-1 multi-probes on the query side (twin of lsh_topk
-    # n_probes=6: probe list = [bucket, bucket^1, ..., bucket^32])
-    b6 = _bucket_sql("v", _planes(64, 6))
-    probe_list = "[bucket, " + ", ".join(
-        f"xor(bucket, {2 ** p})" for p in range(6)) + "]"
+    # ANN via multi-table LSH (twin of lsh_topk n_planes=6 n_tables=20):
+    # 20 independent 6-plane tables (per-table md5 seeds), candidates =
+    # DISTINCT union of per-table bucket matches, exact cosine re-rank
+    from ..operators.ann import _table_seed
+
+    table_sel = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, "
+        f"{_bucket_sql('v', _planes(64, 6, seed=_table_seed(t)))} AS bucket "
+        f"FROM e"
+        for t in range(20))
     ORACLES["ann_lsh_topk"] = f"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        bkt AS (SELECT vec_id, v, {b6} AS bucket FROM e),
-        qprobe AS (SELECT vec_id, v, unnest({probe_list}) AS bucket
-                   FROM bkt WHERE vec_id < 5),
+        bkt AS MATERIALIZED ({table_sel}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nn_id,
+                 q.v AS qv, c.v AS cv
+          FROM bkt c JOIN bkt q ON c.t = q.t AND c.bucket = q.bucket
+          WHERE q.vec_id < 5 AND q.vec_id != c.vec_id),
         scored AS (
-          SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
-                 round({_cos_sql('q.v', 'c.v')}, 6) AS cosine
-          FROM bkt c JOIN qprobe q ON c.bucket = q.bucket
-          WHERE q.vec_id != c.vec_id)
+          SELECT query_id, nn_id,
+                 round({_cos_sql('qv', 'cv')}, 6) AS cosine
+          FROM cand)
         SELECT query_id, nn_id, cosine,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY cosine DESC, nn_id ASC) AS rank

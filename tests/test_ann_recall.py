@@ -7,15 +7,18 @@ Measured values (2026-08-17, 25 queries, k=5):
 
 * IVF, 8 centroids, nprobe=5 → recall@5 = 0.848  (floor 0.8)
 * IVF, 8 centroids, nprobe=8 → 1.0 (probes everything — sanity)
+* LSH, 6 planes × 20 tables → 0.672              (floor 0.6; the
+  driver-query config, touching ~28% of the corpus per query)
 * LSH, 6 planes, 6 Hamming-1 probes → 0.248     (floor 0.2)
 * LSH, 6 planes, single-probe → 0.08 — pinned as a ceiling check so a
   regression to single-probe behavior is caught
 
-Conclusion reported in COVERAGE.md: hyperplane LSH recalls poorly on
-this corpus even multi-probed; IVF-nprobe is the recommended high-recall
-scale path (the reference's own search, subsequencesearch.py:230-239,
-is exact — users switching to the approximate path should know the
-trade)."""
+Conclusion reported in COVERAGE.md: single-table hyperplane LSH recalls
+poorly on this corpus even multi-probed; multi-table LSH (VERDICT r3
+item 7) buys usable recall at the classic ×n_tables state cost, and
+IVF-nprobe remains the best recall-per-candidate path (the reference's
+own search, subsequencesearch.py:230-239, is exact — users switching to
+the approximate path should know the trade)."""
 
 import os
 
@@ -71,6 +74,13 @@ class TestAnnRecall:
         ivf = _topsets(ANN.ivf_topk(emb, queries, k=K, nprobe=8,
                                     centroids=cents))
         assert _recall(brute, ivf) == 1.0
+
+    def test_lsh_multitable_recall_floor(self, emb, queries, brute):
+        """The driver-query config: 6 planes × 20 independent tables."""
+        lsh = _topsets(ANN.lsh_topk(emb, queries, dim=64, k=K,
+                                    n_planes=6, n_tables=20))
+        r = _recall(brute, lsh)
+        assert r >= 0.6, f"multi-table LSH recall@{K} regressed: {r:.3f}"
 
     def test_lsh_multiprobe_recall_floor(self, emb, queries, brute):
         lsh = _topsets(ANN.lsh_topk(emb, queries, dim=64, k=K,
