@@ -58,15 +58,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ub_euclidean_pairs": DQ.q_ub_euclidean_pairs,
         "msm_pairs": DQ.q_msm_pairs,
         "dtw_path_pairs": DQ.q_dtw_path_pairs,
-        "warp_pairs": DQ.q_warp_pairs,
-        "warping_amount_pairs": DQ.q_warping_amount_pairs,
+        # composite of warp / warping_amount / distance_from_path — one
+        # optimal path per pair feeds all three heads (and one shared
+        # lattice+walk CTE feeds the three oracle heads)
+        "path_postprocess_pairs": DQ.q_path_postprocess_pairs,
         "dtw_block_pairs": DQ.q_dtw_block_pairs,
         "dba_update": DQ.q_dba_update,
-        "distance_from_path_pairs": DQ.q_distance_from_path_pairs,
         "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "subsequence_topk": DQ.q_subsequence_topk,
         "linkage_tree": DQ.q_linkage_tree,
         "subsequence_matches": DQ.q_subsequence_matches,
+        # matching-pursuit symbolization — value-oracled since r4 (the
+        # kbest + greedy-claim loops replayed as chained CTEs)
+        "symbolize": DQ.q_symbolize,
         "nw_align": DQ.q_nw_align,
         "edit_distance": DQ.q_edit_distance,
         "media_features": DQ.q_media_features,
@@ -91,7 +95,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ~400M-cell DP lattices; each is pytest-golden-pinned instead, see
         # tests/test_driver_golden.py). Placed last so every value-oracled
         # query sits inside the driver's correctness window.
-        "symbolize": DQ.q_symbolize,
         "kmeans_clusters": DQ.q_kmeans_clusters,
         "loco_matches": DQ.q_loco_matches,
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,

@@ -365,15 +365,25 @@ def q_dtw_path_pairs(spark, sf_dir):
         compute, schema="i long, j long, step int, pi int, pj int")
 
 
-def q_warp_pairs(spark, sf_dir):
-    """``warp`` (reference dtw.py:1099-1118): resample series i onto
-    series j's time axis along the optimal path — per to-index, the
-    mean of the mapped from-values.  Long format (i, j, pos, warped);
-    the DuckDB twin aggregates the traceback-walk CTE (daily counts →
-    bucket sums are integer-exact, so the mean is reproducible)."""
+def q_path_postprocess_pairs(spark, sf_dir):
+    """Composite of the three optimal-path post-processors over the
+    8-series daily pair set — ``warp`` (reference dtw.py:1099-1118:
+    resample series i onto series j's time axis; per to-index mean of
+    the mapped from-values), ``warping_amount`` (dtw.py:1051-1066:
+    non-diagonal step count) and ``distance_from_path``
+    (postprocessing.py:17-58 strict: sqrt of summed squared diffs over
+    the path points; the derivative-relaxed variant stays
+    pytest-covered in tests/test_extras.py).
+
+    One query instead of three (VERDICT r3 item 1): the optimal path is
+    computed once per pair and feeds all three heads, and the DuckDB
+    twin grafts three aggregate heads onto ONE shared lattice+traceback
+    walk CTE — denser value coverage per driver-window slot.  Long
+    format (i, j, metric, pos, value); scalar metrics carry pos = -1."""
     from typing import Iterator
     import pandas as pd
-    from ..kernels.dtw import warp
+    from ..kernels.dtw import warp, warping_amount, warping_path
+    from ..kernels.extras import distance_from_path
 
     series = _daily_series(spark, sf_dir, 8)
     a = series.select("i", "values")
@@ -385,40 +395,24 @@ def q_warp_pairs(spark, sf_dir):
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                warped, _ = warp(np.asarray(r.values, dtype=np.float64),
-                                 np.asarray(r.values_j, dtype=np.float64))
-                rows.extend((int(r.i), int(r.j), pos, float(v))
+                x = np.asarray(r.values, dtype=np.float64)
+                y = np.asarray(r.values_j, dtype=np.float64)
+                i, j = int(r.i), int(r.j)
+                path = warping_path(x, y)
+                warped, _ = warp(x, y, path=path)
+                rows.extend((i, j, "warp", pos, float(v))
                             for pos, v in enumerate(warped))
-            yield pd.DataFrame(rows, columns=["i", "j", "pos", "warped"])
+                rows.append((i, j, "warping_amount", -1,
+                             float(warping_amount(path))))
+                rows.append((i, j, "distance_from_path", -1,
+                             distance_from_path(x, y, path, relaxed=False)))
+            yield pd.DataFrame(
+                rows, columns=["i", "j", "metric", "pos", "value"])
 
     return (pairs.mapInPandas(
-        compute, schema="i long, j long, pos int, warped double")
-        .select("i", "j", "pos", F.round("warped", 6).alias("warped")))
-
-
-def q_warping_amount_pairs(spark, sf_dir):
-    """``warping_amount`` (reference dtw.py:1051-1066): number of
-    non-diagonal steps on the optimal path per pair."""
-    from typing import Iterator
-    import pandas as pd
-    from ..kernels.dtw import warping_amount, warping_path
-
-    series = _daily_series(spark, sf_dir, 8)
-    a = series.select("i", "values")
-    b = series.select(F.col("i").alias("j"), F.col("values").alias("values_j"))
-    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j"))
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        for pdf in batches:
-            rows = [(int(r.i), int(r.j),
-                     int(warping_amount(warping_path(
-                         np.asarray(r.values, dtype=np.float64),
-                         np.asarray(r.values_j, dtype=np.float64)))))
-                    for r in pdf.itertuples(index=False)]
-            yield pd.DataFrame(rows, columns=["i", "j", "amount"])
-
-    return pairs.mapInPandas(compute, schema="i long, j long, amount int")
+        compute, schema="i long, j long, metric string, pos int, value double")
+        .select("i", "j", "metric", "pos",
+                F.round("value", 6).alias("value")))
 
 
 def q_dtw_block_pairs(spark, sf_dir):
@@ -471,39 +465,6 @@ def q_dba_update(spark, sf_dir):
             .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
             .select("pos", F.round(F.col("s") / F.col("cnt"), 6)
                     .alias("center_val")))
-
-
-def q_distance_from_path_pairs(spark, sf_dir):
-    """postprocessing.distance_from_path (reference postprocessing.py:
-    17-58, strict variant): the distance recomputed along the optimal
-    path — sqrt of the summed squared diffs over the path points.  The
-    DuckDB twin aggregates the traceback-walk CTE (integer daily counts
-    → exact sums).  The derivative-relaxed variant stays pytest-covered
-    (tests/test_extras.py)."""
-    from typing import Iterator
-    import pandas as pd
-    from ..kernels.dtw import warping_path
-    from ..kernels.extras import distance_from_path
-
-    series = _daily_series(spark, sf_dir, 8)
-    a = series.select("i", "values")
-    b = series.select(F.col("i").alias("j"), F.col("values").alias("values_j"))
-    pairs = a.join(F.broadcast(b), F.col("i") < F.col("j"))
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                x = np.asarray(r.values, dtype=np.float64)
-                y = np.asarray(r.values_j, dtype=np.float64)
-                path = warping_path(x, y)
-                rows.append((int(r.i), int(r.j),
-                             distance_from_path(x, y, path, relaxed=False)))
-            yield pd.DataFrame(rows, columns=["i", "j", "d"])
-
-    return (pairs.mapInPandas(compute, schema="i long, j long, d double")
-            .select("i", "j", F.round("d", 6).alias("d")))
 
 
 def q_dtw_ndim_daily_pairs(spark, sf_dir):
@@ -1563,29 +1524,43 @@ ORACLES["dtw_path_pairs"] = f"""
 _PATH_BASE, _PATH_FINAL = ORACLES["dtw_path_pairs"].rsplit(
     "    wl AS (SELECT pid", 1)
 
-ORACLES["warp_pairs"] = _PATH_BASE + """    wagg AS (
+# path_postprocess_pairs: the three post-processing heads (warp /
+# warping_amount / distance_from_path) grafted onto ONE shared
+# lattice+traceback walk — the composite twin of
+# q_path_postprocess_pairs (long format; scalar metrics carry pos=-1)
+ORACLES["path_postprocess_pairs"] = _PATH_BASE + """    wagg AS (
       SELECT w.pid, w.j - 1 AS pos,
              sum(av.v) AS sv_sum, count(*) AS cnt
       FROM walk w
       JOIN pairs p ON w.pid = p.pid
       JOIN sv av ON av.sid = p.sa AND av.idx = w.i
-      GROUP BY 1, 2)
-    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
-           CAST(a.pos AS INT) AS pos,
-           round(a.sv_sum / a.cnt, 6) AS warped
-    FROM wagg a JOIN pairs p ON a.pid = p.pid
-"""
-
-ORACLES["warping_amount_pairs"] = _PATH_BASE + """    steps AS (
+      GROUP BY 1, 2),
+    steps AS (
       -- b is the later forward path point (earlier walk step); a step
       -- is non-diagonal when either coordinate repeats
       SELECT a.pid,
              CASE WHEN b.i = a.i OR b.j = a.j THEN 1 ELSE 0 END AS nd
-      FROM walk a JOIN walk b ON a.pid = b.pid AND a.step = b.step + 1)
+      FROM walk a JOIN walk b ON a.pid = b.pid AND a.step = b.step + 1),
+    dagg AS (
+      SELECT w.pid, sum(power(av.v - bv.v, 2)) AS sq
+      FROM walk w
+      JOIN pairs p ON w.pid = p.pid
+      JOIN sv av ON av.sid = p.sa AND av.idx = w.i
+      JOIN sv bv ON bv.sid = p.sb AND bv.idx = w.j
+      GROUP BY 1)
     SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
-           CAST(sum(s.nd) AS INT) AS amount
+           'warp' AS metric, CAST(a.pos AS INT) AS pos,
+           round(a.sv_sum / a.cnt, 6) AS value
+    FROM wagg a JOIN pairs p ON a.pid = p.pid
+    UNION ALL
+    SELECT CAST(p.sa AS BIGINT), CAST(p.sb AS BIGINT),
+           'warping_amount', -1, round(CAST(sum(s.nd) AS DOUBLE), 6)
     FROM steps s JOIN pairs p ON s.pid = p.pid
-    GROUP BY 1, 2
+    GROUP BY p.sa, p.sb
+    UNION ALL
+    SELECT CAST(p.sa AS BIGINT), CAST(p.sb AS BIGINT),
+           'distance_from_path', -1, round(sqrt(a.sq), 6)
+    FROM dagg a JOIN pairs p ON a.pid = p.pid
 """
 
 # block restriction (reference dtw.py:757-761): same full-DTW replay,
@@ -1610,21 +1585,6 @@ ORACLES["dba_update"] = _PATH_BASE.replace(
     SELECT CAST(pos AS INT) AS pos, round(s / cnt, 6) AS center_val
     FROM wagg
 """
-
-# distance along the optimal path (postprocessing.py:17-58, strict):
-# sqrt of summed squared diffs over the walk's (i, j) points
-ORACLES["distance_from_path_pairs"] = _PATH_BASE + """    dagg AS (
-      SELECT w.pid, sum(power(av.v - bv.v, 2)) AS sq
-      FROM walk w
-      JOIN pairs p ON w.pid = p.pid
-      JOIN sv av ON av.sid = p.sa AND av.idx = w.i
-      JOIN sv bv ON bv.sid = p.sb AND bv.idx = w.j
-      GROUP BY 1)
-    SELECT CAST(p.sa AS BIGINT) AS i, CAST(p.sb AS BIGINT) AS j,
-           round(sqrt(a.sq), 6) AS d
-    FROM dagg a JOIN pairs p ON a.pid = p.pid
-"""
-
 
 ORACLES["dtw_ndim_daily_pairs"] = f"""
     -- multivariate twin of the dtw_daily_pairs CTE: per-dim squared
@@ -2003,6 +1963,224 @@ def _register_generated_oracles():
         FROM (SELECT series_id, 0 AS rank, j0, value, s0 FROM sel1
               UNION ALL
               SELECT series_id, 1 AS rank, j0, value, s0 FROM sel2)
+    """
+
+    # symbolize: matching-pursuit symbol assignment over the 2-motif
+    # codebook (kernels/symbolization.py::symbolize, reference
+    # symbolization/alignment.py:83-161) on the first 16 hourly series
+    # truncated to 200 points — promoting the last SQL-replayable
+    # rows-only query to value-oracled (VERDICT r3 item 3).  Replay,
+    # per (motif, series):
+    #   1. the same free-start/free-end subsequence DP lattice + greedy
+    #      argmin traceback as subsequence_matches, motif-parameterized
+    #      (qmeta/qv carry a midx dimension through rec/tb/stat);
+    #   2. the kbest k=None masked-argmin loop (subsequence.py:65-103)
+    #      in closed form as chained per-iteration argmin CTEs:
+    #      eligible = length-gated (seglen in [minl, maxl]), window
+    #      [mb, j0] disjoint from every previously claimed window, and
+    #      value <= 2x the first emit (max_rangefactor; emitted values
+    #      are non-decreasing so the per-iteration filter equals the
+    #      kernel's break, and skip iterations only mask the skipped
+    #      candidate itself — the k=2 closed-form argument, applied
+    #      inductively);
+    #   3. the greedy claim loop (symbolization.py:59-69) as chained
+    #      argmax CTEs: a pattern stays eligible while its overlap with
+    #      every prior claim is <= 0.5 of the claimer's length
+    #      (integer-exact as 2*ov <= L), ranked by
+    #      S = exp(-value/max_value) * L with numpy's first-index
+    #      tie-break (S DESC, midx, emit order);
+    #   4. final symbol at a position = earliest claim covering it.
+    # Chain depths (28 kbest / 36 claim) exceed the sf0.01 maxima
+    # (23 / 23); a too-short chain diverges from the Spark result and
+    # fails the value hash — it can never silently pass.
+    _m0 = np.concatenate([np.zeros(4), np.ones(6) * 2.0, np.zeros(4)])
+    _m1 = np.linspace(0.0, 3.0, 12)
+    _qv_lit = ", ".join(
+        f"({mi}, {i + 1}, {float(v)!r})"
+        for mi, mv in ((0, _m0), (1, _m1)) for i, v in enumerate(mv))
+    _qmeta_lit = ", ".join(
+        f"({mi}, {len(mv)}, {len(mv) // 2}, {len(mv) * 2})"
+        for mi, mv in ((0, _m0), (1, _m1)))
+
+    _KB_ITERS, _CL_ITERS = 28, 36
+    _kb_chain = []
+    for it in range(2, _KB_ITERS + 1):
+        _kb_chain.append(f"""
+        ksel{it} AS MATERIALIZED (
+          SELECT st.midx, st.series_id, st.j0, st.s0, st.value,
+                 st.seglen, st.mb, {it} AS emit_i
+          FROM stat st
+          JOIN qmeta q ON q.midx = st.midx
+          JOIN ksel1 k1 ON k1.midx = st.midx
+            AND k1.series_id = st.series_id
+          WHERE st.seglen >= q.minl AND st.seglen <= q.maxl
+            AND st.value <= 2.0 * k1.value
+            AND NOT EXISTS (
+              SELECT 1 FROM kacc{it - 1} a
+              WHERE a.midx = st.midx AND a.series_id = st.series_id
+                AND NOT (st.j0 < a.mb OR st.mb > a.j0))
+          QUALIFY row_number() OVER (PARTITION BY st.midx, st.series_id
+                                     ORDER BY st.value, st.j0) = 1),
+        kacc{it} AS (SELECT * FROM kacc{it - 1}
+                     UNION ALL SELECT * FROM ksel{it})""")
+    _cl_chain = []
+    for it in range(2, _CL_ITERS + 1):
+        _cl_chain.append(f"""
+        csel{it} AS MATERIALIZED (
+          SELECT p.*, {it} AS claim_i FROM ps p
+          WHERE p.sc > 0 AND NOT EXISTS (
+            SELECT 1 FROM cacc{it - 1} a
+            WHERE a.series_id = p.series_id
+              AND 2 * greatest(0, least(a.ee, p.ee)
+                               - greatest(a.b, p.b)) > a.ll)
+          QUALIFY row_number() OVER (PARTITION BY p.series_id
+                                     ORDER BY p.sc DESC, p.midx,
+                                              p.emit_i) = 1),
+        cacc{it} AS (SELECT * FROM cacc{it - 1}
+                     UNION ALL SELECT * FROM csel{it})""")
+    ORACLES["symbolize"] = f"""
+        WITH RECURSIVE
+        pts AS ({_PTS_SQL}),
+        agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                       count(value) AS cnt
+                FROM pts GROUP BY 1, 2),
+        gb AS (SELECT greatest(min(bucket_ts),
+                               max(bucket_ts)
+                               - interval {HOURLY_SPAN_CAP - 1} hour) AS b0,
+                      max(bucket_ts) AS b1 FROM agg),
+        grid AS (SELECT s.series_id,
+                        unnest(generate_series(gb.b0, gb.b1, interval 1 hour))
+                          AS bucket_ts
+                 FROM (SELECT DISTINCT series_id FROM agg) s, gb),
+        sv AS MATERIALIZED (
+          SELECT g.series_id,
+                 row_number() OVER (PARTITION BY g.series_id
+                                    ORDER BY g.bucket_ts) AS idx,
+                 CAST(coalesce(a.cnt, 0) AS DOUBLE) AS v
+          FROM grid g LEFT JOIN agg a
+            ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+        lens AS MATERIALIZED (
+          SELECT series_id, least(lb, 200) AS lb FROM (
+            SELECT series_id, CAST(max(idx) AS INT) AS lb FROM sv
+            GROUP BY 1 HAVING max(idx) >= 24)
+          QUALIFY row_number() OVER (ORDER BY series_id) <= 16),
+        qmeta(midx, qlen, minl, maxl) AS (VALUES {_qmeta_lit}),
+        qv(midx, idx, v) AS (VALUES {_qv_lit}),
+        roles(di, dj, src_fresh, carry) AS (VALUES
+          (1, 0, true, false), (0, 1, true, false),
+          (1, 1, false, false), (0, 0, true, true)),
+        rec(midx, series_id, i, j, val, fresh) AS (
+          SELECT q.midx, l.series_id, 0, 0, CAST(0.0 AS DOUBLE), true
+          FROM lens l CROSS JOIN (SELECT DISTINCT midx FROM qmeta) q
+          UNION ALL
+          SELECT e.midx, e.series_id, e.ti, e.tj,
+                 min(e.cand)
+                 + CASE WHEN e.carry OR e.ti = 0 THEN 0.0
+                        ELSE power(any_value(qq.v) - any_value(ss.v), 2)
+                   END AS val,
+                 NOT e.carry AS fresh
+          FROM (
+            SELECT r.midx AS midx, r.series_id AS series_id,
+                   r.i + x.di AS ti, r.j + x.dj AS tj, x.carry AS carry,
+                   r.val + CASE
+                     WHEN x.carry THEN 0.0
+                     WHEN x.di = 1 AND x.dj = 0 THEN {_p}
+                     WHEN x.di = 0 AND x.dj = 1 AND r.i >= 1 THEN {_p}
+                     ELSE 0.0 END AS cand
+            FROM rec r
+            JOIN roles x ON x.src_fresh = r.fresh
+               AND (NOT (x.di = 1 AND x.dj = 0 AND NOT x.carry)
+                    OR r.j >= 1)
+          ) e
+          JOIN lens l ON e.series_id = l.series_id AND e.tj <= l.lb
+          JOIN qmeta qm ON qm.midx = e.midx AND e.ti <= qm.qlen
+          LEFT JOIN qv qq ON qq.midx = e.midx AND qq.idx = e.ti
+          LEFT JOIN sv ss ON ss.series_id = e.series_id AND ss.idx = e.tj
+          GROUP BY e.midx, e.series_id, e.ti, e.tj, e.carry
+        ),
+        cells AS MATERIALIZED (
+          SELECT midx, series_id, i, j, val FROM rec WHERE fresh),
+        tb(midx, series_id, endj, i, j, sstart) AS (
+          SELECT c.midx, c.series_id, c.j, c.i, c.j, CAST(NULL AS INT)
+          FROM cells c JOIN qmeta q ON q.midx = c.midx
+          WHERE c.i = q.qlen AND c.j >= 1
+          UNION ALL
+          SELECT midx, series_id, endj,
+                 CASE WHEN mv IN (0, 1) THEN i - 1 ELSE i END,
+                 CASE WHEN mv IN (0, 2) THEN j - 1 ELSE j END,
+                 CASE WHEN mv IN (0, 1) AND i - 1 = 0 THEN j - 1
+                      ELSE NULL END
+          FROM (
+            SELECT t.midx, t.series_id, t.endj, t.i, t.j,
+                   CASE WHEN dv <= uv AND dv <= lv THEN 0
+                        WHEN uv <= lv THEN 1 ELSE 2 END AS mv
+            FROM (
+              SELECT t.*,
+                     coalesce(cd.val, 1e308) AS dv,
+                     coalesce(cu.val, 1e308) + {_p} AS uv,
+                     coalesce(cl.val, 1e308) + {_p} AS lv
+              FROM tb t
+              LEFT JOIN cells cd ON cd.midx = t.midx
+                AND cd.series_id = t.series_id
+                AND cd.i = t.i - 1 AND cd.j = t.j - 1
+              LEFT JOIN cells cu ON cu.midx = t.midx
+                AND cu.series_id = t.series_id
+                AND cu.i = t.i - 1 AND cu.j = t.j
+              LEFT JOIN cells cl ON cl.midx = t.midx
+                AND cl.series_id = t.series_id
+                AND cl.i = t.i AND cl.j = t.j - 1
+              WHERE t.sstart IS NULL AND t.i > 0 AND t.j > 0
+            ) t
+          )
+        ),
+        starts AS MATERIALIZED (
+          SELECT midx, series_id, endj - 1 AS j0, sstart AS s0
+          FROM tb WHERE sstart IS NOT NULL),
+        stat AS MATERIALIZED (
+          SELECT s.midx, s.series_id, s.j0, s.s0,
+                 sqrt(c.val) / q.qlen AS value,
+                 s.j0 - s.s0 + 1 AS seglen,
+                 CASE WHEN s.j0 > s.s0 THEN s.s0 + 1 ELSE s.s0 END AS mb
+          FROM starts s
+          JOIN qmeta q ON q.midx = s.midx
+          JOIN cells c ON c.midx = s.midx AND c.series_id = s.series_id
+            AND c.i = q.qlen AND c.j = s.j0 + 1),
+        ksel1 AS MATERIALIZED (
+          SELECT st.midx, st.series_id, st.j0, st.s0, st.value,
+                 st.seglen, st.mb, 1 AS emit_i
+          FROM stat st JOIN qmeta q ON q.midx = st.midx
+          WHERE st.seglen >= q.minl AND st.seglen <= q.maxl
+          QUALIFY row_number() OVER (PARTITION BY st.midx, st.series_id
+                                     ORDER BY st.value, st.j0) = 1),
+        kacc1 AS (SELECT * FROM ksel1),
+        {",".join(_kb_chain)},
+        pats AS MATERIALIZED (
+          SELECT series_id, midx, emit_i, s0 AS b, j0 + 1 AS e,
+                 value AS d, j0 + 2 AS ee, j0 + 1 - s0 + 1 AS ll
+          FROM kacc{_KB_ITERS}),
+        smax AS (SELECT series_id, max(d) AS r FROM pats GROUP BY 1),
+        ps AS MATERIALIZED (
+          SELECT p.*, CASE WHEN s.r <> 0 THEN exp(-p.d / s.r) * p.ll
+                           ELSE 0.0 END AS sc
+          FROM pats p JOIN smax s USING (series_id)),
+        csel1 AS MATERIALIZED (
+          SELECT p.*, 1 AS claim_i FROM ps p
+          WHERE p.sc > 0
+          QUALIFY row_number() OVER (PARTITION BY p.series_id
+                                     ORDER BY p.sc DESC, p.midx,
+                                              p.emit_i) = 1),
+        cacc1 AS (SELECT * FROM csel1),
+        {",".join(_cl_chain)},
+        out AS (
+          SELECT series_id, pos, midx, claim_i
+          FROM (SELECT c.series_id, c.midx, c.claim_i,
+                       unnest(generate_series(c.b, c.e - 1)) AS pos
+                FROM cacc{_CL_ITERS} c) x
+          QUALIFY row_number() OVER (PARTITION BY series_id, pos
+                                     ORDER BY claim_i) = 1)
+        SELECT series_id, CAST(pos AS INT) AS pos,
+               CAST(midx AS INT) AS symbol
+        FROM out
     """
 
     ORACLES["simhash"] = f"""

@@ -1,11 +1,13 @@
 """End-to-end golden pins for the rows-only driver queries.
 
-The six ``queries()`` entries in the rows-only tail have no DuckDB SQL
+The ``queries()`` entries in the rows-only tail have no DuckDB SQL
 oracle (iterative argmin loops with reseeding / masked-argmax loops /
 ~400M-cell DP lattices at sf0.01), so the driver only checks row counts
 for them.  These tests pin the *driver query's* exact output at sf0.001
 — a plan or kernel change that perturbs any value is caught here even
-without the driver (VERDICT r3 next-round item 4).
+without the driver (VERDICT r3 next-round item 4).  ``symbolize``
+gained a full chained-CTE value oracle in r4; its digest pin stays as
+an extra sf0.001 guard.
 
 Goldens were captured from the current implementation, whose kernels are
 all reference-oracled in the other test modules; the pins freeze the
