@@ -62,16 +62,16 @@ def subsequence_alignment(query, series, penalty: float = 0.1,
     return SubseqAlignment(query, series, penalty=penalty, **kwargs)
 
 
-def kbest_matches(query, series, k: Optional[int] = 1, overlap: int = 0,
-                  minlength: int = 2, maxlength: Optional[int] = None,
-                  max_rangefactor: Optional[float] = None,
-                  penalty: float = 0.1, **kwargs) -> List[SubseqMatch]:
-    """Greedy k-best with overlap suppression — reference best_matches
-    (subsequencealignment.py:362-405) semantics."""
-    sa = SubseqAlignment(query, series, penalty=penalty, **kwargs)
-    matching = np.array(sa.matching)
+def _kbest_loop(paths: np.ndarray, matching0: np.ndarray, qlen: int,
+                adj_penalty: float, k: Optional[int] = 1, overlap: int = 0,
+                minlength: int = 2, maxlength: Optional[int] = None,
+                max_rangefactor: Optional[float] = None) -> List[SubseqMatch]:
+    """The greedy k-best masked-argmin loop over a precomputed lattice —
+    shared by the per-series API and the batched path (reference
+    best_matches, subsequencealignment.py:362-405)."""
+    matching = np.array(matching0)
     maxv = np.ceil(np.max(matching) + 1)
-    matching[:min(len(sa.query) - 1, overlap)] = maxv
+    matching[:min(qlen - 1, overlap)] = maxv
     out: List[SubseqMatch] = []
     max_dist = np.inf
     while k is None or len(out) < k:
@@ -83,7 +83,9 @@ def kbest_matches(query, series, k: Optional[int] = 1, overlap: int = 0,
                 max_dist = matching[best_idx] * max_rangefactor
             elif matching[best_idx] > max_dist:
                 break
-        m = sa.match_at(best_idx)
+        path = best_path(paths, col=best_idx + 1, penalty=adj_penalty)
+        m = SubseqMatch(idx=best_idx, value=float(matching[best_idx]),
+                        start=int(path[0][1]), end=best_idx, path=path)
         b, e = m.start, m.end
         cur_overlap = min(overlap, e - b - 1)
         mb, me = best_idx + 1 - (e - b) + cur_overlap, best_idx + 1
@@ -97,6 +99,57 @@ def kbest_matches(query, series, k: Optional[int] = 1, overlap: int = 0,
         matching[mb:me] = np.inf
         out.append(m)
     return out
+
+
+def kbest_matches(query, series, k: Optional[int] = 1, overlap: int = 0,
+                  minlength: int = 2, maxlength: Optional[int] = None,
+                  max_rangefactor: Optional[float] = None,
+                  penalty: float = 0.1, **kwargs) -> List[SubseqMatch]:
+    """Greedy k-best with overlap suppression — reference best_matches
+    (subsequencealignment.py:362-405) semantics."""
+    sa = SubseqAlignment(query, series, penalty=penalty, **kwargs)
+    return _kbest_loop(sa.paths, sa.matching, len(sa.query),
+                       sa.settings.adj_penalty, k=k, overlap=overlap,
+                       minlength=minlength, maxlength=maxlength,
+                       max_rangefactor=max_rangefactor)
+
+
+def subseq_lattices_batch(query, S: np.ndarray, penalty: float = 0.1):
+    """Subsequence-alignment lattices for a STACK of equal-length series
+    in one anti-diagonal sweep: returns ``(wps, matching, settings)``
+    with ``wps`` (B, |Q|+1, m+1) int-repr accumulated-cost matrices and
+    ``matching`` (B, m).  Row b is bit-identical to
+    ``SubseqAlignment(query, S[b])`` — ``warping_paths`` itself runs the
+    same ``_dtw_batch_core`` at B=1, so this is the same arithmetic with
+    the per-call fixed costs amortized over the whole stack (the engine
+    pattern: vectorize the O(|Q|·m·B) lattice, keep Python for the
+    O(#matches) selection)."""
+    from .dtw import _dtw_batch_core
+
+    q = np.asarray(query, dtype=np.float64)
+    S = np.asarray(S, dtype=np.float64)
+    B, m = S.shape
+    st = DtwSettings(penalty=penalty, psi=(0, 0, m, m))
+    Q = np.broadcast_to(q, (B, len(q)))
+    _, wps = _dtw_batch_core(Q, S, st, keep_matrix=True)
+    matching = np.sqrt(wps[:, -1, 1:]) / len(q)
+    return wps, matching, st
+
+
+def kbest_matches_batch(query, S: np.ndarray, k: Optional[int] = 1,
+                        overlap: int = 0, minlength: int = 2,
+                        maxlength: Optional[int] = None,
+                        max_rangefactor: Optional[float] = None,
+                        penalty: float = 0.1) -> List[List[SubseqMatch]]:
+    """``kbest_matches`` over a stack of equal-length series: ONE batched
+    DP sweep for all lattices, then the (cheap) greedy loop per series.
+    Bit-identical to the per-series API (asserted in tests)."""
+    q = np.asarray(query, dtype=np.float64)
+    wps, matching, st = subseq_lattices_batch(q, S, penalty=penalty)
+    return [_kbest_loop(wps[b], matching[b], len(q), st.adj_penalty, k=k,
+                        overlap=overlap, minlength=minlength,
+                        maxlength=maxlength, max_rangefactor=max_rangefactor)
+            for b in range(len(S))]
 
 
 def best_match_value(query, series, penalty: float = 0.1, **kwargs) -> float:

@@ -24,33 +24,16 @@ def _exp_similarity(d: np.ndarray, r: float) -> np.ndarray:
     return np.exp(-np.asarray(d, dtype=np.float64) / r) if r else np.zeros_like(d)
 
 
-def symbolize(series: np.ndarray, codebook: Sequence[np.ndarray],
-              maxcompression: float = 0.5, maxexpansion: float = 2.0,
-              max_rangefactor: float = 2.0,
-              max_overlap: Optional[float] = None) -> np.ndarray:
-    """Matching-pursuit symbol assignment (reference align,
-    symbolization/alignment.py:83-161): gather candidate codeword
-    matches per motif, score by exp-similarity × length, then greedily
-    claim non-overlapping segments; unclaimed positions get the no-word
-    symbol len(codebook)."""
-    series = np.asarray(series, dtype=np.float64)
-    noword = len(codebook)
-    best = np.full(len(series), noword, dtype=int)
-    if max_overlap is None:
-        max_overlap = max(maxcompression, 1.0 / maxexpansion)
-
-    patterns: List[Tuple[int, int, int, float]] = []
-    max_value = 0.0
-    for midx, motif in enumerate(codebook):
-        motif = np.asarray(motif, dtype=np.float64)
-        for m in kbest_matches(
-                motif, series, k=None, max_rangefactor=max_rangefactor,
-                minlength=math.floor(len(motif) * maxcompression),
-                maxlength=math.ceil(len(motif) * maxexpansion)):
-            patterns.append((midx, m.start, m.end + 1, m.value))
-            max_value = max(max_value, m.value)
+def _claim(patterns: List[Tuple[int, int, int, float]], n: int,
+           noword: int, max_overlap: float) -> np.ndarray:
+    """The greedy claim loop (reference alignment.py:120-161): score
+    patterns by exp-similarity × length, repeatedly claim the argmax
+    onto still-unclaimed positions, zero patterns overlapping the claim
+    by more than ``max_overlap`` of the claimer's length."""
+    best = np.full(n, noword, dtype=int)
     if not patterns:
         return best
+    max_value = max(p[3] for p in patterns)
     D = np.array([p[3] for p in patterns])
     B = np.array([p[1] for p in patterns])
     E = np.array([p[2] + 1 for p in patterns])
@@ -68,6 +51,62 @@ def symbolize(series: np.ndarray, codebook: Sequence[np.ndarray],
         S[overlaps] = 0
         S[bi] = 0
     return best
+
+
+def symbolize(series: np.ndarray, codebook: Sequence[np.ndarray],
+              maxcompression: float = 0.5, maxexpansion: float = 2.0,
+              max_rangefactor: float = 2.0,
+              max_overlap: Optional[float] = None) -> np.ndarray:
+    """Matching-pursuit symbol assignment (reference align,
+    symbolization/alignment.py:83-161): gather candidate codeword
+    matches per motif, score by exp-similarity × length, then greedily
+    claim non-overlapping segments; unclaimed positions get the no-word
+    symbol len(codebook)."""
+    series = np.asarray(series, dtype=np.float64)
+    if max_overlap is None:
+        max_overlap = max(maxcompression, 1.0 / maxexpansion)
+
+    patterns: List[Tuple[int, int, int, float]] = []
+    for midx, motif in enumerate(codebook):
+        motif = np.asarray(motif, dtype=np.float64)
+        for m in kbest_matches(
+                motif, series, k=None, max_rangefactor=max_rangefactor,
+                minlength=math.floor(len(motif) * maxcompression),
+                maxlength=math.ceil(len(motif) * maxexpansion)):
+            patterns.append((midx, m.start, m.end + 1, m.value))
+    return _claim(patterns, len(series), len(codebook), max_overlap)
+
+
+def symbolize_batch(S: np.ndarray, codebook: Sequence[np.ndarray],
+                    maxcompression: float = 0.5, maxexpansion: float = 2.0,
+                    max_rangefactor: float = 2.0,
+                    max_overlap: Optional[float] = None) -> np.ndarray:
+    """``symbolize`` over a STACK of equal-length series: per motif ONE
+    batched anti-diagonal DP builds every series' subsequence lattice
+    (the same vectorized core the distance matrix uses), and Python
+    handles only the O(#matches) kbest/claim selection per series.
+    Bit-identical to per-series ``symbolize`` (asserted in tests);
+    returns (B, m) int symbols."""
+    from .subsequence import _kbest_loop, subseq_lattices_batch
+
+    S = np.asarray(S, dtype=np.float64)
+    if max_overlap is None:
+        max_overlap = max(maxcompression, 1.0 / maxexpansion)
+    noword = len(codebook)
+    pats: List[List[Tuple[int, int, int, float]]] = [[] for _ in range(len(S))]
+    for midx, motif in enumerate(codebook):
+        motif = np.asarray(motif, dtype=np.float64)
+        wps, matching, st = subseq_lattices_batch(motif, S)
+        minl = math.floor(len(motif) * maxcompression)
+        maxl = math.ceil(len(motif) * maxexpansion)
+        for b in range(len(S)):
+            for m in _kbest_loop(wps[b], matching[b], len(motif),
+                                 st.adj_penalty, k=None, minlength=minl,
+                                 maxlength=maxl,
+                                 max_rangefactor=max_rangefactor):
+                pats[b].append((midx, m.start, m.end + 1, m.value))
+    return np.stack([_claim(p, S.shape[1], noword, max_overlap)
+                     for p in pats])
 
 
 def symbolize_min(series: np.ndarray, codebook: Sequence[np.ndarray],

@@ -104,6 +104,42 @@ class TestSymbolization:
         # noise tail mostly no-word
         assert (sym[90:] == 2).mean() > 0.5
 
+    def test_symbolize_batch_bit_identical(self, rng):
+        """The batched path (one lattice sweep per motif for the whole
+        stack) must equal per-series symbolize exactly — same core, same
+        arithmetic, only the per-call fixed costs amortized."""
+        from dtaidistance_spark.kernels.symbolization import symbolize_batch
+
+        m1 = np.sin(np.linspace(0, 2 * np.pi, 16))
+        m2 = np.concatenate([np.linspace(0, 2, 8), np.linspace(2, 0, 8)])
+        cb = [m1, m2]
+        stack = []
+        for k in range(6):
+            s = rng.normal(scale=0.05, size=100)
+            s[10 + k:26 + k] += m1
+            s[60:76] += m2 if k % 2 else m1
+            stack.append(s)
+        stack = np.stack(stack)
+        batched = symbolize_batch(stack, cb)
+        for b in range(len(stack)):
+            assert (batched[b] == symbolize(stack[b], cb)).all()
+
+    def test_kbest_batch_bit_identical(self, rng):
+        from dtaidistance_spark.kernels.subsequence import (
+            kbest_matches, kbest_matches_batch)
+
+        q = np.sin(np.linspace(0, 2 * np.pi, 12))
+        stack = np.stack([rng.normal(scale=0.3, size=80) for _ in range(5)])
+        stack[:, 30:42] += q
+        batched = kbest_matches_batch(q, stack, k=None, minlength=6,
+                                      maxlength=24, max_rangefactor=2.0)
+        for b in range(len(stack)):
+            solo = kbest_matches(q, stack[b], k=None, minlength=6,
+                                 maxlength=24, max_rangefactor=2.0)
+            assert [(m.idx, m.value, m.start, m.end, m.path)
+                    for m in batched[b]] == \
+                   [(m.idx, m.value, m.start, m.end, m.path) for m in solo]
+
     def test_symbolize_min(self, rng):
         s, codebook = self._setup(rng)
         sym = symbolize_min(s, codebook)
