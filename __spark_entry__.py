@@ -43,6 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_users_1d": DQ.q_top_users_1d,
         "retention_7d": DQ.q_retention_7d,
         "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
+        # tiered parquet sink (sinks/tiers.py): write partitioned by
+        # (tier, day) with dynamic overwrite, read back partition-pruned
+        "tier_sink_roundtrip": DQ.q_tier_sink_roundtrip,
         "event_type_daily": DQ.q_event_type_daily,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

@@ -123,6 +123,24 @@ def q_rollup_1d_cascade(spark, sf_dir):
     return _rollup_named(R.rollup_cascade(R.rollup_cascade(agg1m, "1h"), "1d"))
 
 
+def q_tier_sink_roundtrip(spark, sf_dir):
+    """1h tier → tiered parquet sink (sinks/tiers.py: partitioned by
+    (tier, p_day), dynamic partition overwrite, sorted within
+    partitions) → read back through the partition-pruned reader.  The
+    oracle is the plain 1h rollup SQL, so the hash check proves the
+    sink's storage layout is lossless end-to-end (the
+    compress_roundtrip pattern, applied to the physical table layout)."""
+    import hashlib
+    from ..sinks import tiers as SK
+
+    agg1m = R.rollup_points(event_points_rollup(spark, sf_dir), "1m")
+    agg1h = R.rollup_cascade(agg1m, "1h")
+    base = "/tmp/dts_tier_sink_" + hashlib.md5(
+        sf_dir.encode()).hexdigest()[:8]
+    SK.write_tier(agg1h, base, "1h")
+    return _rollup_named(SK.read_tier(spark, base, "1h"))
+
+
 def q_gap_fill_1h(spark, sf_dir):
     agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     filled = R.gap_fill(agg1h, "1h")
@@ -911,6 +929,9 @@ def _minhash_sig_sql(n_hashes: int = 16) -> str:
 ORACLES: dict[str, str] = {
     "rollup_1m": _rollup_sql("minute"),
     "rollup_1h_cascade": _rollup_sql("hour"),
+    # the sink roundtrip must reproduce the plain 1h rollup exactly —
+    # same oracle SQL proves the tiered layout is lossless
+    "tier_sink_roundtrip": _rollup_sql("hour"),
     "rollup_1d_cascade": _rollup_sql("day"),
     "gap_fill_1h": f"""
         WITH pts AS ({_PTS_SQL}),
