@@ -36,22 +36,28 @@ from pyspark.sql import functions as F
 P_DAY_FMT = "yyyy-MM-dd"
 
 
-def write_tier(agg: DataFrame, base: str, tier: str) -> None:
-    """Write one rollup tier partitioned by (tier, p_day) with dynamic
-    partition overwrite: only the days present in ``agg`` are replaced.
+def write_tier(agg: DataFrame, base: str, tier: str,
+               mode: str = "overwrite") -> None:
+    """Write one rollup tier partitioned by (tier, p_day).
+
+    ``mode="overwrite"`` (batch refresh) uses dynamic partition
+    overwrite: only the days present in ``agg`` are replaced.
+    ``mode="append"`` adds files to the day partitions — the streaming
+    micro-batch path (see :func:`stream_to_tiers` in
+    streaming/rollup_stream.py).
 
     The day column is derived from ``bucket_ts`` so a tier row always
     lands in the partition its bucket belongs to; the physical sort
     within each partition is (series_id, bucket_ts), giving parquet
     min/max column stats that support series_id predicate pushdown
     inside a partition."""
-    (agg.withColumn("tier", F.lit(tier))
-        .withColumn("p_day", F.date_format("bucket_ts", P_DAY_FMT))
-        .sortWithinPartitions("series_id", "bucket_ts")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("tier", "p_day")
-        .parquet(base))
+    w = (agg.withColumn("tier", F.lit(tier))
+         .withColumn("p_day", F.date_format("bucket_ts", P_DAY_FMT))
+         .sortWithinPartitions("series_id", "bucket_ts")
+         .write.mode(mode))
+    if mode == "overwrite":
+        w = w.option("partitionOverwriteMode", "dynamic")
+    w.partitionBy("tier", "p_day").parquet(base)
 
 
 def read_tier(spark: SparkSession, base: str, tier: str,

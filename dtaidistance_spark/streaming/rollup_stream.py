@@ -59,3 +59,41 @@ def run_file_stream(spark: SparkSession, input_dir: str, schema: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def stream_to_tiers(spark: SparkSession, input_dir: str, schema: str,
+                    base: str, checkpoint_dir: str, tier: str = "1m",
+                    series_expr: str = "concat('user', user_id) ",
+                    ts_col: str = "ts", value_col: str = "value",
+                    watermark: str = "10 minutes"):
+    """File-source → 1m streaming rollup → the TIERED sink
+    (sinks/tiers.py layout) via ``foreachBatch``: each micro-batch of
+    finalized windows is APPENDED into its (tier, p_day) partitions, so
+    the streaming tier lands in the same table layout the batch cascade
+    and retention/compaction operate on.
+
+    Delivery is at-least-once into the partitions (a micro-batch
+    retried after a sink failure can append twice — the Structured
+    Streaming contract for non-transactional ``foreachBatch`` sinks);
+    the periodic batch refresh (``write_tier(agg, base, tier)`` with
+    dynamic overwrite, recomputing recent days) is the corrector that
+    restores exactness — the streaming-ingest / batch-repair split this
+    module's header describes, now sharing one physical table."""
+    from ..sinks.tiers import write_tier
+
+    src = (spark.readStream.schema(schema).parquet(input_dir)
+           .withColumn("series_id", F.expr(series_expr)))
+    agg = stream_rollup_1m(src, ts_col=ts_col, value_col=value_col,
+                           watermark=watermark)
+
+    def sink_batch(bdf: DataFrame, batch_id: int) -> None:
+        write_tier(bdf, base, tier, mode="append")
+
+    q = (agg.writeStream
+         .foreachBatch(sink_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

@@ -96,6 +96,40 @@ class TestTierSink:
                         .alias("d")).distinct().collect()
         assert {r["d"] for r in got} == {days[-1]}
 
+    def test_stream_to_tiers(self, spark, agg1h, base, tmp_path):
+        """Streaming 1m tier lands in the tiered layout (append per
+        micro-batch) and equals the batch 1m rollup on the emitted
+        (watermark-closed) windows; the batch refresh then overwrites
+        the same partitions losslessly — the repair path."""
+        from dtaidistance_spark.sources.transcripts import synth_transcripts
+        from dtaidistance_spark.operators.ingest import transcript_points
+        from dtaidistance_spark.streaming.rollup_stream import stream_to_tiers
+
+        tr = synth_transcripts(spark, n_convs=10, seed=3, max_turns=60)
+        pts = transcript_points(tr, kinds=("turn_rate",))
+        src_dir = str(tmp_path / "src")
+        pts.select("series_id", "ts", "value").write.parquet(src_dir)
+        stream_to_tiers(
+            spark, src_dir,
+            schema="series_id string, ts timestamp, value double",
+            base=base, checkpoint_dir=str(tmp_path / "ck"),
+            series_expr="series_id")
+        got = SK.read_tier(spark, base, "1m") \
+            .orderBy("series_id", "bucket_ts").toPandas()
+        batch = R.rollup_points(pts, "1m") \
+            .select("series_id", "bucket_ts", "cnt", "sum", "min", "max") \
+            .orderBy("series_id", "bucket_ts").toPandas()
+        merged = got.merge(batch, on=["series_id", "bucket_ts"],
+                           suffixes=("_s", "_b"))
+        assert len(merged) == len(got) > 0
+        assert (merged["cnt_s"].values == merged["cnt_b"].values).all()
+        # batch repair: dynamic-overwrite the same tier from the full
+        # batch rollup; the table then equals the batch tier exactly
+        full = R.rollup_points(pts, "1m") \
+            .select("series_id", "bucket_ts", "cnt", "sum", "min", "max")
+        SK.write_tier(full, base, "1m")
+        assert _canon(SK.read_tier(spark, base, "1m")) == _canon(full)
+
     def test_compact_tier(self, spark, agg1h, base):
         SK.write_tier(agg1h.repartition(8), base, "1h")
         day = SK.list_partitions(base, "1h")[0]
