@@ -18,16 +18,59 @@ import struct
 import numpy as np
 
 __all__ = ["encode_ppm", "decode_ppm", "encode_bmp", "decode_bmp",
-           "sniff_format"]
+           "encode_wav", "decode_wav", "sniff_format"]
 
 
 def sniff_format(payload: bytes) -> str:
-    """'ppm' | 'bmp' | 'unknown' from magic bytes."""
+    """'ppm' | 'bmp' | 'wav' | 'unknown' from magic bytes."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
     return "unknown"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono PCM16 → RIFF/WAVE bytes (canonical 44-byte header; the
+    public WAVE spec's minimal fmt+data layout)."""
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                   sample_rate * 2, 2, 16)
+           + b"data" + struct.pack("<I", n))
+    return hdr + pcm
+
+
+def decode_wav(payload: bytes):
+    """RIFF/WAVE bytes → (int16 sample array, sample_rate).  Walks the
+    chunk list (a spec-conformant file may carry LIST/fact chunks
+    before ``data``); mono PCM16 only — anything else stays behind the
+    NotImplementedError codec boundary."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    sample_rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, ch, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise NotImplementedError(
+                    "only mono PCM16 WAVE is decoded natively; other "
+                    "encodings need soundfile/ffmpeg")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAVE payload missing fmt or data chunk")
+    return np.frombuffer(data, dtype="<i2"), sample_rate
 
 
 # ---------------------------------------------------------------------------

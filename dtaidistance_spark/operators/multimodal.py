@@ -28,7 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.media import decode_bmp, decode_ppm, encode_ppm, sniff_format
+from ..kernels.media import (decode_bmp, decode_ppm, decode_wav,
+                             encode_ppm, encode_wav, sniff_format)
 
 MEDIA_SCHEMA = ("media_id long, kind string, payload binary, width int, "
                 "height int, sample_rate int, n_frames int")
@@ -47,10 +48,24 @@ def _synth_pixels(media_id: int, w: int = _IMG_W, h: int = _IMG_H) -> np.ndarray
             ).astype(np.uint8)
 
 
+_AUDIO_N = 2048
+
+
+def _synth_samples(media_id: int, n: int = _AUDIO_N) -> np.ndarray:
+    """Deterministic mono PCM16 test signal — integer formula kept
+    SQL-replayable (like :func:`_synth_pixels`) so the DuckDB oracle can
+    recompute the decoded samples without parsing RIFF bytes:
+    s_k = ((13·id + 7·k + k² mod 97) mod 65536) − 32768."""
+    k = np.arange(n, dtype=np.int64)
+    return (((13 * media_id + 7 * k + (k * k) % 97) % 65536) - 32768
+            ).astype(np.int16)
+
+
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table.  Image rows carry a real
-    binary-PPM payload (decoded, not faked, downstream); audio/video
-    rows carry hash-derived opaque bytes for the stubbed codecs."""
+    binary-PPM payload and audio rows a real RIFF/WAVE PCM16 payload
+    (both decoded, not faked, downstream); video rows carry
+    hash-derived opaque bytes for the stubbed codec."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -61,6 +76,8 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 kind = kinds[mid % 3]
                 if kind == "image":
                     payload = encode_ppm(_synth_pixels(mid))
+                elif kind == "audio":
+                    payload = encode_wav(_synth_samples(mid), 16000)
                 else:
                     payload = hashlib.sha256(
                         f"m{seed}:{mid}".encode()).hexdigest().encode()
@@ -103,20 +120,39 @@ def _raster_features(payload: bytes, n_features: int) -> np.ndarray:
     return out
 
 
+def _audio_features(payload: bytes, n_features: int) -> np.ndarray:
+    """Real WAVE decode → ``n_features`` frame-RMS energies in [0, 1).
+    Frame f covers samples [f·n/nf, (f+1)·n/nf); RMS is computed over
+    exact integer squares (sums < 2^53), so the value is reproducible
+    bit-for-bit by the SQL oracle regardless of summation order."""
+    samples, _ = decode_wav(payload)
+    s = samples.astype(np.float64)
+    n = len(s)
+    out = np.empty(n_features)
+    for f in range(n_features):
+        lo, hi = f * n // n_features, (f + 1) * n // n_features
+        frame = s[lo:max(hi, lo + 1)]
+        out[f] = np.sqrt(np.mean(frame * frame)) / 32768.0
+    return out
+
+
 def decode_features(media: DataFrame, n_features: int = 16,
                     fake: bool = True) -> DataFrame:
     """media → fixed-width feature vectors (the embedding-extraction
     stage of a training-data pipeline).  Batched: one pandas frame per
     Arrow batch, one numpy matrix per batch.  Raster payloads (PPM/BMP
-    magic) go through the REAL decoder; other formats use the hash stub
-    (or raise with ``fake=False``)."""
+    magic) and WAVE payloads go through the REAL decoders; other
+    formats use the hash stub (or raise with ``fake=False``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for p in pdf["payload"]:
                 p = bytes(p)
-                if sniff_format(p) != "unknown":
+                fmt = sniff_format(p)
+                if fmt == "wav":
+                    feats.append(_audio_features(p, n_features).tolist())
+                elif fmt != "unknown":
                     feats.append(_raster_features(p, n_features).tolist())
                 elif fake:
                     feats.append(_fake_decode(p, n_features).tolist())

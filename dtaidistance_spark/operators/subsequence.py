@@ -141,15 +141,27 @@ def kbest_matches_df(corpus: DataFrame, query: np.ndarray, k: int = 3,
     q = [float(x) for x in np.asarray(query, dtype=np.float64)]
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.subsequence import kbest_matches_batch
+
         qa = np.asarray(q)
         for pdf in batches:
+            if not len(pdf):
+                continue
+            # equal-length stacks (the global-grid norm) take ONE batched
+            # DP sweep for every lattice; ragged batches group by length
             rows = []
+            by_len: dict = {}
             for sid, v in zip(pdf["series_id"], pdf[values_col]):
-                series = np.asarray(v, dtype=np.float64)
-                for rank, m in enumerate(
-                        kbest_matches(qa, series, k=k, overlap=overlap,
-                                      minlength=minlength, penalty=penalty)):
-                    rows.append((sid, rank, m.idx, m.value, m.start, m.end))
+                by_len.setdefault(len(v), []).append((sid, v))
+            for _, grp in sorted(by_len.items()):
+                stack = np.stack([np.asarray(v, dtype=np.float64)
+                                  for _, v in grp])
+                per_series = kbest_matches_batch(
+                    qa, stack, k=k, overlap=overlap, minlength=minlength,
+                    penalty=penalty)
+                for (sid, _), ms in zip(grp, per_series):
+                    rows.extend((sid, rank, m.idx, m.value, m.start, m.end)
+                                for rank, m in enumerate(ms))
             yield pd.DataFrame(rows, columns=["series_id", "rank", "end_idx",
                                               "value", "seg_start", "seg_end"])
 

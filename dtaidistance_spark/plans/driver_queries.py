@@ -1742,8 +1742,15 @@ ORACLES["media_features"] = """
     -- grayscale → 8 vertical-strip means, so recomputing the features
     -- from the pixel formula here validates the decoder end-to-end
     -- (equal 4×24 strips make feat_sum = Σ gray / (96·255)).
-    -- AUDIO/VIDEO payloads are the UTF-8 bytes of sha2-hex('m42:<id>')
-    -- and go through the honest _fake_decode stub (hash payload ||
+    -- AUDIO rows carry a REAL RIFF/WAVE PCM16 payload of the
+    -- deterministic signal s_k = ((13·id + 7·k + k² mod 97) mod 65536)
+    -- − 32768 (2048 samples); the Spark side round-trips it through
+    -- encode_wav → decode_wav → 8 frame-RMS energies, so recomputing
+    -- the RMS from the sample formula here validates the WAVE decoder
+    -- end-to-end (integer squares sum exactly below 2^53, so the value
+    -- is order-independent and bit-equal).
+    -- VIDEO payloads are the UTF-8 bytes of sha2-hex('m42:<id>') and
+    -- go through the honest _fake_decode stub (hash payload ||
     -- uint32_be(0), stretch digest bytes into [0,1) floats).
     SELECT r.range AS media_id, 'image' AS kind,
            round(sum(((7 * r.range + 3 * x.range + 5 * y.range
@@ -1757,8 +1764,21 @@ ORACLES["media_features"] = """
     WHERE r.range % 3 = 0
     GROUP BY r.range
     UNION ALL
-    SELECT media_id,
-           CASE media_id % 3 WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    SELECT media_id, 'audio' AS kind,
+           round(list_sum(list(rms ORDER BY frame)), 6) AS feat_sum
+    FROM (
+      SELECT r.range AS media_id, f.range AS frame,
+             sqrt(avg(pow(((13 * r.range + 7 * (f.range * 256 + j.range)
+                            + ((f.range * 256 + j.range)
+                               * (f.range * 256 + j.range)) % 97) % 65536)
+                          - 32768, 2))) / 32768.0 AS rms
+      FROM range(0, 64) r, range(0, 8) f, range(0, 256) j
+      WHERE r.range % 3 = 1
+      GROUP BY 1, 2
+    )
+    GROUP BY media_id
+    UNION ALL
+    SELECT media_id, 'video' AS kind,
            round(list_sum(list_transform(range(0, 8), i ->
              ((strpos('0123456789abcdef', substr(dg, 2*i+1, 1)) - 1) * 16
               + (strpos('0123456789abcdef', substr(dg, 2*i+2, 1)) - 1))
@@ -1767,7 +1787,7 @@ ORACLES["media_features"] = """
       SELECT r.range AS media_id,
              sha256(sha256('m42:' || r.range::VARCHAR)
                     || chr(0) || chr(0) || chr(0) || chr(0)) AS dg
-      FROM range(0, 64) r WHERE r.range % 3 != 0
+      FROM range(0, 64) r WHERE r.range % 3 = 2
     )
 """
 

@@ -283,6 +283,38 @@ class TestMediaCodecs:
                    for s in range(8)]
             assert np.allclose(list(r.features), exp, atol=1e-12)
 
+    def test_wav_roundtrip_and_chunk_walk(self):
+        from dtaidistance_spark.kernels.media import (
+            decode_wav, encode_wav, sniff_format)
+
+        rng = np.random.default_rng(5)
+        s = rng.integers(-32768, 32768, 777, dtype=np.int16)
+        payload = encode_wav(s, 8000)
+        assert sniff_format(payload) == "wav"
+        got, rate = decode_wav(payload)
+        assert rate == 8000 and (got == s).all()
+        # decoder must walk unknown chunks before data (spec grammar)
+        padded = (payload[:12] + b"LIST" + b"\x04\x00\x00\x00" + b"INFO"
+                  + payload[12:])
+        got2, rate2 = decode_wav(padded)
+        assert rate2 == 8000 and (got2 == s).all()
+
+    def test_audio_features_are_real_rms(self, spark):
+        """Audio feature values must equal the frame RMS of the known
+        synthetic sample formula — i.e. the WAVE bytes were parsed."""
+        from dtaidistance_spark.operators.multimodal import (
+            _synth_samples, decode_features, synth_media)
+
+        media = synth_media(spark, n=6)
+        out = decode_features(media, n_features=8) \
+            .where("kind = 'audio'").orderBy("media_id").toPandas()
+        assert len(out) == 2  # ids 1 and 4 are audio
+        for r in out.itertuples(index=False):
+            s = _synth_samples(int(r.media_id)).astype(np.float64)
+            exp = [np.sqrt(np.mean(s[f * 256:(f + 1) * 256] ** 2)) / 32768.0
+                   for f in range(8)]
+            assert np.allclose(list(r.features), exp, atol=1e-15)
+
     def test_resize_images_decodes_ppm(self, spark):
         from dtaidistance_spark.operators.multimodal import (
             _synth_pixels, resize_images, synth_media)
