@@ -37,9 +37,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": DQ.q_rollup_1d_cascade,
         "gap_fill_1h": DQ.q_gap_fill_1h,
         "latency_points": DQ.q_latency_points,
+        # discrete p50/p95/p99 per (series, day) — rank-exact in both
+        # engines; approx_percentile is the documented 100 TB swap-in
+        "latency_quantiles": DQ.q_latency_quantiles,
         "znormal_latency": DQ.q_znormal_latency,
-        "derivative_1h": DQ.q_derivative_1h,
-        "diff_1h": DQ.q_diff_1h,
+        # composite differencing + DDTW derivative over the 1h tier
+        "diff_derivative_1h": DQ.q_diff_derivative_1h,
         "top_users_1d": DQ.q_top_users_1d,
         "retention_7d": DQ.q_retention_7d,
         "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,

@@ -158,28 +158,67 @@ def q_latency_points(spark, sf_dir):
                     F.round(epoch("ts") - epoch("prev_ts"), 6).alias("latency_s")))
 
 
+def q_latency_quantiles(spark, sf_dir):
+    """Per-(series, day) inter-turn-latency percentiles p50/p95/p99 —
+    the classic observability rollup over the latency series.
+
+    The percentile is the DISCRETE order statistic at rank
+    ``max(1, ceil(p·n))`` over integer microsecond latencies, computed
+    with window row_number/count — a definition both engines reproduce
+    bit-for-bit (interpolated percentiles round differently per engine:
+    Spark evaluates ``lower + d·(higher−lower)``, DuckDB quantile_cont
+    ``(1−d)·lower + d·higher``).  At 100 TB the same plan shape swaps
+    the exact rank for ``approx_percentile(lat, [.5,.95,.99], acc)`` —
+    one shuffle, mergeable partial sketches, rank error ≤ 1/acc."""
+    pts = event_points(spark, sf_dir)
+    w = W.partitionBy("series_id").orderBy("seq")
+    lat = (pts.withColumn("prev_ts", F.lag("ts").over(w))
+           .where(F.col("prev_ts").isNotNull())
+           .select("series_id",
+                   F.date_trunc("day", "ts").alias("bucket_ts"),
+                   (F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    ).alias("lat_us")))
+    g = W.partitionBy("series_id", "bucket_ts")
+    ranked = (lat.withColumn("rn", F.row_number().over(
+                  g.orderBy("lat_us")))
+              .withColumn("n", F.count("*").over(g)))
+
+    def at(p):
+        idx = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("n")))
+        return F.round(
+            F.max(F.when(F.col("rn") == idx, F.col("lat_us"))) / 1e6, 6)
+
+    return (ranked.groupBy("series_id", "bucket_ts")
+            .agg(at(0.5).alias("p50"), at(0.95).alias("p95"),
+                 at(0.99).alias("p99"),
+                 F.max("n").cast("long").alias("n")))
+
+
 def q_znormal_latency(spark, sf_dir):
     lat = q_latency_points(spark, sf_dir).withColumnRenamed("latency_s", "value")
     z = PP.znormal(lat)
     return z.select("series_id", "seq", F.round("value_z", 6).alias("value_z"))
 
 
-def q_derivative_1h(spark, sf_dir):
+def q_diff_derivative_1h(spark, sf_dir):
+    """Composite of the two pointwise series transforms over the same
+    1h tier — ``differencing`` (reference preprocessing.py:16-42) and
+    the Keogh DDTW ``derivative`` (preprocessing.py:91-138) — one
+    driver-window slot for both oracles (long format with a metric
+    tag; the r4 window-packing pattern of path_postprocess_pairs)."""
     agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     pts = agg1h.select("series_id", F.col("bucket_ts").alias("ts"),
                        F.col("sum").alias("value"))
-    d = PP.derivative(pts, order_col="ts")
-    return d.select("series_id", F.col("ts").alias("bucket_ts"),
-                    F.round("value_deriv", 6).alias("deriv"))
-
-
-def q_diff_1h(spark, sf_dir):
-    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
-    pts = agg1h.select("series_id", F.col("bucket_ts").alias("ts"),
-                       F.col("sum").alias("value"))
-    d = PP.differencing(pts, order_col="ts")
-    return d.select("series_id", F.col("ts").alias("bucket_ts"),
-                    F.round("value_diff", 6).alias("diff"))
+    d1 = PP.differencing(pts, order_col="ts").select(
+        "series_id", F.col("ts").alias("bucket_ts"),
+        F.lit("diff").alias("metric"),
+        F.round("value_diff", 6).alias("value"))
+    d2 = PP.derivative(pts, order_col="ts").select(
+        "series_id", F.col("ts").alias("bucket_ts"),
+        F.lit("derivative").alias("metric"),
+        F.round("value_deriv", 6).alias("value"))
+    return d1.unionByName(d2)
 
 
 def q_top_users_1d(spark, sf_dir):
@@ -959,6 +998,30 @@ ORACLES: dict[str, str] = {
         WINDOW w AS (PARTITION BY series_id ORDER BY seq)
         QUALIFY lag(ts) OVER w IS NOT NULL
     """,
+    "latency_quantiles": f"""
+        WITH pts AS ({_PTS_SQL}),
+        lat AS (
+          SELECT series_id, date_trunc('day', ts) AS bucket_ts,
+                 epoch_us(ts) - epoch_us(lag(ts) OVER w) AS lat_us
+          FROM pts
+          WINDOW w AS (PARTITION BY series_id ORDER BY seq)
+          QUALIFY lag(ts) OVER w IS NOT NULL),
+        r AS (
+          SELECT series_id, bucket_ts, lat_us,
+                 row_number() OVER (PARTITION BY series_id, bucket_ts
+                                    ORDER BY lat_us) AS rn,
+                 count(*) OVER (PARTITION BY series_id, bucket_ts) AS n
+          FROM lat)
+        SELECT series_id, bucket_ts,
+               round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))
+                              THEN lat_us END) / 1e6, 6) AS p50,
+               round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                              THEN lat_us END) / 1e6, 6) AS p95,
+               round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                              THEN lat_us END) / 1e6, 6) AS p99,
+               CAST(max(n) AS BIGINT) AS n
+        FROM r GROUP BY 1, 2
+    """,
     "znormal_latency": f"""
         WITH pts AS ({_PTS_SQL}),
         lat AS (
@@ -973,27 +1036,22 @@ ORACLES: dict[str, str] = {
                           ELSE 0.0 END, 6) AS value_z
         FROM lat WINDOW s AS (PARTITION BY series_id)
     """,
-    "derivative_1h": f"""
+    "diff_derivative_1h": f"""
         WITH pts AS ({_PTS_SQL}),
         agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
                        sum(value) AS value
                 FROM pts GROUP BY 1, 2)
-        SELECT series_id, bucket_ts,
-               round(((value - lag(value) OVER w)
-                      + (lead(value) OVER w - lag(value) OVER w) / 2) / 2, 6)
-                 AS deriv
-        FROM agg WINDOW w AS (PARTITION BY series_id ORDER BY bucket_ts)
-        QUALIFY lag(value) OVER w IS NOT NULL AND lead(value) OVER w IS NOT NULL
-    """,
-    "diff_1h": f"""
-        WITH pts AS ({_PTS_SQL}),
-        agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
-                       sum(value) AS value
-                FROM pts GROUP BY 1, 2)
-        SELECT series_id, bucket_ts,
-               round(value - lag(value) OVER w, 6) AS diff
+        SELECT series_id, bucket_ts, 'diff' AS metric,
+               round(value - lag(value) OVER w, 6) AS value
         FROM agg WINDOW w AS (PARTITION BY series_id ORDER BY bucket_ts)
         QUALIFY lag(value) OVER w IS NOT NULL
+        UNION ALL
+        SELECT series_id, bucket_ts, 'derivative' AS metric,
+               round(((value - lag(value) OVER w2)
+                      + (lead(value) OVER w2 - lag(value) OVER w2) / 2) / 2, 6)
+                 AS value
+        FROM agg WINDOW w2 AS (PARTITION BY series_id ORDER BY bucket_ts)
+        QUALIFY lag(value) OVER w2 IS NOT NULL AND lead(value) OVER w2 IS NOT NULL
     """,
     "top_users_1d": f"""
         WITH pts AS ({_PTS_SQL}),
