@@ -36,6 +36,18 @@ class TestPlans:
         assert "partial" in plan.lower()
         assert "SinglePartition" not in plan
 
+    def test_latency_quantiles_reuses_partitioning(self, spark):
+        """The rank windows over (series_id, bucket_ts) and the final
+        group-by must all reuse the series_id hash partitioning — two
+        exchanges total (seq ordering on user_id + series re-key), no
+        extra shuffle per window pass, no Python nodes."""
+        from dtaidistance_spark.plans import driver_queries as DQ
+        plan = _plan(DQ.q_latency_quantiles(spark, SF_DIR))
+        assert plan.count("Exchange") <= 2, plan
+        assert "SinglePartition" not in plan
+        for node in PY_EVAL_NODES:
+            assert node not in plan
+
     def test_edit_distance_is_jvm_only(self, spark):
         from dtaidistance_spark.plans import driver_queries as DQ
         plan = _plan(DQ.q_edit_distance(spark, SF_DIR))
