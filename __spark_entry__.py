@@ -55,13 +55,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_1h": DQ.q_similarity_1h,
         "squash_latency": DQ.q_squash_latency,
         "sessionize": DQ.q_sessionize,
-        # DTW analytics (dtw_daily_pairs carries a full value-level DuckDB
-        # oracle — an exact recursive-CTE replay of the DP; the long-series
-        # matrices below are rows-only)
-        "dtw_daily_pairs": DQ.q_dtw_daily_pairs,
-        "dtw_banded_pairs": DQ.q_dtw_banded_pairs,
-        "lb_keogh_pairs": DQ.q_lb_keogh_pairs,
-        "ub_euclidean_pairs": DQ.q_ub_euclidean_pairs,
+        # DTW analytics (dtw_pairs carries full value-level DuckDB oracles
+        # — exact recursive-CTE replays of the unbanded AND banded+psi DP;
+        # the long-series matrices below are rows-only)
+        "dtw_pairs": DQ.q_dtw_pairs,
+        "bounds_pairs": DQ.q_bounds_pairs,
         "msm_pairs": DQ.q_msm_pairs,
         "dtw_path_pairs": DQ.q_dtw_path_pairs,
         # composite of warp / warping_amount / distance_from_path — one
@@ -70,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_postprocess_pairs": DQ.q_path_postprocess_pairs,
         "dtw_block_pairs": DQ.q_dtw_block_pairs,
         "dba_update": DQ.q_dba_update,
+        # kmeans E-step with fixed centers (the M-step twin is dba_update;
+        # the full kmeans++-seeded loop stays rows-only below)
+        "kmeans_assign_step": DQ.q_kmeans_assign_step,
         "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "subsequence_topk": DQ.q_subsequence_topk,
         "linkage_tree": DQ.q_linkage_tree,
@@ -77,6 +78,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # matching-pursuit symbolization — value-oracled since r4 (the
         # kbest + greedy-claim loops replayed as chained CTEs)
         "symbolize": DQ.q_symbolize,
+        # LoCo lattice + SSM estimation + argmax + ridge traceback,
+        # value-oracled (k=1 restart-free case; the k>1 masked loop
+        # stays rows-only below as loco_matches)
+        "loco_best_match": DQ.q_loco_best_match,
         "nw_align": DQ.q_nw_align,
         "edit_distance": DQ.q_edit_distance,
         "media_features": DQ.q_media_features,
@@ -110,4 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(DQ.ORACLES)
+    # ORACLES keeps the standalone bodies the composite queries nest
+    # (dtw_daily_pairs etc.); export only the ones backing a live query.
+    live = queries()
+    return {k: v for k, v in DQ.ORACLES.items() if k in live}

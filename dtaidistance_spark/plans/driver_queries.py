@@ -330,6 +330,20 @@ def q_dtw_banded_pairs(spark, sf_dir):
     return dist.select("i", "j", F.round("d", 6).alias("d"))
 
 
+def q_dtw_pairs(spark, sf_dir):
+    """Composite of ``q_dtw_daily_pairs`` (variant ``full``) and
+    ``q_dtw_banded_pairs`` (variant ``banded`` — the flagship's exact
+    window=12/psi=2 settings): both value-oracled DTW kernel replays in
+    ONE driver-window slot (r4: the correctness window caps at 50
+    queries; packing these frees slots for the new kmeans/loco
+    oracles).  Each variant stays individually runnable for tests."""
+    full = q_dtw_daily_pairs(spark, sf_dir) \
+        .select(F.lit("full").alias("variant"), "i", "j", "d")
+    banded = q_dtw_banded_pairs(spark, sf_dir) \
+        .select(F.lit("banded").alias("variant"), "i", "j", "d")
+    return full.unionByName(banded)
+
+
 def _daily_series(spark, sf_dir, cap: int) -> DataFrame:
     """First ``cap`` per-user daily count series on the global grid —
     the shared short-series input of the value-oracled DP queries."""
@@ -360,6 +374,24 @@ def q_ub_euclidean_pairs(spark, sf_dir):
     series = _daily_series(spark, sf_dir, 32)
     out = ub_euclidean_pairs(series)
     return out.select("i", "j", F.round("ub", 6).alias("ub"))
+
+
+def q_bounds_pairs(spark, sf_dir):
+    """LB_Keogh (window=12) + Euclidean upper bound over the same 32
+    daily series as ONE long-format result (metric ∈ {lb_keogh,
+    ub_euclidean}) — merges the two former standalone queries into one
+    driver-window slot; both remain pure JVM column algebra
+    (functions/bounds.py, size-gated broadcast since r4 ADVICE)."""
+    from ..functions.bounds import lb_keogh_pairs, ub_euclidean_pairs
+
+    series = _daily_series(spark, sf_dir, 32)
+    lb = lb_keogh_pairs(series, window=12).select(
+        "i", "j", F.lit("lb_keogh").alias("metric"),
+        F.round("lb", 6).alias("value"))
+    ub = ub_euclidean_pairs(series).select(
+        "i", "j", F.lit("ub_euclidean").alias("metric"),
+        F.round("ub", 6).alias("value"))
+    return lb.unionByName(ub)
 
 
 def q_msm_pairs(spark, sf_dir):
@@ -642,6 +674,30 @@ def q_subsequence_matches(spark, sf_dir):
     return kbest_matches_df(corpus, query, k=2, minlength=4)
 
 
+def q_kmeans_assign_step(spark, sf_dir):
+    """Value-oracled kmeans E-step: assign each of the first 32 daily
+    series to the nearest of 4 FIXED centers (= series 0..3) by full
+    DTW, using the exact assignment operator ``kmeans_dtw`` iterates
+    (operators/cluster.py:164-175 ``kmeans_assign``: broadcast
+    crossJoin ``distance_matrix_cross`` + rank-1 window with (d,
+    center) tie-break; reference clustering/kmeans.py:301-307).  The
+    DuckDB twin replays the 4×32 DTW lattices with the dtw_daily_pairs
+    recursive CTE and the same argmin tie order.  Together with
+    ``dba_update`` (the M-step twin) this pins both halves of the
+    Lloyd iteration that the rows-only ``kmeans_clusters`` query runs
+    end-to-end with kmeans++ seeding."""
+    import numpy as np
+
+    from ..operators.cluster import kmeans_assign
+
+    series = _daily_series(spark, sf_dir, 32)
+    sample = series.where(F.col("i") < 4).orderBy("i").toPandas()
+    centers = [np.asarray(v, dtype=np.float64) for v in sample["values"]]
+    assign = kmeans_assign(series, centers, DtwSettings(), spark)
+    return assign.select("i", "cluster",
+                         F.round("dist_to_center", 6).alias("dist_to_center"))
+
+
 def q_kmeans_clusters(spark, sf_dir):
     from ..operators.cluster import kmeans_dtw
     from ..kernels.dtw import DtwSettings
@@ -702,6 +758,71 @@ def q_loco_matches(spark, sf_dir):
     return corpus.mapInPandas(
         run, schema="series_id string, row int, col int, value double, "
                     "path_len int")
+
+
+def q_loco_best_match(spark, sf_dir):
+    """Value-oracled LoCo: cross-series LocalConcurrences over two fixed
+    pairs of hourly series (series 0↔1 and 2↔3 by series_id, truncated
+    to 100 points), replayed end-to-end by a DuckDB twin —
+
+      1. settings estimation from the similarity matrix
+         (``estimate_settings_from_ssm(rho=0.8)``, reference
+         localconcurrences.py:447-478): tau = 0.8-quantile of
+         exp(-(a-b)²) over the full cross-SSM, delta = -2·tau,
+         delta_factor = 0.5 (DuckDB ``quantile_cont`` is bit-equal to
+         ``np.quantile`` linear interpolation — probed);
+      2. the affinity accumulated-score lattice
+         (``loco_warping_paths``, reference :976-1025) as an
+         anti-diagonal recursive CTE (max-accumulation with the
+         tau/delta cut — hourly counts are integers, so every affinity
+         is exp(-k²) from a tiny discrete set injected as numpy-repr'd
+         literals, sidestepping the 1-ulp numpy-SIMD vs libm exp gap);
+      3. the global argmax (np.argmax row-major first-max order) and
+         the greedy positive-ridge traceback (``best_path``, reference
+         :802-868; diag→left→up first-max tie order) as a walk CTE.
+
+    k=1/minlen=1/buffer=0 is the restart-free deterministic first
+    iteration of ``kbest_matches`` — the unbounded masked-argmax k>1
+    loop stays pytest-pinned via the rows-only ``loco_matches``.
+    Output: the full ridge path, one row per path point with the
+    accumulated score (pins lattice, estimation, argmax AND walk)."""
+    import pandas as pd
+    from typing import Iterator
+
+    corpus = hourly_series(spark, sf_dir).orderBy("series_id").limit(4)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from ..kernels.loco import LocalConcurrences
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("series_id").reset_index(drop=True)
+            rows = []
+            for a in range(0, len(pdf) - 1, 2):
+                ra, rb = pdf.iloc[a], pdf.iloc[a + 1]
+                s1 = np.asarray(ra["values"], dtype=np.float64)[:100]
+                s2 = np.asarray(rb["values"], dtype=np.float64)[:100]
+                lc = LocalConcurrences(s1, s2)
+                lc.estimate_settings_from_ssm(rho=0.8)
+                lc.align()
+                wp = lc._wp.copy()
+                m = next(lc.kbest_matches(k=1, minlen=1, buffer=0), None)
+                if m is None:
+                    continue
+                for step, (x, y) in enumerate(m["path"]):
+                    rows.append((ra["series_id"], rb["series_id"], step,
+                                 x, y, round(float(abs(wp[x + 1, y + 1])), 6)))
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "step",
+                                              "pi", "pj", "val"])
+
+    # the 4 series collapse to one task: coalesce(1) makes the fixed
+    # (0,1)/(2,3) pairing deterministic (tiny by construction — the
+    # scale path for per-series LoCo is q_loco_matches' mapInPandas)
+    return corpus.coalesce(1).mapInPandas(
+        run, schema="id_a string, id_b string, step int, pi int, pj int, "
+                    "val double")
 
 
 def q_symbolize(spark, sf_dir):
@@ -1443,6 +1564,16 @@ _DAILY_SV_SQL = """
 """.format(pts=_PTS_SQL, cap="{cap}")
 
 
+# composite twin of q_dtw_pairs: both DTW replays under a variant tag
+# (DuckDB allows WITH RECURSIVE inside derived tables, so the two
+# existing oracle bodies nest unchanged)
+ORACLES["dtw_pairs"] = f"""
+    SELECT 'full' AS variant, i, j, d FROM ({ORACLES["dtw_daily_pairs"]})
+    UNION ALL
+    SELECT 'banded' AS variant, i, j, d FROM ({ORACLES["dtw_banded_pairs"]})
+"""
+
+
 ORACLES["lb_keogh_pairs"] = f"""
     -- LB_Keogh twin: envelope of series j at position idx covers
     -- idx-(w-1) .. idx+(w-1) (w=12 → ROWS BETWEEN 11 AND 11); excess =
@@ -1468,6 +1599,37 @@ ORACLES["ub_euclidean_pairs"] = f"""
            round(sqrt(sum((a.v - b.v) * (a.v - b.v))), 6) AS ub
     FROM sv a JOIN sv b ON a.idx = b.idx AND a.sid < b.sid
     GROUP BY 1, 2
+"""
+
+
+# composite twin of q_bounds_pairs (lb_keogh + ub_euclidean, long format)
+ORACLES["bounds_pairs"] = f"""
+    SELECT i, j, 'lb_keogh' AS metric, lb AS value
+    FROM ({ORACLES["lb_keogh_pairs"]})
+    UNION ALL
+    SELECT i, j, 'ub_euclidean' AS metric, ub AS value
+    FROM ({ORACLES["ub_euclidean_pairs"]})
+"""
+
+
+# kmeans E-step twin: the dtw_daily_pairs lattice restricted to
+# (center 0..3) × (all 32 series) pairs — including self-pairs, whose
+# lattice correctly folds to 0 — then per-series argmin with the exact
+# (d ASC, center ASC) rank order of kmeans_assign
+_KM_BASE = ORACLES["dtw_daily_pairs"] \
+    .rsplit("    SELECT CAST(p.sa", 1)[0] \
+    .replace("ON a.sid < b.sid", "ON a.sid < 4")
+ORACLES["kmeans_assign_step"] = _KM_BASE.rstrip() + ",\n" + """    dist AS (
+      SELECT p.sb AS s, p.sa AS c, sqrt(r.val) AS d
+      FROM rec r JOIN pairs p ON r.pid = p.pid
+      WHERE r.fresh AND r.i = p.la AND r.j = p.lb)
+    SELECT CAST(s AS BIGINT) AS i, CAST(c AS BIGINT) AS cluster,
+           round(d, 6) AS dist_to_center
+    FROM (SELECT s, c, d,
+                 row_number() OVER (PARTITION BY s ORDER BY d ASC, c ASC)
+                   AS rn
+          FROM dist)
+    WHERE rn = 1
 """
 
 
@@ -2526,6 +2688,153 @@ def _register_generated_oracles():
            CAST(cnt AS BIGINT) AS "count"
     FROM z""")
     ORACLES["linkage_tree"] = "".join(_parts)
+
+    # loco_best_match: the LoCo pipeline replayed end-to-end (see
+    # q_loco_best_match docstring).  Hourly counts are integer-valued, so
+    # every affinity exp(-gamma·(a-b)²) with gamma=1 comes from the tiny
+    # discrete set {exp(-k²) : k ∈ ℕ}, which underflows to exactly 0.0
+    # for k ≥ 28 — injected as numpy-repr'd literals because numpy's
+    # SIMD exp and DuckDB's libm exp differ by 1 ulp (probed: exp(-1)
+    # already differs), while repr round-trips bit-exact.
+    _aff_k = np.arange(0, 29, dtype=np.float64)
+    _aff_lit = ", ".join(f"({int(k)}, {float(v)!r})"
+                         for k, v in zip(_aff_k, np.exp(-(_aff_k * _aff_k))))
+    ORACLES["loco_best_match"] = f"""
+        WITH RECURSIVE
+        pts AS ({_PTS_SQL}),
+        agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                       count(value) AS cnt
+                FROM pts GROUP BY 1, 2),
+        gb AS (SELECT greatest(min(bucket_ts),
+                               max(bucket_ts)
+                               - interval {HOURLY_SPAN_CAP - 1} hour) AS b0,
+                      max(bucket_ts) AS b1 FROM agg),
+        grid AS (SELECT s.series_id,
+                        unnest(generate_series(gb.b0, gb.b1, interval 1 hour))
+                          AS bucket_ts
+                 FROM (SELECT DISTINCT series_id FROM agg) s, gb),
+        svall AS MATERIALIZED (
+          SELECT g.series_id,
+                 row_number() OVER (PARTITION BY g.series_id
+                                    ORDER BY g.bucket_ts) AS idx,
+                 CAST(coalesce(a.cnt, 0) AS DOUBLE) AS v
+          FROM grid g LEFT JOIN agg a
+            ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+        -- first 4 series with n >= 24 (hourly_series min_len), paired
+        -- (0,1) and (2,3); series truncated to 100 points
+        pick AS (SELECT series_id,
+                        row_number() OVER (ORDER BY series_id) - 1 AS rnk
+                 FROM (SELECT series_id FROM svall
+                       GROUP BY 1 HAVING max(idx) >= 24)
+                 QUALIFY rnk < 4),
+        sv AS MATERIALIZED (
+          SELECT s.series_id, CAST(s.idx AS INT) AS idx, s.v
+          FROM svall s JOIN pick USING (series_id) WHERE s.idx <= 100),
+        slen AS MATERIALIZED (SELECT series_id, CAST(max(idx) AS INT) AS n
+                 FROM sv GROUP BY 1),
+        prs AS (SELECT CAST(a.rnk // 2 AS INT) AS pid,
+                       a.series_id AS sa, b.series_id AS sb
+                FROM pick a JOIN pick b
+                  ON b.rnk = a.rnk + 1 AND a.rnk % 2 = 0),
+        pairs AS MATERIALIZED (SELECT p.pid, p.sa, p.sb, x.n AS la, y.n AS lb
+                  FROM prs p
+                  JOIN slen x ON x.series_id = p.sa
+                  JOIN slen y ON y.series_id = p.sb),
+        aff(k, d) AS (VALUES {_aff_lit}),
+        -- estimate_settings_from_ssm(rho=0.8): tau = 0.8-quantile of
+        -- the full cross-SSM (only_triu=False), delta = -2 tau,
+        -- delta_factor = 0.5, penalty stays 0
+        tau AS MATERIALIZED (SELECT p.pid,
+                       quantile_cont(coalesce(f.d, 0.0), 0.8) AS tau
+                FROM pairs p
+                JOIN sv a ON a.series_id = p.sa
+                JOIN sv b ON b.series_id = p.sb
+                LEFT JOIN aff f ON f.k = CAST(abs(a.v - b.v) AS INT)
+                GROUP BY 1),
+        roles(di, dj, src_fresh, carry) AS (VALUES
+          (1, 0, true, false), (0, 1, true, false),
+          (1, 1, false, false), (0, 0, true, true)),
+        -- the affinity accumulated-score lattice: MAX-accumulation
+        -- (absent predecessors are -inf and can never win, so they are
+        -- simply not generated); every computed cell is >= 0
+        rec(pid, i, j, val, fresh) AS (
+          SELECT pid, 0, 0, CAST(0.0 AS DOUBLE), false FROM pairs
+          UNION ALL
+          SELECT e.pid, e.ti, e.tj,
+                 CASE WHEN e.carry THEN max(e.val)
+                      WHEN any_value(coalesce(fd.d, 0.0))
+                           < any_value(t.tau)
+                        THEN greatest(0.0, -2 * any_value(t.tau)
+                                           + 0.5 * max(e.val))
+                      ELSE greatest(0.0, any_value(coalesce(fd.d, 0.0))
+                                         + max(e.val))
+                 END AS val,
+                 NOT e.carry AS fresh
+          FROM (
+            SELECT r.pid AS pid, r.i + x.di AS ti, r.j + x.dj AS tj,
+                   r.val AS val, x.carry AS carry
+            FROM rec r
+            JOIN roles x ON x.src_fresh = r.fresh
+               AND (NOT (x.di = 1 AND x.dj = 0 AND NOT x.carry)
+                    OR r.j >= 1)
+               AND (NOT (x.di = 0 AND x.dj = 1) OR r.i >= 1)
+          ) e
+          JOIN pairs p ON e.pid = p.pid AND e.ti <= p.la AND e.tj <= p.lb
+          LEFT JOIN sv av ON av.series_id = p.sa AND av.idx = e.ti
+          LEFT JOIN sv bv ON bv.series_id = p.sb AND bv.idx = e.tj
+          LEFT JOIN aff fd ON fd.k = CAST(abs(av.v - bv.v) AS INT)
+          LEFT JOIN tau t ON t.pid = e.pid
+          GROUP BY e.pid, e.ti, e.tj, e.carry
+        ),
+        cells AS MATERIALIZED (SELECT pid, i, j, val FROM rec WHERE fresh),
+        -- global argmax, np.argmax row-major first-max order (borders
+        -- are -inf after the mask and can never win a val > 0 argmax)
+        start AS (SELECT pid, i, j FROM cells WHERE val > 0
+                  QUALIFY row_number() OVER (PARTITION BY pid
+                            ORDER BY val DESC, i ASC, j ASC) = 1),
+        -- greedy positive-ridge traceback (best_path): candidates
+        -- diag / left / up in first-MAX tie order; absent or negative
+        -- cells count -1; stop when the chosen value <= 0 or the next
+        -- cell leaves the interior
+        walk(pid, i, j, step) AS (
+          SELECT pid, i, j, 0 FROM start
+          UNION ALL
+          SELECT s.pid, s.ni, s.nj, s.step + 1
+          FROM (
+            SELECT e.pid AS pid, e.step AS step,
+                   CASE WHEN e.vd >= e.vl AND e.vd >= e.vu THEN e.i - 1
+                        WHEN e.vl >= e.vu THEN e.i
+                        ELSE e.i - 1 END AS ni,
+                   CASE WHEN e.vd >= e.vl AND e.vd >= e.vu THEN e.j - 1
+                        WHEN e.vl >= e.vu THEN e.j - 1
+                        ELSE e.j END AS nj,
+                   greatest(e.vd, e.vl, e.vu) AS best
+            FROM (
+              SELECT w.pid AS pid, w.step AS step, w.i AS i, w.j AS j,
+                     coalesce(cd.val, -1) AS vd,
+                     coalesce(cl.val, -1) AS vl,
+                     coalesce(cu.val, -1) AS vu
+              FROM walk w
+              LEFT JOIN cells cd ON cd.pid = w.pid AND cd.i = w.i - 1
+                                 AND cd.j = w.j - 1
+              LEFT JOIN cells cl ON cl.pid = w.pid AND cl.i = w.i
+                                 AND cl.j = w.j - 1
+              LEFT JOIN cells cu ON cu.pid = w.pid AND cu.i = w.i - 1
+                                 AND cu.j = w.j
+            ) e
+          ) s
+          WHERE s.best > 0 AND s.ni > 0 AND s.nj > 0
+        ),
+        wl AS (SELECT pid, max(step) AS ns FROM walk GROUP BY 1)
+        SELECT p.sa AS id_a, p.sb AS id_b,
+               CAST(wl.ns - w.step AS INT) AS step,
+               CAST(w.i - 1 AS INT) AS pi, CAST(w.j - 1 AS INT) AS pj,
+               round(c.val, 6) AS val
+        FROM walk w
+        JOIN pairs p ON w.pid = p.pid
+        JOIN wl ON wl.pid = w.pid
+        JOIN cells c ON c.pid = w.pid AND c.i = w.i AND c.j = w.j
+    """
 
 
 _register_generated_oracles()

@@ -131,3 +131,69 @@ class TestSubsequenceTopkCte:
         assert [sid for sid, _ in got] == [sid for _, sid in want]
         for (sid, mv), (wv, _) in zip(got, want):
             assert mv == pytest.approx(wv, abs=2e-6), sid
+
+
+class TestKmeansAssignCte:
+    def test_matches_kernel(self, con):
+        """kmeans E-step twin: argmin DTW to 4 fixed centers with the
+        (d, center) tie order of operators/cluster.py::kmeans_assign."""
+        series = _daily_count_series(con)
+        centers = series[:4]
+        got = {int(i): (int(c), d) for i, c, d in
+               con.execute(ORACLES["kmeans_assign_step"]).fetchall()}
+        assert len(got) == len(series)
+        st = DtwSettings()
+        for si, s in enumerate(series):
+            ds = [dtw_distance(c, s, settings=st) for c in centers]
+            want_c = int(np.argmin(ds))
+            assert got[si][0] == want_c, si
+            assert got[si][1] == pytest.approx(ds[want_c], abs=2e-6), si
+
+
+class TestLocoBestMatchCte:
+    def test_matches_kernel(self, con):
+        """LoCo twin: estimation + affinity lattice + argmax + ridge
+        traceback vs kernels/loco.py on the synthetic hourly series."""
+        from dtaidistance_spark.kernels.loco import LocalConcurrences
+
+        pdf = con.execute("""
+            WITH agg AS (
+              SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                     date_trunc('hour', ts) AS h, count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            gb AS (SELECT min(h) b0, max(h) b1 FROM agg),
+            grid AS (SELECT s.series_id,
+                            unnest(generate_series(gb.b0, gb.b1,
+                                                   interval 1 hour)) AS h
+                     FROM (SELECT DISTINCT series_id FROM agg) s, gb)
+            SELECT g.series_id, g.h, coalesce(a.cnt, 0) AS cnt
+            FROM grid g LEFT JOIN agg a
+              ON a.series_id = g.series_id AND a.h = g.h
+            ORDER BY g.series_id, g.h
+        """).df()
+        series = {sid: grp["cnt"].to_numpy(dtype=np.float64)
+                  for sid, grp in pdf.groupby("series_id")}
+        keys = sorted(sid for sid, v in series.items() if len(v) >= 24)[:4]
+        got = {}
+        for ia, ib, step, pi, pj, val in \
+                con.execute(ORACLES["loco_best_match"]).fetchall():
+            got.setdefault((ia, ib), []).append((int(step), int(pi),
+                                                 int(pj), float(val)))
+        for a in range(0, len(keys) - 1, 2):
+            s1 = series[keys[a]][:100]
+            s2 = series[keys[a + 1]][:100]
+            lc = LocalConcurrences(s1, s2)
+            lc.estimate_settings_from_ssm(rho=0.8)
+            lc.align()
+            wp = lc._wp.copy()
+            m = next(lc.kbest_matches(k=1, minlen=1, buffer=0), None)
+            key = (keys[a], keys[a + 1])
+            if m is None:
+                assert key not in got
+                continue
+            rows = sorted(got[key])
+            want = [(step, x, y, round(float(abs(wp[x + 1, y + 1])), 6))
+                    for step, (x, y) in enumerate(m["path"])]
+            assert [r[:3] for r in rows] == [w[:3] for w in want], key
+            for r, w in zip(rows, want):
+                assert r[3] == pytest.approx(w[3], abs=2e-6), (key, r[0])
