@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import json
 import os
+import resource
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -25,6 +27,116 @@ from scaling_report import run_at  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "scripts", "quiet_pairs.jsonl")
+
+_HZ = os.sysconf("SC_CLK_TCK")
+
+
+def _box_busy_s() -> float:
+    """Whole-box busy CPU-seconds since boot (/proc/stat line 1,
+    everything except idle+iowait)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    return (sum(vals) - vals[3] - vals[4]) / _HZ
+
+
+def _own_children_s() -> float:
+    """CPU-seconds consumed by our reaped children (the Spark leg
+    subprocesses run via subprocess.run, so they are fully accounted
+    here by the time run_at returns)."""
+    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return ru.ru_utime + ru.ru_stime
+
+
+class _DescendantCpuSampler(threading.Thread):
+    """Accumulates CPU-seconds of OUR process subtree by sampling
+    /proc/*/stat once a second and classifying each pid by walking its
+    ppid chain up to our pid.  Needed because py4j may not reap the
+    JVM child when a leg's Python driver exits, in which case that
+    JVM's CPU never lands in RUSAGE_CHILDREN and would be mistaken for
+    neighbor load.  Error bound: ≤1 s of CPU per short-lived process
+    (dies between samples), negligible on 60–200 s legs whose JVM
+    lives the whole leg."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        self._halt = threading.Event()
+        self._first = {}   # pid -> first-seen cumulative cpu (ours only)
+        self._last = {}    # pid -> last-seen cumulative cpu (ours only)
+        self._done = {}    # pids that vanished: their final contribution
+        self._mine = os.getpid()
+
+    def _ppid_chain_hits_us(self, pid: int, ppids: dict) -> bool:
+        seen = 0
+        while pid > 1 and seen < 64:
+            if pid == self._mine:
+                return True
+            pid = ppids.get(pid, 0)
+            seen += 1
+        return False
+
+    def _sample(self):
+        stats = {}
+        ppids = {}
+        for ent in os.listdir("/proc"):
+            if not ent.isdigit():
+                continue
+            try:
+                with open(f"/proc/{ent}/stat") as f:
+                    raw = f.read()
+            except OSError:
+                continue
+            # comm may contain spaces/parens: split after the LAST ')'
+            rp = raw.rindex(")")
+            fields = raw[rp + 2:].split()
+            pid = int(ent)
+            ppids[pid] = int(fields[1])          # field 4 (ppid)
+            stats[pid] = (int(fields[11]) + int(fields[12])) / _HZ  # utime+stime
+        for pid, cpu in stats.items():
+            if pid in self._first:
+                self._last[pid] = cpu
+            elif self._ppid_chain_hits_us(pid, ppids):
+                self._first[pid] = cpu
+                self._last[pid] = cpu
+        for pid in list(self._first):
+            if pid not in stats:  # vanished: bank its contribution
+                self._done[pid] = self._done.get(pid, 0.0) + \
+                    (self._last.pop(pid) - self._first.pop(pid))
+
+    def run(self):
+        while not self._halt.is_set():
+            try:
+                self._sample()
+            except Exception:
+                pass
+            self._halt.wait(1.0)
+
+    def total(self) -> float:
+        self._halt.set()
+        self.join(timeout=5)
+        live = sum(self._last[p] - self._first[p] for p in self._first)
+        return live + sum(self._done.values())
+
+
+def _metered_run(cores: int, src: str) -> dict:
+    """run_at + neighbor-CPU accounting: whole-box busy jiffies minus
+    our own subtree's CPU over the leg's wall time = average CPU cores
+    burned by OTHER tenants during the leg. The load-average entry gate
+    (sampled once, 1-min EMA) cannot see a storm that starts mid-leg;
+    this measures it directly, so a published pair is provably
+    unstormed rather than hopefully so.  'Own' CPU is the max of the
+    reaped-children rusage and the sampled /proc subtree (the latter
+    catches an unreaped JVM, the former catches sampler blind spots)."""
+    sampler = _DescendantCpuSampler()
+    sampler.start()
+    busy0, own0, w0 = _box_busy_s(), _own_children_s(), time.time()
+    r = run_at(cores, src)
+    wall = time.time() - w0
+    busy = _box_busy_s() - busy0
+    own = max(_own_children_s() - own0, sampler.total())
+    r["neighbor_cores_avg"] = round(max(0.0, busy - own) / wall, 2)
+    r["own_cores_avg"] = round(own / wall, 2)
+    return r
 
 
 def main() -> int:
@@ -43,7 +155,7 @@ def main() -> int:
             with open(OUT, "a") as f:
                 f.write(json.dumps(rec) + "\n")
             return 3
-        r = run_at(cores, src)
+        r = _metered_run(cores, src)
         r["load_before"] = round(load, 2)
         r["load_after"] = round(os.getloadavg()[0], 2)
         rec["legs"][str(cores)] = r
@@ -56,6 +168,9 @@ def main() -> int:
     rec["eff_total"] = round((l8["t_total"] / l32["t_total"]) / 4, 3)
     rec["eff_dtw"] = round((l8["t_dtw"] / l32["t_dtw"]) / 4, 3)
     rec["eff_rollup"] = round((l8["t_rollup"] / l32["t_rollup"]) / 4, 3)
+    max_neighbor = float(os.environ.get("QUIET_MAX_NEIGHBOR", "1.0"))
+    rec["clean"] = (l8["neighbor_cores_avg"] <= max_neighbor
+                    and l32["neighbor_cores_avg"] <= max_neighbor)
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)
