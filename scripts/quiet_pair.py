@@ -31,13 +31,20 @@ OUT = os.path.join(REPO, "scripts", "quiet_pairs.jsonl")
 _HZ = os.sysconf("SC_CLK_TCK")
 
 
-def _box_busy_s() -> float:
-    """Whole-box busy CPU-seconds since boot (/proc/stat line 1,
-    everything except idle+iowait)."""
+def _box_cpu_s() -> dict:
+    """Whole-box cumulative CPU-seconds by class (/proc/stat line 1):
+    busy (everything except idle+iowait+steal), steal (hypervisor gave
+    our vCPUs to another VM), iowait, idle.  Steal is reported
+    separately because on this shared VM it is the invisible neighbor:
+    processes never show it, but a 32-way leg can lose 4-15 cores to
+    it."""
     with open("/proc/stat") as f:
-        parts = f.readline().split()[1:]
-    vals = [int(x) for x in parts]
-    return (sum(vals) - vals[3] - vals[4]) / _HZ
+        v = [int(x) for x in f.readline().split()[1:]]
+    steal = v[7] if len(v) > 7 else 0
+    return {"busy": (sum(v) - v[3] - v[4] - steal) / _HZ,
+            "steal": steal / _HZ,
+            "iowait": v[4] / _HZ,
+            "idle": v[3] / _HZ}
 
 
 def _own_children_s() -> float:
@@ -65,6 +72,10 @@ class _DescendantCpuSampler(threading.Thread):
         self._last = {}    # pid -> last-seen cumulative cpu (ours only)
         self._done = {}    # pids that vanished: their final contribution
         self._mine = os.getpid()
+        # 1 Hz timeline of (epoch, own_cpu_s, box busy/steal/iowait
+        # cumulative) so a storm can be located in time, not just
+        # averaged over the leg
+        self.timeline = []
 
     def _ppid_chain_hits_us(self, pid: int, ppids: dict) -> bool:
         seen = 0
@@ -102,6 +113,14 @@ class _DescendantCpuSampler(threading.Thread):
             if pid not in stats:  # vanished: bank its contribution
                 self._done[pid] = self._done.get(pid, 0.0) + \
                     (self._last.pop(pid) - self._first.pop(pid))
+        box = _box_cpu_s()
+        self.timeline.append((round(time.time(), 1), round(self._total_nolock(), 1),
+                              round(box["busy"], 1), round(box["steal"], 1),
+                              round(box["iowait"], 1)))
+
+    def _total_nolock(self) -> float:
+        live = sum(self._last[p] - self._first[p] for p in self._first)
+        return live + sum(self._done.values())
 
     def run(self):
         while not self._halt.is_set():
@@ -114,8 +133,7 @@ class _DescendantCpuSampler(threading.Thread):
     def total(self) -> float:
         self._halt.set()
         self.join(timeout=5)
-        live = sum(self._last[p] - self._first[p] for p in self._first)
-        return live + sum(self._done.values())
+        return self._total_nolock()
 
 
 def _metered_run(cores: int, src: str) -> dict:
@@ -129,13 +147,42 @@ def _metered_run(cores: int, src: str) -> dict:
     catches an unreaped JVM, the former catches sampler blind spots)."""
     sampler = _DescendantCpuSampler()
     sampler.start()
-    busy0, own0, w0 = _box_busy_s(), _own_children_s(), time.time()
+    box0, own0, w0 = _box_cpu_s(), _own_children_s(), time.time()
     r = run_at(cores, src)
     wall = time.time() - w0
-    busy = _box_busy_s() - busy0
+    box1 = _box_cpu_s()
     own = max(_own_children_s() - own0, sampler.total())
-    r["neighbor_cores_avg"] = round(max(0.0, busy - own) / wall, 2)
+    busy = box1["busy"] - box0["busy"]
     r["own_cores_avg"] = round(own / wall, 2)
+    r["neighbor_cores_avg"] = round(max(0.0, busy - own) / wall, 2)
+    r["steal_cores_avg"] = round((box1["steal"] - box0["steal"]) / wall, 2)
+    r["iowait_cores_avg"] = round((box1["iowait"] - box0["iowait"]) / wall, 2)
+    r["idle_cores_avg"] = round((box1["idle"] - box0["idle"]) / wall, 2)
+    # 10 s-bucket timeline of [t_rel, own, neighbor, steal] core-rates:
+    # locates a storm in time (and, with the leg's phase epochs, in
+    # pipeline phase) instead of smearing it over the whole leg
+    tl = sampler.timeline
+    buckets = []
+    for i in range(1, len(tl)):
+        t0s, o0, b0, s0, _ = tl[i - 1]
+        t1s, o1, b1, s1, _ = tl[i]
+        dt = t1s - t0s
+        if dt <= 0:
+            continue
+        own_r = (o1 - o0) / dt
+        nb_r = max(0.0, (b1 - b0) / dt - own_r)
+        buckets.append((int(t1s - w0), own_r, nb_r, (s1 - s0) / dt))
+    # fixed 10-sample chunks (samples are ~1 s apart)
+    out = []
+    for i in range(0, len(buckets), 10):
+        chunk = buckets[i:i + 10]
+        out.append([chunk[-1][0],
+                    round(sum(c[1] for c in chunk) / len(chunk), 1),
+                    round(sum(c[2] for c in chunk) / len(chunk), 1),
+                    round(sum(c[3] for c in chunk) / len(chunk), 1)])
+    r["timeline_10s"] = out
+    r["meter_epoch0"] = round(w0, 1)  # t_rel=0 reference; leg phases carry
+    # absolute epoch_start/epoch_dtw_start/epoch_end for alignment
     return r
 
 
@@ -169,8 +216,10 @@ def main() -> int:
     rec["eff_dtw"] = round((l8["t_dtw"] / l32["t_dtw"]) / 4, 3)
     rec["eff_rollup"] = round((l8["t_rollup"] / l32["t_rollup"]) / 4, 3)
     max_neighbor = float(os.environ.get("QUIET_MAX_NEIGHBOR", "1.0"))
-    rec["clean"] = (l8["neighbor_cores_avg"] <= max_neighbor
-                    and l32["neighbor_cores_avg"] <= max_neighbor)
+    rec["clean"] = all(
+        leg["neighbor_cores_avg"] <= max_neighbor
+        and leg["steal_cores_avg"] <= max_neighbor
+        for leg in (l8, l32))
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)

@@ -78,6 +78,9 @@ n_pairs = n_series * (n_series - 1) // 2
 
 out = {{
     "cores": cores,
+    "epoch_start": round(t0, 1),
+    "epoch_dtw_start": round(t_dtw0, 1),
+    "epoch_end": round(t_dtw, 1),
     "t_rollup": round(t_1d - t0, 3),
     "t_dtw": round(t_dtw - t_dtw0, 3),
     "t_total": round((t_1d - t0) + (t_dtw - t_dtw0), 3),
