@@ -215,10 +215,17 @@ def main() -> int:
     rec["eff_total"] = round((l8["t_total"] / l32["t_total"]) / 4, 3)
     rec["eff_dtw"] = round((l8["t_dtw"] / l32["t_dtw"]) / 4, 3)
     rec["eff_rollup"] = round((l8["t_rollup"] / l32["t_rollup"]) / 4, 3)
+    # Steal budget scales with our own width: this VM's hypervisor
+    # quota shaves a roughly fixed FRACTION of whatever we run
+    # (measured: 32-thread burn on an idle box = 27.5 own + 4.1 steal;
+    # metered legs show ~0.1×cores steady steal at 8 and 32 alike).
+    # Steady quota-steal is the box's real full-width capacity, not a
+    # neighbor storm; a storm shows as steal well above the quota line
+    # or as neighbor-process cores.
     max_neighbor = float(os.environ.get("QUIET_MAX_NEIGHBOR", "1.0"))
     rec["clean"] = all(
         leg["neighbor_cores_avg"] <= max_neighbor
-        and leg["steal_cores_avg"] <= max_neighbor
+        and leg["steal_cores_avg"] <= 1.0 + 0.125 * leg["cores"]
         for leg in (l8, l32))
     with open(OUT, "a") as f:
         f.write(json.dumps(rec) + "\n")
