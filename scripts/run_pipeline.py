@@ -102,13 +102,19 @@ def main():
 
     metrics = {
         "wall_sec": round(time.time() - t0, 2),
-        "stages": {name: {k: m[k] for k in ("rows", "wall_sec", "checksum")}
+        # written_at is copied from the stage manifest: on a resumed run
+        # it is UNCHANGED from the original run (run_stage never rewrites
+        # a complete manifest), which is the machine-checkable proof that
+        # the stage was skipped rather than recomputed
+        "stages": {name: {k: m[k] for k in ("rows", "wall_sec", "checksum",
+                                            "written_at")}
                    for name in ("transcripts", "points", "agg_1m", "agg_1h",
                                 "agg_1d", "chunks_1h", "series_1h",
                                 "dtw_matrix")
                    if (m := read_manifest(wd, name)) is not None},
     }
-    print(json.dumps(metrics))
+    # prefixed so callers can find it among Spark's own stdout noise
+    print("PIPELINE_RESULT " + json.dumps(metrics))
 
 
 if __name__ == "__main__":
