@@ -67,6 +67,28 @@ class TestPlans:
                 assert node not in plan, plan
             assert "SinglePartition" not in plan
 
+    def test_gap_fill_arrays_jvm_only_and_broadcast_bounded(self, spark):
+        """The gap-fill dense grid + series_arrays chain is pure JVM
+        column algebra (two-level explode, left join, array_sort/
+        transform — no Python eval), and the global-align bounds reach
+        every series via a BROADCAST of the 1-row min/max aggregate —
+        the only tolerated SinglePartition is that scalar aggregate,
+        never the grid or the join."""
+        from dtaidistance_spark.operators import rollup as R
+        from dtaidistance_spark.plans.driver_queries import event_points_rollup
+        agg = R.rollup_points(event_points_rollup(spark, SF_DIR), "1h")
+        filled = R.gap_fill(agg, "1h", policy="zero", align="global")
+        arrays = R.series_arrays(filled, "1h", value_col="cnt")
+        plan = _plan(arrays)
+        for node in PY_EVAL_NODES:
+            assert node not in plan, plan
+        assert "BroadcastExchange" in plan, plan
+        # exactly ONE single-partition exchange is tolerated: the 1-row
+        # global-bounds min/max aggregate feeding the broadcast — the
+        # grid explode, the left join and the array groupBy must all
+        # stay hash-partitioned
+        assert plan.count("Exchange SinglePartition") <= 1, plan
+
     def test_retention_filter_reaches_scan_side(self, spark):
         """apply_retention's bucket filter sits below the aggregation
         output (declarative WHERE, not a post-collect filter)."""
