@@ -75,6 +75,24 @@ class TestAnnRecall:
                                     centroids=cents))
         assert _recall(brute, ivf) == 1.0
 
+    def test_ivf_udf_assignment_parity(self, emb, monkeypatch):
+        """Above IVF_EXPR_MAX_CENTROIDS ivf_assign switches from the
+        per-centroid column-expression form to one Arrow-UDF matmul (the
+        column form's Catalyst tree grows a nested fold per centroid —
+        the ~100 s-analysis pathology measured on the 120-fold LSH
+        tree).  Both paths must emit identical (vec_id, cid) rows,
+        including the score-DESC/cid-DESC tie order."""
+        cents = ANN.train_ivf_centroids(emb, n_centroids=8)
+        sub = emb.where(F.col("vec_id") < 200)
+        expr_rows = sorted(
+            (r["vec_id"], r["cid"])
+            for r in ANN.ivf_assign(sub, cents, nprobe=5).collect())
+        monkeypatch.setattr(ANN, "IVF_EXPR_MAX_CENTROIDS", 0)
+        udf_rows = sorted(
+            (r["vec_id"], r["cid"])
+            for r in ANN.ivf_assign(sub, cents, nprobe=5).collect())
+        assert expr_rows == udf_rows
+
     def test_lsh_multitable_recall_floor(self, emb, queries, brute):
         """The driver-query config: 6 planes × 20 independent tables."""
         lsh = _topsets(ANN.lsh_topk(emb, queries, dim=64, k=K,
