@@ -99,3 +99,22 @@ class TestPlans:
         plan = _plan(kept)
         assert "Filter" in plan
         assert "SinglePartition" not in plan
+
+    def test_ann_lsh_plan_arrow_udf_and_bucket_join(self, spark):
+        """lsh_topk computes every table's bucket in ONE Arrow-batched
+        UDF (ArrowEvalPython — never row-at-a-time BatchEvalPython; the
+        old 120-fold column form cost ~100 s of Catalyst analysis), the
+        candidate step is a broadcast hash join on the (t, bucket) keys,
+        and nothing collapses to a single partition."""
+        from dtaidistance_spark.operators import ann as ANN
+        emb = spark.createDataFrame(
+            [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+             for i in range(32)],
+            "vec_id long, embedding array<double>")
+        q = emb.where(F.col("vec_id") < 3)
+        plan = _plan(ANN.lsh_topk(emb, q, dim=8, k=3, n_planes=4,
+                                  n_tables=6))
+        assert "ArrowEvalPython" in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SinglePartition" not in plan, plan
