@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from dtaidistance_spark.operators import rollup as R
 from dtaidistance_spark.operators.ingest import transcript_points
+from dtaidistance_spark.sinks import snapshots as SN
 from dtaidistance_spark.sinks import tiers as SK
 from dtaidistance_spark.sources.transcripts import synth_transcripts
 
@@ -143,3 +144,99 @@ class TestTierSink:
                        if f.endswith(".parquet")])
         assert n_after == 1
         assert _canon(SK.read_tier(spark, base, "1h")) == before
+
+
+class TestSnapshotSink:
+    """Snapshot commits / time travel (sinks/snapshots.py): copy-on-write
+    refresh, manifest-pruned reads, reader isolation across a concurrent
+    commit, retention as a metadata commit, expire + orphan cleanup."""
+
+    def _refresh_day(self, agg, day):
+        """A re-aggregation of one day whose values visibly changed."""
+        return (agg.where(F.date_format("bucket_ts", "yyyy-MM-dd") == day)
+                .withColumn("sum", F.col("sum") * 2)
+                .withColumn("max", F.col("max") * 2))
+
+    def test_commit_and_latest_read(self, spark, agg1h, base):
+        sid = SN.commit_tier(agg1h, base, "1h")
+        assert sid == 1
+        got = SN.read_tier(spark, base, "1h")
+        assert _canon(got) == _canon(agg1h)
+        man = SN.load_manifest(base, "1h")
+        assert man["summary"]["rows"] == agg1h.count()
+        # per-partition metrics agree with the data
+        days = dict(agg1h.groupBy(
+            F.date_format("bucket_ts", "yyyy-MM-dd").alias("d"))
+            .count().collect())
+        assert {d: e["rows"] for d, e in man["partitions"].items()} == days
+
+    def test_time_travel_after_refresh(self, spark, agg1h, base):
+        SN.commit_tier(agg1h, base, "1h")
+        day = sorted(SN.load_manifest(base, "1h")["partitions"])[0]
+        SN.commit_tier(self._refresh_day(agg1h, day), base, "1h")
+        m1 = SN.load_manifest(base, "1h", 1)
+        m2 = SN.load_manifest(base, "1h", 2)
+        # untouched days carried over file-for-file, refreshed day rewritten
+        other = sorted(set(m1["partitions"]) - {day})[0]
+        assert m1["partitions"][other] == m2["partitions"][other]
+        assert m1["partitions"][day]["files"] != m2["partitions"][day]["files"]
+        # v1 still reads the original values; latest reads the refresh
+        assert _canon(SN.read_tier(spark, base, "1h", snapshot=1)) \
+            == _canon(agg1h)
+        want2 = agg1h.where(
+            F.date_format("bucket_ts", "yyyy-MM-dd") != day) \
+            .unionByName(self._refresh_day(agg1h, day))
+        assert _canon(SN.read_tier(spark, base, "1h")) == _canon(want2)
+
+    def test_reader_isolation_across_commit(self, spark, agg1h, base):
+        SN.commit_tier(agg1h, base, "1h")
+        day = sorted(SN.load_manifest(base, "1h")["partitions"])[0]
+        v1 = SN.read_tier(spark, base, "1h", snapshot=1)  # plan built pre-commit
+        SN.commit_tier(self._refresh_day(agg1h, day), base, "1h")
+        # the lazy v1 plan executes AFTER the new commit and still sees v1
+        assert _canon(v1) == _canon(agg1h)
+
+    def test_manifest_pruned_day_range(self, spark, agg1h, base):
+        SN.commit_tier(agg1h, base, "1h")
+        days = sorted(SN.load_manifest(base, "1h")["partitions"])
+        lo, hi = days[1], days[-2]
+        got = SN.read_tier(spark, base, "1h", since=lo, until=hi)
+        want = agg1h.where(
+            F.date_format("bucket_ts", "yyyy-MM-dd").between(lo, hi))
+        assert _canon(got) == _canon(want)
+        # pruning happened on the driver: the scan holds only in-range files
+        files = [f for f in got.inputFiles()]
+        assert files and all(lo <= f.split("p_day=")[1][:10] <= hi
+                             for f in files)
+
+    def test_retention_is_metadata_only(self, spark, agg1h, base):
+        SN.commit_tier(agg1h, base, "1h")
+        days = sorted(SN.load_manifest(base, "1h")["partitions"])
+        keep_since = days[2]
+        sid = SN.commit_retention(base, "1h", keep_since)
+        assert sorted(SN.load_manifest(base, "1h", sid)["partitions"]) \
+            == [d for d in days if d >= keep_since]
+        # expired days still on disk and still readable from v1
+        assert _canon(SN.read_tier(spark, base, "1h", snapshot=1)) \
+            == _canon(agg1h)
+        latest = SN.read_tier(spark, base, "1h")
+        want = agg1h.where(
+            F.date_format("bucket_ts", "yyyy-MM-dd") >= keep_since)
+        assert _canon(latest) == _canon(want)
+
+    def test_expire_snapshots_orphan_cleanup(self, spark, agg1h, base):
+        SN.commit_tier(agg1h, base, "1h")
+        day = sorted(SN.load_manifest(base, "1h")["partitions"])[0]
+        SN.commit_tier(self._refresh_day(agg1h, day), base, "1h")
+        stats = SN.expire_snapshots(base, "1h", keep_last=1)
+        assert stats["expired_snapshots"] == 1
+        assert stats["deleted_files"] \
+            == len(SN.load_manifest(base, "1h", 2)["partitions"][day]["files"])
+        assert SN.snapshot_ids(base, "1h") == [2]
+        # latest unharmed; time travel to v1 is gone by design
+        want2 = agg1h.where(
+            F.date_format("bucket_ts", "yyyy-MM-dd") != day) \
+            .unionByName(self._refresh_day(agg1h, day))
+        assert _canon(SN.read_tier(spark, base, "1h")) == _canon(want2)
+        with pytest.raises(FileNotFoundError):
+            SN.load_manifest(base, "1h", 1)
