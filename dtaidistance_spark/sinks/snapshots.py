@@ -98,7 +98,8 @@ def _partition_entry(pdir: str, files: List[str]) -> dict:
     return {"files": sorted(files), "rows": rows, "bytes": nbytes}
 
 
-def commit_tier(agg: DataFrame, base: str, tier: str) -> int:
+def commit_tier(agg: DataFrame, base: str, tier: str,
+                extra: Optional[dict] = None) -> int:
     """Copy-on-write commit of one tier refresh; returns the snapshot id.
 
     Days present in ``agg`` are replaced *in the new snapshot only*;
@@ -144,6 +145,8 @@ def commit_tier(agg: DataFrame, base: str, tier: str) -> int:
                     "rows": sum(p["rows"] for p in partitions.values()),
                     "bytes": sum(p["bytes"] for p in partitions.values())},
     }
+    if extra:
+        manifest.update(extra)
     os.makedirs(_snap_dir(base, tier), exist_ok=True)
     tmp = _manifest_path(base, tier, sid) + ".tmp"
     with open(tmp, "w") as f:
@@ -180,17 +183,21 @@ def commit_retention(base: str, tier: str, keep_since: str) -> int:
 def read_tier(spark: SparkSession, base: str, tier: str,
               snapshot: Optional[int] = None,
               since: Optional[str] = None,
-              until: Optional[str] = None) -> DataFrame:
-    """Read one table version.  Day-range pruning happens against the
-    manifest keys on the driver (manifest pruning, not directory
-    listing), then Spark receives the pruned file list with ``basePath``
-    so ``p_day`` still parses as a partition column."""
+              until: Optional[str] = None,
+              days: Optional[set] = None) -> DataFrame:
+    """Read one table version.  Day pruning (a [since, until] range
+    and/or an explicit ``days`` set) happens against the manifest keys
+    on the driver (manifest pruning, not directory listing), then Spark
+    receives the pruned file list with ``basePath`` so ``p_day`` still
+    parses as a partition column."""
     man = load_manifest(base, tier, snapshot)
     files = []
     for day, entry in sorted(man["partitions"].items()):
         if since is not None and day < since:
             continue
         if until is not None and day > until:
+            continue
+        if days is not None and day not in days:
             continue
         pdir = os.path.join(base, f"tier={tier}", f"p_day={day}")
         files.extend(os.path.join(pdir, fn) for fn in entry["files"])

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from dtaidistance_spark.operators import rollup as R
 from dtaidistance_spark.operators.ingest import transcript_points
+from dtaidistance_spark.sinks import refresh as RF
 from dtaidistance_spark.sinks import snapshots as SN
 from dtaidistance_spark.sinks import tiers as SK
 from dtaidistance_spark.sources.transcripts import synth_transcripts
@@ -240,3 +241,62 @@ class TestSnapshotSink:
         assert _canon(SN.read_tier(spark, base, "1h")) == _canon(want2)
         with pytest.raises(FileNotFoundError):
             SN.load_manifest(base, "1h", 1)
+
+
+@pytest.fixture(scope="module")
+def agg1m(spark):
+    tr = synth_transcripts(spark, n_convs=60, seed=7, max_turns=40)
+    return R.rollup_points(transcript_points(tr), "1m").persist()
+
+
+class TestIncrementalRefresh:
+    """Manifest-diff-driven cascade refresh (sinks/refresh.py): initial
+    full build, changed-day-only recompute, and no-op detection."""
+
+    def _bump_day(self, agg, day):
+        return (agg.where(F.date_format("bucket_ts", "yyyy-MM-dd") == day)
+                .withColumn("sum", F.col("sum") + 1)
+                .withColumn("last", F.col("last") + 1))
+
+    def test_initial_full_refresh(self, spark, agg1m, base):
+        SN.commit_tier(agg1m, base, "1m")
+        sid = RF.refresh_cascade(spark, base, "1m", "1h")
+        assert sid == 1
+        got = SN.read_tier(spark, base, "1h")
+        assert _canon(got) == _canon(R.rollup_cascade(agg1m, "1h"))
+        man = SN.load_manifest(base, "1h")
+        assert man["source_snapshot"] == 1
+        assert man["refreshed_days"] == sorted(man["partitions"])
+
+    def test_incremental_refresh_touches_changed_day_only(
+            self, spark, agg1m, base):
+        SN.commit_tier(agg1m, base, "1m")
+        RF.refresh_cascade(spark, base, "1m", "1h")
+        day = sorted(SN.load_manifest(base, "1m")["partitions"])[1]
+        SN.commit_tier(self._bump_day(agg1m, day), base, "1m")
+        sid = RF.refresh_cascade(spark, base, "1m", "1h")
+        man = SN.load_manifest(base, "1h", sid)
+        assert man["refreshed_days"] == [day]
+        # unchanged 1h days carried over file-for-file
+        prev = SN.load_manifest(base, "1h", sid - 1)["partitions"]
+        for d, e in man["partitions"].items():
+            if d != day:
+                assert e == prev[d]
+        # incremental result == full batch recompute over the new source
+        src_now = SN.read_tier(spark, base, "1m")
+        assert _canon(SN.read_tier(spark, base, "1h")) \
+            == _canon(R.rollup_cascade(src_now, "1h"))
+
+    def test_noop_refresh_skips_commit(self, spark, agg1m, base):
+        SN.commit_tier(agg1m, base, "1m")
+        RF.refresh_cascade(spark, base, "1m", "1h")
+        assert RF.refresh_cascade(spark, base, "1m", "1h") is None
+        assert SN.snapshot_ids(base, "1h") == [1]
+
+    def test_second_cascade_level(self, spark, agg1m, base):
+        SN.commit_tier(agg1m, base, "1m")
+        RF.refresh_cascade(spark, base, "1m", "1h")
+        RF.refresh_cascade(spark, base, "1h", "1d")
+        got = SN.read_tier(spark, base, "1d")
+        want = R.rollup_cascade(R.rollup_cascade(agg1m, "1h"), "1d")
+        assert _canon(got) == _canon(want)
