@@ -124,21 +124,31 @@ def q_rollup_1d_cascade(spark, sf_dir):
 
 
 def q_tier_sink_roundtrip(spark, sf_dir):
-    """1h tier → tiered parquet sink (sinks/tiers.py: partitioned by
-    (tier, p_day), dynamic partition overwrite, sorted within
-    partitions) → read back through the partition-pruned reader.  The
-    oracle is the plain 1h rollup SQL, so the hash check proves the
-    sink's storage layout is lossless end-to-end (the
-    compress_roundtrip pattern, applied to the physical table layout)."""
+    """The full storage stack in one hash-checked chain: 1m tier →
+    snapshot COMMIT (sinks/snapshots.py copy-on-write + manifest) →
+    manifest-diff cascade refresh to 1h (sinks/refresh.py) → manifest
+    as-of read → tiered parquet sink (sinks/tiers.py: (tier, p_day)
+    dynamic partition overwrite) → partition-pruned read.  The oracle
+    is the plain 1h rollup SQL, so the hash check proves both physical
+    layouts AND the incremental-refresh path are lossless end-to-end
+    (the compress_roundtrip pattern, applied to the table layer)."""
     import hashlib
+    import shutil
+    from ..sinks import refresh as RF
+    from ..sinks import snapshots as SN
     from ..sinks import tiers as SK
 
     agg1m = R.rollup_points(event_points_rollup(spark, sf_dir), "1m")
-    agg1h = R.rollup_cascade(agg1m, "1h")
-    base = "/tmp/dts_tier_sink_" + hashlib.md5(
-        sf_dir.encode()).hexdigest()[:8]
-    SK.write_tier(agg1h, base, "1h")
-    return _rollup_named(SK.read_tier(spark, base, "1h"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base_s = "/tmp/dts_tier_snap_" + tag
+    base_d = "/tmp/dts_tier_sink_" + tag
+    shutil.rmtree(base_s, ignore_errors=True)
+    shutil.rmtree(base_d, ignore_errors=True)
+    SN.commit_tier(agg1m, base_s, "1m")
+    RF.refresh_cascade(spark, base_s, "1m", "1h")
+    agg1h = SN.read_tier(spark, base_s, "1h")
+    SK.write_tier(agg1h, base_d, "1h")
+    return _rollup_named(SK.read_tier(spark, base_d, "1h"))
 
 
 def q_gap_fill_1h(spark, sf_dir):
