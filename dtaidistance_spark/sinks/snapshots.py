@@ -99,15 +99,28 @@ def _partition_entry(pdir: str, files: List[str]) -> dict:
 
 
 def commit_tier(agg: DataFrame, base: str, tier: str,
-                extra: Optional[dict] = None) -> int:
+                extra: Optional[dict] = None,
+                mode: str = "overwrite") -> int:
     """Copy-on-write commit of one tier refresh; returns the snapshot id.
 
-    Days present in ``agg`` are replaced *in the new snapshot only*;
-    days absent are carried over from the parent manifest byte-for-byte
-    (same files — a carried-over partition costs one dict entry, not a
-    rewrite).  The staged write keeps `write_tier`'s physical sort
+    ``mode="overwrite"`` (batch refresh): days present in ``agg`` are
+    replaced *in the new snapshot only*; days absent are carried over
+    from the parent manifest byte-for-byte (same files — a carried-over
+    partition costs one dict entry, not a rewrite).
+    ``mode="append"`` (streaming micro-batch): the new files JOIN the
+    parent's files for their day, so previously committed rows of the
+    same day survive — the snapshot equivalent of
+    `tiers.write_tier(mode="append")`, but transactional: a reader
+    never sees a half-appended batch, and the manifest's ``extra``
+    payload (e.g. the micro-batch id) becomes visible atomically with
+    the data, which is what makes exactly-once `foreachBatch` possible
+    (streaming/rollup_stream.py::stream_to_snapshots).
+
+    The staged write keeps `write_tier`'s physical sort
     (series_id, bucket_ts) so parquet min/max stats still support
     series_id pushdown within a day."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unknown commit mode {mode!r}")
     ids = snapshot_ids(base, tier)
     parent = ids[-1] if ids else None
     sid = (parent or 0) + 1
@@ -131,6 +144,8 @@ def commit_tier(agg: DataFrame, base: str, tier: str,
             name = f"part-v{sid}-{i:05d}.parquet"
             shutil.move(fp, os.path.join(dest, name))
             moved.append(name)
+        if mode == "append" and day in partitions:
+            moved.extend(partitions[day]["files"])
         partitions[day] = _partition_entry(dest, moved)
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(os.path.join(base, "_staging", tier), ignore_errors=True)
@@ -139,7 +154,7 @@ def commit_tier(agg: DataFrame, base: str, tier: str,
         "snapshot_id": sid,
         "parent_id": parent,
         "committed_at": time.time(),
-        "operation": "overwrite",
+        "operation": mode,
         "partitions": partitions,
         "summary": {"days": len(partitions),
                     "rows": sum(p["rows"] for p in partitions.values()),

@@ -97,3 +97,60 @@ def stream_to_tiers(spark: SparkSession, input_dir: str, schema: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def stream_to_snapshots(spark: SparkSession, input_dir: str, schema: str,
+                        base: str, checkpoint_dir: str, tier: str = "1m",
+                        series_expr: str = "concat('user', user_id) ",
+                        ts_col: str = "ts", value_col: str = "value",
+                        watermark: str = "10 minutes"):
+    """File-source → 1m streaming rollup → the SNAPSHOT sink
+    (sinks/snapshots.py) with **exactly-once** micro-batch delivery.
+
+    `foreachBatch` is at-least-once: after a sink failure Spark replays
+    the micro-batch with the SAME ``batch_id``.  `stream_to_tiers`
+    therefore tolerates duplicate appends and relies on the batch
+    refresh to repair; here the sink itself is idempotent — the
+    canonical Structured Streaming pattern for transactional sinks:
+
+    * each micro-batch commits with ``mode="append"`` (new files join
+      the day's existing files; previously committed windows survive);
+    * the manifest records ``stream_batch_id`` atomically with the
+      data (the JSON rename IS the commit point);
+    * a replayed batch is detected by ``batch_id <= stream_batch_id``
+      in the latest manifest and skipped before any write.
+
+    A crash BETWEEN the data move and the manifest rename leaves
+    orphaned ``part-v<N>`` files that no manifest references — invisible
+    to every reader and reclaimed by `expire_snapshots` — so the
+    visible table only ever advances in whole micro-batches."""
+    from ..sinks.snapshots import commit_tier, load_manifest
+
+    src = (spark.readStream.schema(schema).parquet(input_dir)
+           .withColumn("series_id", F.expr(series_expr)))
+    agg = stream_rollup_1m(src, ts_col=ts_col, value_col=value_col,
+                           watermark=watermark)
+
+    def sink_batch(bdf: DataFrame, batch_id: int) -> None:
+        try:
+            last = load_manifest(base, tier).get("stream_batch_id", -1)
+        except FileNotFoundError:
+            last = -1
+        if batch_id <= last:
+            # replay of an already-committed batch: skip the commit, but
+            # drain the batch through the noop sink — Spark 4 validates
+            # that foreachBatch processed every partition (state-store
+            # commit tracking), so an early return would fail the query
+            bdf.write.format("noop").mode("overwrite").save()
+            return
+        commit_tier(bdf, base, tier, mode="append",
+                    extra={"stream_batch_id": batch_id})
+
+    q = (agg.writeStream
+         .foreachBatch(sink_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return q

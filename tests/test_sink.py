@@ -300,3 +300,62 @@ class TestIncrementalRefresh:
         got = SN.read_tier(spark, base, "1d")
         want = R.rollup_cascade(R.rollup_cascade(agg1m, "1h"), "1d")
         assert _canon(got) == _canon(want)
+
+
+class TestSnapshotStreaming:
+    """Exactly-once streaming into the snapshot sink
+    (streaming/rollup_stream.py::stream_to_snapshots) and the append
+    commit mode that makes it possible."""
+
+    def test_append_mode_merges_days(self, spark, agg1m, base):
+        days = F.date_format("bucket_ts", "yyyy-MM-dd")
+        d0 = sorted(r[0] for r in
+                    agg1m.select(days.alias("d")).distinct().collect())[0]
+        half_a = agg1m.where((days == d0) & (F.col("cnt") % 2 == 0))
+        half_b = agg1m.where((days == d0) & (F.col("cnt") % 2 == 1))
+        SN.commit_tier(half_a, base, "1m", mode="append")
+        SN.commit_tier(half_b, base, "1m", mode="append")
+        got = SN.read_tier(spark, base, "1m")
+        assert _canon(got) == _canon(half_a.unionByName(half_b))
+        # the day's manifest entry carries both commits' files
+        man = SN.load_manifest(base, "1m")
+        assert any(f.startswith("part-v1-") for f in man["partitions"][d0]["files"])
+        assert any(f.startswith("part-v2-") for f in man["partitions"][d0]["files"])
+
+    def test_stream_exactly_once(self, spark, base, tmp_path):
+        from dtaidistance_spark.sources.transcripts import synth_transcripts
+        from dtaidistance_spark.operators.ingest import transcript_points
+        from dtaidistance_spark.streaming.rollup_stream import (
+            stream_to_snapshots)
+
+        tr = synth_transcripts(spark, n_convs=10, seed=3, max_turns=60)
+        pts = transcript_points(tr, kinds=("turn_rate",))
+        src_dir = str(tmp_path / "src")
+        pts.select("series_id", "ts", "value").write.parquet(src_dir)
+        stream_to_snapshots(
+            spark, src_dir,
+            schema="series_id string, ts timestamp, value double",
+            base=base, checkpoint_dir=str(tmp_path / "ck"),
+            series_expr="series_id")
+        ids = SN.snapshot_ids(base, "1m")
+        assert ids
+        got = SN.read_tier(spark, base, "1m") \
+            .orderBy("series_id", "bucket_ts").toPandas()
+        batch = R.rollup_points(pts, "1m") \
+            .select("series_id", "bucket_ts", "cnt", "sum", "min", "max") \
+            .orderBy("series_id", "bucket_ts").toPandas()
+        merged = got.merge(batch, on=["series_id", "bucket_ts"],
+                           suffixes=("_s", "_b"))
+        assert len(merged) == len(got) > 0
+        assert (merged["cnt_s"].values == merged["cnt_b"].values).all()
+        # replay the whole stream from a FRESH checkpoint (batch ids
+        # restart at 0): every batch is detected as already committed,
+        # so no snapshot advances and the table is unchanged
+        canon_before = _canon(SN.read_tier(spark, base, "1m"))
+        stream_to_snapshots(
+            spark, src_dir,
+            schema="series_id string, ts timestamp, value double",
+            base=base, checkpoint_dir=str(tmp_path / "ck2"),
+            series_expr="series_id")
+        assert SN.snapshot_ids(base, "1m") == ids
+        assert _canon(SN.read_tier(spark, base, "1m")) == canon_before
