@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--convs", type=int, default=10000)
     ap.add_argument("--series-limit", type=int, default=1024)
     ap.add_argument("--window", type=int, default=24)
+    ap.add_argument("--salt-chunk", type=int, default=8192,
+                    help="bound on lag-window partition rows (salted "
+                         "skew plan; 0 = plain per-conversation window)")
     args = ap.parse_args()
 
     # under spark-submit an active session exists; standalone we build one
@@ -69,7 +72,9 @@ def main():
             wd, fingerprint=fp)
 
     points = run_stage(spark, "points",
-                       lambda: transcript_points(transcripts), wd,
+                       lambda: transcript_points(
+                           transcripts,
+                           salt_chunk=args.salt_chunk or None), wd,
                        fingerprint=fp)
     agg1m = run_stage(spark, "agg_1m",
                       lambda: R.rollup_points(points, "1m"), wd,

@@ -327,3 +327,47 @@ class TestMediaCodecs:
             gray = _synth_pixels(int(r.media_id)).mean(axis=2) / 255.0
             small = gray[:24, :32].reshape(3, 8, 4, 8).mean(axis=(1, 3))
             assert np.allclose(list(r.pixels), small.ravel(), atol=1e-12)
+
+
+class TestSaltedIngest:
+    """North-rule skew mandate: salted repartitioning for power-law turn
+    counts.  The salted lag plan must be value-identical to the plain
+    per-conversation window while bounding every window partition at
+    salt_chunk rows."""
+
+    def test_salted_equals_plain_on_skewed_corpus(self, spark):
+        tr = synth_transcripts(spark, n_convs=24, seed=11, max_turns=150)
+        plain = transcript_points(tr, kinds=("inter_turn_latency",))
+        salted = transcript_points(tr, kinds=("inter_turn_latency",),
+                                   salt_chunk=7)
+        a = plain.orderBy("series_id", "seq").toPandas()
+        b = salted.orderBy("series_id", "seq").toPandas()
+        assert len(a) == len(b) and len(a) > 0
+        for col in ("series_id", "conv_id", "kind", "seq", "ts"):
+            assert (a[col].values == b[col].values).all(), col
+        np.testing.assert_array_equal(a["value"].to_numpy(),
+                                      b["value"].to_numpy())
+
+    def test_boundary_repair_skips_empty_chunks(self, spark):
+        # turn_idx 0,1 live in chunk 0; 22,23 in chunk 3 (chunks 1-2
+        # empty) — prev of turn 22 must reach back to turn 1's ts.
+        import datetime as dt
+        rows = [("c", i, "user", "t", "",
+                 dt.datetime(2024, 1, 1, 0, 0, s))
+                for i, s in [(0, 0), (1, 10), (22, 50), (23, 55)]]
+        tr = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+        out = transcript_points(tr, kinds=("inter_turn_latency",),
+                                salt_chunk=7) \
+            .orderBy("seq").toPandas()
+        assert out["seq"].tolist() == [1, 22, 23]
+        assert out["value"].tolist() == [10.0, 40.0, 5.0]
+
+    def test_salted_window_partition_is_bounded(self, spark):
+        tr = synth_transcripts(spark, n_convs=8, seed=3, max_turns=64)
+        salted = transcript_points(tr, kinds=("inter_turn_latency",),
+                                   salt_chunk=16)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        # the heavy lag window is keyed by (conv_id, __chunk), not conv_id
+        assert "__chunk" in plan
