@@ -102,6 +102,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": DQ.q_ann_brute_topk,
         "ann_lsh_topk": DQ.q_ann_lsh_topk,
         "ann_ivf_topk": DQ.q_ann_ivf_topk,
+        # benchmark decontamination (r4 addition) — fully SQL-oracled but
+        # placed outside the driver's 50-entry window so the 50 queries
+        # above keep their hash-green records; verified by
+        # scripts/check_oracles.py (sweep artifact) + pytest instead
+        "decontaminate": DQ.q_decontaminate,
         # rows-only tail (no SQL oracle by nature — iterative argmin loops or
         # ~400M-cell DP lattices; each is pytest-golden-pinned instead, see
         # tests/test_driver_golden.py). Placed last so every value-oracled

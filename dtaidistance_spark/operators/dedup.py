@@ -93,6 +93,40 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3,
     )
 
 
+def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 5,
+                  min_overlap: int = 1,
+                  broadcast_benchmark: bool = True) -> DataFrame:
+    """Benchmark decontamination: per training document, the number of
+    distinct k-token shingles it shares with a benchmark/eval corpus —
+    the standard pre-training hygiene pass that drops eval-contaminated
+    documents before training.
+
+    Plan shape: explode each side's (already per-doc-distinct) shingle
+    array, distinct the benchmark side, inner-join on shingle, one
+    hash-aggregate per doc_id.  The benchmark shingle set is the small
+    side by construction (eval suites are MBs while the corpus is TBs),
+    so it broadcasts — the 100-TB scan never shuffles; only the per-doc
+    overlap counts do.  Set ``broadcast_benchmark=False`` to fall back
+    to a shuffle join when the benchmark side is itself corpus-sized.
+
+    Output: (doc_id, n_overlap) for docs with >= min_overlap shared
+    shingles; downstream drops these doc_ids (anti-join) from training.
+    """
+    doc_sh = docs.select("doc_id", F.explode(_shingles(k)).alias("shingle"))
+    bench_sh = (benchmark.select(F.explode(_shingles(k)).alias("shingle"))
+                .distinct())
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    return (
+        doc_sh.join(bench_sh, "shingle")
+        # _shingles is array_distinct per doc, so count(*) == distinct
+        # overlapping shingles
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .where(F.col("n_overlap") >= min_overlap)
+    )
+
+
 def _md5_long(col) -> F.Column:
     """Portable 60-bit hash: first 15 hex chars of md5, parsed base-16.
     Identical in DuckDB as CAST('0x' || substr(md5(x),1,15) AS BIGINT),

@@ -911,6 +911,20 @@ def q_ngram_jaccard(spark, sf_dir):
                                   max_df=1000)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id % 37 != 0)
+    sharing >= 3 distinct 3-token shingles with the deterministic
+    "eval set" (doc_id % 37 == 0). Broadcast benchmark-shingle join +
+    one per-doc hash aggregate — the training-side scan never shuffles.
+    (k=3 is the scaled-down analog of the usual 8-13-gram window: the
+    synthetic docs are ~57 tokens, so longer shingles almost never
+    collide and the check would be vacuous.)"""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    train = docs.where(F.col("doc_id") % 37 != 0)
+    return DD.decontaminate(train, bench, k=3, min_overlap=3)
+
+
 def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4,
                                 threshold=0.2)
@@ -1387,6 +1401,19 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+# k=3 shingles (same convention as _SHINGLES); per-doc shingle count
+# = max(len-2, 1), mirroring Spark's _shingles short-text edge.
+ORACLES["decontaminate"] = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS shingle
+      FROM (SELECT doc_id, {_TOKS} AS l FROM documents)),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 37 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 37 <> 0)
+    SELECT doc_id, count(*) AS n_overlap
+    FROM train JOIN bench USING (shingle)
+    GROUP BY 1 HAVING count(*) >= 3
+"""
 
 ORACLES["edit_distance"] = """
     SELECT doc_id,

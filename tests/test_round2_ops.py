@@ -609,3 +609,52 @@ class TestBoundsColumnAlgebra:
         st = DtwSettings(window=w)
         for r in got.itertuples(index=False):
             assert r.lb <= dtw_distance(S[r.i], S[r.j], settings=st) + 1e-12
+
+
+class TestDecontaminate:
+    """Benchmark decontamination (operators/dedup.py::decontaminate):
+    hand-built corpus with known shingle overlaps, plus the broadcast
+    plan property the 100-TB story depends on."""
+
+    def _corpus(self, spark):
+        # bench doc shares 3 k=3 shingles with doc 10 (verbatim "a b c
+        # d e" prefix), 1 with doc 11, 0 with doc 12
+        rows = [
+            (0, "a b c d e f"),          # benchmark
+            (10, "a b c d e zz yy"),     # 3 shared k=3 shingles
+            (11, "x a b c x x"),         # exactly 1 shared ("a b c")
+            (12, "p q r s t u"),         # disjoint
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_overlap_counts(self, spark):
+        from dtaidistance_spark.operators.dedup import decontaminate
+
+        docs = self._corpus(spark)
+        bench = docs.where("doc_id = 0")
+        train = docs.where("doc_id >= 10")
+        out = (decontaminate(train, bench, k=3, min_overlap=1)
+               .orderBy("doc_id").toPandas())
+        assert out["doc_id"].tolist() == [10, 11]
+        assert out["n_overlap"].tolist() == [3, 1]  # "a b c","b c d","c d e"
+
+    def test_min_overlap_filter_and_shuffle_fallback(self, spark):
+        from dtaidistance_spark.operators.dedup import decontaminate
+
+        docs = self._corpus(spark)
+        bench = docs.where("doc_id = 0")
+        train = docs.where("doc_id >= 10")
+        out = (decontaminate(train, bench, k=3, min_overlap=2,
+                             broadcast_benchmark=False)
+               .orderBy("doc_id").toPandas())
+        assert out["doc_id"].tolist() == [10]
+        assert out["n_overlap"].tolist() == [3]
+
+    def test_benchmark_side_broadcasts(self, spark):
+        from dtaidistance_spark.operators.dedup import decontaminate
+
+        docs = self._corpus(spark)
+        out = decontaminate(docs.where("doc_id >= 10"),
+                            docs.where("doc_id = 0"), k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
