@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above keep their hash-green records; verified by
         # scripts/check_oracles.py (sweep artifact) + pytest instead
         "decontaminate": DQ.q_decontaminate,
+        # deterministic train/val/test split (r4) — same window note
+        "split_assign": DQ.q_split_assign,
         # rows-only tail (no SQL oracle by nature — iterative argmin loops or
         # ~400M-cell DP lattices; each is pytest-golden-pinned instead, see
         # tests/test_driver_golden.py). Placed last so every value-oracled

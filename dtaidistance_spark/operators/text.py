@@ -106,3 +106,31 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("exact_fp"),
         F.array_min(F.transform(shingles, F.md5)).alias("shingle_fp"),
     )
+
+
+def assign_split(docs: DataFrame,
+                 weights=(("train", 90), ("val", 5), ("test", 5)),
+                 key_col: str = "doc_id",
+                 salt: str = "split-v1") -> DataFrame:
+    """Deterministic train/val/test assignment — the training-pipeline
+    split that must be stable across reruns, repartitions, and engine
+    versions (``randomSplit`` is none of those).
+
+    bucket = md5(salt || key) mod sum(weights); the row goes to the
+    first split whose cumulative weight exceeds its bucket.  Pure
+    column algebra (whole-stage codegen) over a content-independent
+    key; changing ``salt`` re-rolls the whole assignment atomically.
+    md5 (not xxhash64) keeps the bucket reproducible outside Spark —
+    the DuckDB twin hashes identically (dedup.py::_md5_long note).
+    """
+    from .dedup import _md5_long
+
+    total = sum(w for _, w in weights)
+    bucket = _md5_long(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) % total
+    expr, cum = None, 0
+    for name, w in weights:
+        cum += w
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return docs.withColumn("split", expr)

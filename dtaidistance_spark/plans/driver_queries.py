@@ -925,6 +925,13 @@ def q_decontaminate(spark, sf_dir):
     return DD.decontaminate(train, bench, k=3, min_overlap=3)
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test assignment keyed on
+    md5(salt:doc_id) — reshuffle-stable and engine-portable (DuckDB twin
+    hashes identically); one projection, no shuffle."""
+    return TX.assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
 def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4,
                                 threshold=0.2)
@@ -1413,6 +1420,17 @@ ORACLES["decontaminate"] = f"""
     SELECT doc_id, count(*) AS n_overlap
     FROM train JOIN bench USING (shingle)
     GROUP BY 1 HAVING count(*) >= 3
+"""
+
+ORACLES["split_assign"] = """
+    SELECT doc_id,
+           CASE WHEN b < 90 THEN 'train'
+                WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5('split-v1:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+          FROM documents)
 """
 
 ORACLES["edit_distance"] = """

@@ -658,3 +658,33 @@ class TestDecontaminate:
                             docs.where("doc_id = 0"), k=3)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestAssignSplit:
+    def test_deterministic_across_repartition(self, spark):
+        from dtaidistance_spark.operators.text import assign_split
+
+        docs = spark.range(0, 300).selectExpr(
+            "id AS doc_id", "concat('t', id) AS text")
+        a = assign_split(docs).select("doc_id", "split") \
+            .orderBy("doc_id").toPandas()
+        b = assign_split(docs.repartition(13)).select("doc_id", "split") \
+            .orderBy("doc_id").toPandas()
+        assert a.values.tolist() == b.values.tolist()
+        # weights roughly respected (90/5/5 over 300 md5 buckets)
+        counts = a["split"].value_counts()
+        assert counts["train"] > 240 and counts["val"] > 0 \
+            and counts["test"] > 0
+        assert set(counts.index) == {"train", "val", "test"}
+
+    def test_salt_rerolls_and_no_shuffle(self, spark):
+        from dtaidistance_spark.operators.text import assign_split
+
+        docs = spark.range(0, 300).selectExpr(
+            "id AS doc_id", "concat('t', id) AS text")
+        a = assign_split(docs, salt="split-v1").select("split").toPandas()
+        b = assign_split(docs, salt="split-v2").select("split").toPandas()
+        assert a["split"].tolist() != b["split"].tolist()
+        plan = assign_split(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection
