@@ -109,6 +109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": DQ.q_decontaminate,
         # deterministic train/val/test split (r4) — same window note
         "split_assign": DQ.q_split_assign,
+        # Gopher-style repetition quality filters (r4) — same window note
+        "repetition_stats": DQ.q_repetition_stats,
+        # deterministic stratified sampling / data mixing (r4) — same note
+        "sample_stratified": DQ.q_sample_stratified,
         # rows-only tail (no SQL oracle by nature — iterative argmin loops or
         # ~400M-cell DP lattices; each is pytest-golden-pinned instead, see
         # tests/test_driver_golden.py). Placed last so every value-oracled

@@ -134,3 +134,89 @@ def assign_split(docs: DataFrame,
         cond = bucket < cum
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return docs.withColumn("split", expr)
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021,
+    "Scaling Language Models" appendix A1.1, public): per-document
+    duplicate-token fraction and most-frequent-2-gram / 3-gram mass.
+    Documents dominated by a single repeated phrase are boilerplate and
+    get filtered before training.
+
+    Implemented as ONE shuffle-free Arrow ``mapInPandas`` pass: the
+    per-document n-gram counting is intrinsically a within-row
+    hash-count (Counter), which Spark's higher-order functions can only
+    express as an interpreted O(distinct x n) lambda re-evaluated per
+    element (measured ~25 ms/doc — 1000x the Python hash-count), and an
+    explode+groupBy formulation would shuffle the entire n-gram stream
+    at corpus scale.  The map-only plan is scan -> project -> UDF:
+    embarrassingly parallel at 100 TB, no exchange anywhere, and the
+    scan reads only (doc_id, text).  Ties on the top n-gram break to
+    the lexicographically smallest so results are deterministic and
+    engine-portable (DuckDB twin in plans/driver_queries.py).
+    """
+    import pandas as pd  # local import keeps module import light
+
+    out_schema = ("doc_id long, n_tokens int, dup_token_frac double, "
+                  "top_bigram string, top_bigram_frac double, "
+                  "top_trigram_frac double")
+
+    def _stats(batches):
+        from collections import Counter
+
+        def top_frac(grams):
+            if not grams:
+                return "", 0.0
+            c = Counter(grams)
+            best_n = max(c.values())
+            best_g = min(g for g, k in c.items() if k == best_n)
+            return best_g, round(best_n / len(grams), 6)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.lower().strip().split()
+                n = len(toks)
+                dup = round(1.0 - len(set(toks)) / max(n, 1), 6)
+                bg, bgf = top_frac(
+                    [f"{a} {b}" for a, b in zip(toks, toks[1:])])
+                _, tgf = top_frac(
+                    [f"{a} {b} {c}" for a, b, c
+                     in zip(toks, toks[1:], toks[2:])])
+                rows.append((doc_id, n, dup, bg, bgf, tgf))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_tokens", "dup_token_frac", "top_bigram",
+                "top_bigram_frac", "top_trigram_frac"])
+
+    return docs.select("doc_id", "text").mapInPandas(_stats, out_schema)
+
+
+def sample_stratified(docs: DataFrame,
+                      rates: dict,
+                      stratum_col: str = "lang",
+                      key_col: str = "doc_id",
+                      default_per_mille: int = 0,
+                      salt: str = "mix-v1") -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive
+    that up-/down-weights corpus slices (by language, source, quality
+    band) when assembling a training mix.  ``rates`` maps stratum value
+    to a keep-rate in per-mille; a row survives iff
+    ``md5(salt:key) mod 1000 < rate(stratum)``.
+
+    Content-independent and repartition-stable (unlike ``df.sample``,
+    whose output depends on partitioning), so reruns and resumed jobs
+    keep identical rows; the md5 bucket is engine-portable for the SQL
+    oracle twin.  Pure column algebra: the predicate pushes into the
+    scan's filter stage and the operator needs no shuffle at any scale.
+    """
+    from .dedup import _md5_long
+
+    bucket = _md5_long(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))) % 1000
+    rate = None
+    for value, pm in sorted(rates.items()):
+        cond = F.col(stratum_col) == value
+        rate = F.when(cond, pm) if rate is None else rate.when(cond, pm)
+    rate = rate.otherwise(default_per_mille) if rate is not None \
+        else F.lit(default_per_mille)
+    return docs.where(bucket < rate)

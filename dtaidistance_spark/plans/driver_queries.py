@@ -932,6 +932,23 @@ def q_split_assign(spark, sf_dir):
     return TX.assign_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters (dup-token fraction, top 2-/3-gram
+    mass) as within-row HOF column algebra — zero shuffles, zero Python;
+    the per-document n-gram counting runs entirely inside whole-stage
+    codegen, so the plan is a bare scan→project at any corpus size."""
+    return TX.repetition_stats(_docs(spark, sf_dir))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (data mixing by language):
+    md5-bucket keep-predicate pushed into the scan's filter stage —
+    repartition-stable, resumable, engine-portable, no shuffle."""
+    rates = {"en": 800, "de": 400, "fr": 200, "es": 100, "zh": 50}
+    return TX.sample_stratified(
+        _docs(spark, sf_dir), rates).select("doc_id", "lang", "source")
+
+
 def q_minhash_lsh(spark, sf_dir):
     return DD.minhash_lsh_pairs(_docs(spark, sf_dir), n_hashes=16, bands=4,
                                 threshold=0.2)
@@ -1420,6 +1437,50 @@ ORACLES["decontaminate"] = f"""
     SELECT doc_id, count(*) AS n_overlap
     FROM train JOIN bench USING (shingle)
     GROUP BY 1 HAVING count(*) >= 3
+"""
+
+ORACLES["repetition_stats"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest([array_to_string(l[i:i+1], ' ')
+                          for i in range(1, len(l))]) AS g FROM t),
+    tg AS (SELECT doc_id,
+                  unnest([array_to_string(l[i:i+2], ' ')
+                          for i in range(1, len(l)-1)]) AS g FROM t),
+    bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    tc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+    b1 AS (SELECT doc_id, g AS top_bigram,
+                  round(c * 1.0 / tot, 6) AS top_bigram_frac
+           FROM (SELECT doc_id, g, c,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, g ASC) AS rn,
+                        sum(c) OVER (PARTITION BY doc_id) AS tot
+                 FROM bc) WHERE rn = 1),
+    t1 AS (SELECT doc_id,
+                  round(c * 1.0 / tot, 6) AS top_trigram_frac
+           FROM (SELECT doc_id, c,
+                        row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY c DESC, g ASC) AS rn,
+                        sum(c) OVER (PARTITION BY doc_id) AS tot
+                 FROM tc) WHERE rn = 1)
+    SELECT t.doc_id,
+           len(l) AS n_tokens,
+           round(1.0 - len(list_distinct(l)) * 1.0 / greatest(len(l), 1), 6)
+               AS dup_token_frac,
+           coalesce(top_bigram, '') AS top_bigram,
+           coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+           coalesce(top_trigram_frac, 0.0) AS top_trigram_frac
+    FROM t LEFT JOIN b1 USING (doc_id) LEFT JOIN t1 USING (doc_id)
+"""
+
+ORACLES["sample_stratified"] = """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('mix-v1:' ||
+              CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 <
+          CASE lang WHEN 'en' THEN 800 WHEN 'de' THEN 400
+                    WHEN 'fr' THEN 200 WHEN 'es' THEN 100
+                    WHEN 'zh' THEN 50 ELSE 0 END
 """
 
 ORACLES["split_assign"] = """

@@ -688,3 +688,91 @@ class TestAssignSplit:
         plan = assign_split(docs)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan  # pure projection
+
+
+class TestRepetitionStats:
+    def test_counts_match_brute_force(self, spark):
+        from collections import Counter
+
+        from dtaidistance_spark.operators.text import repetition_stats
+
+        texts = [
+            "a b a b a b",              # top bigram "a b" x3 of 5
+            "x",                        # no bigrams / trigrams
+            "one two three four",       # all grams unique
+            "go go go go",              # single repeated token
+            "b a b a b a a b",          # tie-break: lexicographic min
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+        got = repetition_stats(docs).orderBy("doc_id").toPandas()
+        for i, t in enumerate(texts):
+            toks = t.split()
+            row = got.iloc[i]
+            assert row["n_tokens"] == len(toks)
+            assert row["dup_token_frac"] == round(
+                1 - len(set(toks)) / len(toks), 6)
+            bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+            if bgs:
+                c = Counter(bgs)
+                best = max(c.values())
+                assert row["top_bigram"] == min(
+                    g for g, k in c.items() if k == best)
+                assert row["top_bigram_frac"] == round(best / len(bgs), 6)
+            else:
+                assert row["top_bigram"] == "" and row["top_bigram_frac"] == 0.0
+
+    def test_boilerplate_scores_above_clean_text(self, spark):
+        from dtaidistance_spark.operators.text import repetition_stats
+
+        docs = spark.createDataFrame(
+            [(0, "click here to win " * 20),
+             (1, "the cat sat on a mat while rain fell over quiet hills")],
+            "doc_id long, text string")
+        got = repetition_stats(docs).orderBy("doc_id").toPandas()
+        assert got.iloc[0]["top_trigram_frac"] > 0.2
+        assert got.iloc[1]["top_trigram_frac"] < 0.2
+        assert got.iloc[0]["dup_token_frac"] > got.iloc[1]["dup_token_frac"]
+
+    def test_map_only_plan(self, spark):
+        from dtaidistance_spark.operators.text import repetition_stats
+
+        docs = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+        plan = repetition_stats(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # shuffle-free map
+
+
+class TestSampleStratified:
+    def test_rates_and_determinism(self, spark):
+        from dtaidistance_spark.operators.text import sample_stratified
+
+        docs = spark.range(0, 4000).selectExpr(
+            "id AS doc_id",
+            "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'zh' END AS lang")
+        rates = {"en": 900, "zh": 100}
+        a = sample_stratified(docs, rates).orderBy("doc_id").toPandas()
+        b = sample_stratified(docs.repartition(17), rates) \
+            .orderBy("doc_id").toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        per = a.groupby("lang").size()
+        # md5 buckets over 2000 keys per stratum: near the per-mille rates
+        assert abs(per["en"] / 2000 - 0.9) < 0.05
+        assert abs(per["zh"] / 2000 - 0.1) < 0.05
+
+    def test_default_rate_drops_unknown_strata(self, spark):
+        from dtaidistance_spark.operators.text import sample_stratified
+
+        docs = spark.range(0, 100).selectExpr(
+            "id AS doc_id", "'xx' AS lang")
+        assert sample_stratified(docs, {"en": 500}).count() == 0
+        assert sample_stratified(
+            docs, {"en": 500}, default_per_mille=1000).count() == 100
+
+    def test_filter_only_plan(self, spark):
+        from dtaidistance_spark.operators.text import sample_stratified
+
+        docs = spark.range(0, 10).selectExpr("id AS doc_id", "'en' AS lang")
+        plan = sample_stratified(docs, {"en": 500})._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # predicate-only, pushes to scan
