@@ -371,3 +371,52 @@ class TestSaltedIngest:
         plan = salted._jdf.queryExecution().executedPlan().toString()
         # the heavy lag window is keyed by (conv_id, __chunk), not conv_id
         assert "__chunk" in plan
+
+
+class TestPerTurnTextInvariant:
+    """North-rule per-row invariant: per-turn text equality under
+    stable (conv_id, turn_idx) ordering — the transcript rows must
+    survive physical-distribution perturbation (repartition, partition-
+    local resort) and a storage round-trip through the snapshot sink
+    byte-identically, and the synthetic corpus itself must regenerate
+    identically from its seed (BASELINE.json input_hint)."""
+
+    COLS = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+    def _ordered(self, df):
+        from dtaidistance_spark.operators.ingest import ordered_turns
+        return ordered_turns(df).select(*self.COLS).toPandas()
+
+    def test_text_survives_shuffle_and_sink_roundtrip(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from dtaidistance_spark.sinks.snapshots import commit_tier, read_tier
+        from dtaidistance_spark.sources.transcripts import synth_transcripts
+
+        tr = synth_transcripts(spark, n_convs=30, seed=13, max_turns=100)
+        ref = self._ordered(tr)
+        assert len(ref) > 200  # power-law corpus actually materialized
+
+        # adversarial physical layout: hash-repartition on an unrelated
+        # key, then destroy within-partition order
+        noisy = tr.repartition(17, "ts").sortWithinPartitions("text")
+        base = str(tmp_path / "snap")
+        commit_tier(
+            noisy.withColumn("bucket_ts", F.col("ts"))
+                 .withColumn("series_id", F.col("conv_id")),
+            base, "turns")
+        back = read_tier(spark, base, "turns")
+        got = self._ordered(back)
+        assert got.values.tolist() == ref.values.tolist()
+
+    def test_corpus_regenerates_identically_from_seed(self, spark):
+        from dtaidistance_spark.sources.transcripts import synth_transcripts
+
+        a = synth_transcripts(spark, n_convs=30, seed=13, max_turns=100)
+        b = synth_transcripts(spark, n_convs=30, seed=13, max_turns=100,
+                              n_parts=7)  # different parallelism, same rows
+        pa, pb = self._ordered(a), self._ordered(b)
+        assert pa.values.tolist() == pb.values.tolist()
+        # and a different seed is a genuinely different corpus
+        c = synth_transcripts(spark, n_convs=30, seed=14, max_turns=100)
+        assert self._ordered(c)["text"].tolist() != pa["text"].tolist()
