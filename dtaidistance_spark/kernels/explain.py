@@ -1,0 +1,307 @@
+"""Dynamic Subsequence Warping explanation of a warping path — the
+engine's re-expression of the reference's ``explain.dsw.explainpair``
+(reference explain/dsw/explainpair.py:310 ``ExplainPair``; the method is
+published in Lin, Meert, Robberechts, Blockeel, "Warping and Matching
+Subsequences Between Time Series", arXiv:2506.15452, 2025).
+
+Scope: the reference's *default* configuration — approximation type
+``max_factor_and_diff`` (cost bound d' <= d·(1+delta_rel) + delta_abs),
+split strategy ``spatialdist``, top-down RDP over the self-similarity
+matrix followed by the bottom-up merge pass (``approx_prune``) with the
+local tolerance criterion (``approx_local``), squared-euclidean inner
+distance.  The other approximation types / split strategies are research
+variations of the same recurrence and are out of scope (documented, not
+silently absent).
+
+Output parity is pinned bit-exactly against the reference implementation
+in tests (segment tuples, per-segment distances, approximated distance)
+— accumulation order is kept sequential where the reference's is, since
+the tolerance criteria compare accumulated floats.
+
+Scale shape: one explanation is an O(path length) recursion on a single
+pair — intrinsically per-pair work.  The distributed surface is
+``operators/explain.py::explain_pairs``: pairs are distributed, each
+task explains its pairs with this kernel (same strategy as the
+distance-matrix operator; the per-pair kernel itself has no
+cross-pair state).
+"""
+
+from __future__ import annotations
+
+import math
+from bisect import bisect_left, bisect_right
+from collections import deque
+from heapq import heappop, heappush
+from typing import List, Tuple
+
+import numpy as np
+
+from .dtw import DtwSettings, warping_path
+
+DIAG_ANGLE = math.pi / 4
+
+
+def _inner(a: float, b: float) -> float:
+    d = a - b
+    return d * d
+
+
+def _bres_cost(sf: np.ndarray, st: np.ndarray, p0, p1,
+               include_begin: bool, include_end: bool) -> Tuple[float, int]:
+    """Cost of the straight lattice line p0→p1 (Bresenham walk), with
+    the same endpoint-inclusion switches as the reference's _line_cost
+    (explainpair.py:1167)."""
+    d_f = p1[0] - p0[0]
+    d_t = -(p1[1] - p0[1])
+    error = d_f + d_t
+    i_f, i_fe = p0[0], p1[0]
+    i_t, i_te = p0[1], p1[1]
+    cost = 0.0
+    n = 0
+    while True:
+        cost += _inner(sf[i_f], st[i_t])
+        n += 1
+        if i_f == i_fe and i_t == i_te:
+            break
+        e2 = 2 * error
+        if e2 >= d_t:
+            error += d_t
+            i_f += 1
+        if e2 <= d_f:
+            error += d_f
+            i_t += 1
+    if not include_begin:
+        n -= 1
+        cost -= _inner(sf[p0[0]], st[p0[1]])
+    if not include_end:
+        n -= 1
+        cost -= _inner(sf[p1[0]], st[p1[1]])
+    return cost, n
+
+
+def _max_deviation_from_line(points: np.ndarray, i0: int, i1: int):
+    """Split-point selection (``spatialdist``): the path point with the
+    largest spatial distance to the straight segment points[i0]→[i1]
+    (first maximum wins, as in explainpair.py:1032)."""
+    p0 = points[i0].astype(np.float64)
+    p1 = points[i1].astype(np.float64)
+    seg = points[i0:i1].astype(np.float64)
+    def _norm(dx, dy):
+        return np.sqrt(dx * dx + dy * dy)  # == np.linalg.norm per point
+
+    if np.allclose(p0, p1):
+        d = _norm(seg[:, 0] - p0[0], seg[:, 1] - p0[1])
+    else:
+        dp = p1 - p0
+        # the reference squares the *norm* (sqrt then square) —
+        # replicate exactly, a 1-ulp difference in t cascades into
+        # different split points (explainpair.py:1035-1036)
+        nsq = float(np.sqrt(dp[0] * dp[0] + dp[1] * dp[1])) ** 2
+        t = ((seg[:, 0] - p0[0]) * dp[0] + (seg[:, 1] - p0[1]) * dp[1]) / nsq
+        proj = p0 + np.clip(t, 0.0, 1.0)[:, None] * dp
+        d = _norm(seg[:, 0] - proj[:, 0], seg[:, 1] - proj[:, 1])
+    idx = int(np.argmax(d))
+    if d[idx] <= 0:
+        return 0.0, i0
+    return float(d[idx]), i0 + idx
+
+
+class ExplainedPair:
+    """Segments + approximate distances for one series pair (default
+    reference configuration; see module docstring for scope)."""
+
+    def __init__(self, series_from, series_to, delta_rel: float = 1.0,
+                 delta_abs: float = 0.1, approx_prune: bool = True,
+                 approx_local: bool = True, onlychanges=None,
+                 settings: DtwSettings | None = None, path=None):
+        self.sf = np.asarray(series_from, dtype=np.float64)
+        self.st = np.asarray(series_to, dtype=np.float64)
+        self.delta_rel = float(delta_rel)
+        self.delta_abs = float(delta_abs)
+        self.approx_prune = approx_prune
+        self.approx_local = approx_local
+        self.settings = settings or DtwSettings()
+        if path is None:
+            path = warping_path(self.sf, self.st, settings=self.settings)
+        self.path = [(int(i), int(j)) for i, j in path]
+        self._points = np.asarray(self.path, dtype=np.int64)
+        self.line2, self._lidxs = self._rdp_ssm(self._points)
+        self.segments = self._segments_from_line(onlychanges)
+
+    # -- tolerance criterion (max_factor_and_diff; explainpair.py:725) --
+
+    def _tolerance_factors(self, ccost: float, length: int):
+        if ccost == 0.0:
+            ub_m = 0.0
+        else:
+            c = math.sqrt(ccost) * self.delta_rel  # cost2dist then scale
+            ub_m = (c * c) / ccost                 # dist2cost / ccost
+        ub_a = ((math.sqrt(ccost) + self.delta_abs) ** 2 - ccost) / length
+        return ub_m, ub_a
+
+    # -- top-down RDP over the SSM (explainpair.py:478) --
+
+    def _rdp_ssm(self, points: np.ndarray) -> np.ndarray:
+        sf, st = self.sf, self.st
+        n = len(points)
+        diffs = sf[points[:, 0]] - st[points[:, 1]]
+        ccostv = np.add.accumulate(diffs * diffs)  # sequential, as ref
+        ccost_o = float(ccostv[-1])
+        ub_m, ub_a = self._tolerance_factors(ccost_o, n)
+
+        queue = deque([(0, n - 1)])
+        result = set()
+        while queue:
+            i0, i1 = queue.popleft()
+            if i1 - i0 <= 1:
+                result.add(i0)
+                result.add(i1)
+                continue
+            p0, p1 = points[i0], points[i1]
+            ccostp_o = float(ccostv[i1] - ccostv[i0])
+            lenp_o = i1 - i0
+            ccostp_a, _ = _bres_cost(sf, st, p0, p1,
+                                     include_begin=False, include_end=True)
+            if ccostp_a <= max(ccostp_o + lenp_o * ub_a,
+                               ccostp_o * (1 + ub_m)):
+                result.add(i0)
+                result.add(i1)
+            else:
+                _, idxmax = _max_deviation_from_line(points, i0, i1)
+                if idxmax == i0:
+                    idxmax = i0 + 1
+                queue.append((i0, idxmax))
+                queue.append((idxmax, i1))
+
+        idxs = sorted(result)
+        if self.approx_prune:
+            idxs = self._merge_segments(points, idxs, ccostv, ub_m, ub_a)
+        return points[np.asarray(idxs, dtype=np.int64)], list(idxs)
+
+    # -- bottom-up merge pass (explainpair.py:610, approx_local) --
+
+    def _merge_segments(self, points, idxs: List[int], ccostv,
+                        ub_m: float, ub_a: float) -> List[int]:
+        sf, st = self.sf, self.st
+        kept = sorted(idxs)
+        cache: dict = {}
+
+        def line_cost(i0, i1):
+            key = (i0, i1)
+            if key not in cache:
+                cache[key] = _bres_cost(sf, st, points[i0], points[i1],
+                                        include_begin=False,
+                                        include_end=True)[0]
+            return cache[key]
+
+        heap: list = []
+        for a, b, c in zip(kept, kept[1:], kept[2:]):
+            heappush(heap, (min(c - b, b - a), (a, b, c)))
+
+        def _contains(x):
+            i = bisect_left(kept, x)
+            return i < len(kept) and kept[i] == x
+
+        while heap:
+            _, (i0, i1, i2) = heappop(heap)
+            if not (_contains(i0) and _contains(i1) and _contains(i2)):
+                continue
+            c_02a = line_cost(i0, i2)
+            ccostp_o = float(ccostv[i2] - ccostv[i0])
+            lenp_o = i2 - i0
+            if c_02a <= max(ccostp_o + lenp_o * ub_a,
+                            ccostp_o * (1 + ub_m)):
+                pos = bisect_left(kept, i0)
+                if pos > 0:
+                    i_n = kept[pos - 1]
+                    heappush(heap, (min(i0 - i_n, i2 - i0), (i_n, i0, i2)))
+                pos2 = bisect_right(kept, i2)
+                if pos2 < len(kept):
+                    i_n = kept[pos2]
+                    heappush(heap, (min(i2 - i0, i_n - i2), (i0, i2, i_n)))
+                kept.remove(i1)
+        return kept
+
+    # -- segments (explainpair.py:426) --
+
+    def _segments_from_line(self, onlychanges):
+        lidxs = self._lidxs
+        segments = []
+        for k in range(len(self.line2) - 1):
+            bp, ep = self.line2[k], self.line2[k + 1]
+            dx = int(ep[0] - bp[0])
+            dy = int(ep[1] - bp[1])
+            a = math.pi / 2 if dx == 0 else float(np.arctan(dy / dx))
+            shift = round((bp[1] + ep[1]) / 2 - (bp[0] + ep[0]) / 2)
+            elasticity = dy - dx
+            if (onlychanges is None or abs(shift) >= onlychanges
+                    or abs(elasticity) >= onlychanges):
+                segments.append({
+                    "s_idx_p": lidxs[k], "e_idx_p": lidxs[k + 1],
+                    "s_idx": int(bp[0]), "e_idx": int(ep[0]),
+                    "s_idx_y": int(bp[1]), "e_idx_y": int(ep[1]),
+                    "angle": a, "shift": int(shift),
+                    "elasticity": int(elasticity),
+                })
+        return segments
+
+    # -- distances (explainpair.py:1066/1089) --
+
+    def distance(self, per_segment: bool = False):
+        sf, st, path = self.sf, self.st, self.path
+        dist = 0.0
+        dists = []
+        for seg in self.segments:
+            d = 0.0
+            for i_p in range(seg["s_idx_p"], seg["e_idx_p"]):
+                i, j = path[i_p]
+                d += _inner(sf[i], st[j])
+            dist += d
+            dists.append(d)
+        i, j = path[self.segments[-1]["e_idx_p"]]
+        idist = _inner(sf[i], st[j])
+        dists.append(idist)
+        dist = math.sqrt(dist + idist)
+        return (dist, dists) if per_segment else dist
+
+    def distance_approx(self, per_segment: bool = False):
+        sf, st = self.sf, self.st
+        dist = 0.0
+        dists = []
+        for seg in self.segments:
+            i_f, i_fe = seg["s_idx"], seg["e_idx"]
+            i_t, i_te = seg["s_idx_y"], seg["e_idx_y"]
+            d_f = i_fe - i_f
+            d_t = i_t - i_te
+            error = d_f + d_t
+            d = 0.0
+            while True:
+                if i_f == i_fe and i_t == i_te:
+                    break  # last point overlaps the next segment
+                d += _inner(sf[i_f], st[i_t])
+                e2 = 2 * error
+                if e2 >= d_t:
+                    error += d_t
+                    i_f += 1
+                if e2 <= d_f:
+                    error += d_f
+                    i_t += 1
+            dist += d
+            dists.append(d)
+        last = self.segments[-1]
+        idist = _inner(sf[last["e_idx"]], st[last["e_idx_y"]])
+        dists.append(idist)
+        dist = math.sqrt(dist + idist)
+        return (dist, dists) if per_segment else dist
+
+    def segment_rows(self):
+        """Flat tuples for the distributed operator: one row per
+        segment, with the segment's approximated distance share."""
+        _, dists = self.distance_approx(per_segment=True)
+        rows = []
+        for k, seg in enumerate(self.segments):
+            rows.append((k, seg["s_idx_p"], seg["e_idx_p"], seg["s_idx"],
+                         seg["e_idx"], seg["s_idx_y"], seg["e_idx_y"],
+                         round(seg["angle"], 9), seg["shift"],
+                         seg["elasticity"], round(dists[k], 9)))
+        return rows

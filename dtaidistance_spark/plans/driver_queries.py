@@ -741,6 +741,22 @@ def q_linkage_tree(spark, sf_dir):
         rows, "step long, left long, right long, dist double, count long")
 
 
+def q_explain_pairs(spark, sf_dir):
+    """DSW warping-path explanation (reference explain/dsw/
+    explainpair.py:310, default max_factor_and_diff + spatialdist
+    configuration) over all pairs of the first 8 daily series: one row
+    per segment with position, angle, shift, elasticity, and the
+    segment's approximated-distance share.  Broadcast pair join + one
+    Arrow map stage; kernel is bit-exact vs the reference
+    (tests/test_explain.py).  Rows-only at the driver — the RDP split
+    queue + bottom-up merge heap is an iterative recursion with no
+    tractable SQL replay; the pytest ref-oracle is the value gate."""
+    from ..operators.explain import explain_pairs
+
+    series = _daily_series(spark, sf_dir, 8)
+    return explain_pairs(series, delta_rel=1.0, delta_abs=0.1)
+
+
 def q_loco_matches(spark, sf_dir):
     """LocalConcurrences per series, distributed: each series is scored
     inside ``mapInPandas`` (round 1 looped on the driver via toPandas)."""
