@@ -174,7 +174,7 @@ def main(argv=None) -> dict:
     t0 = time.time()
     metrics = curate(spark, args)
     metrics["wall_sec"] = round(time.time() - t0, 3)
-    print(json.dumps(metrics))
+    print("CURATE_RESULT " + json.dumps(metrics))
     return metrics
 
 

@@ -56,14 +56,15 @@ def find_spark_submit() -> str:
     raise FileNotFoundError("spark-submit not found")
 
 
-def run_once(argv: list[str], env: dict) -> dict:
+def run_once(argv: list[str], env: dict,
+             prefix: str = "PIPELINE_RESULT ") -> dict:
     t0 = time.time()
     proc = subprocess.run(argv, capture_output=True, text=True, env=env)
     wall = round(time.time() - t0, 2)
     metrics = None
     for line in proc.stdout.splitlines():
-        if line.startswith("PIPELINE_RESULT "):
-            metrics = json.loads(line[len("PIPELINE_RESULT "):])
+        if line.startswith(prefix):
+            metrics = json.loads(line[len(prefix):])
     if proc.returncode != 0 or metrics is None:
         tail = (proc.stderr or proc.stdout)[-3000:]
         raise RuntimeError(f"spark-submit failed rc={proc.returncode}: {tail}")
