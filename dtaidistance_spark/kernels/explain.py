@@ -305,3 +305,70 @@ class ExplainedPair:
                          round(seg["angle"], 9), seg["shift"],
                          seg["elasticity"], round(dists[k], 9)))
         return rows
+
+
+def _path_for(ep: "ExplainedPair", on_segments: bool):
+    return ep.segments_to_path() if on_segments else ep.path
+
+
+def segments_to_path(ep: "ExplainedPair"):
+    """Piece-wise linearized (DSW) path from the segments — the
+    reference's segments_to_path (explainpair.py:1137)."""
+    path = []
+    for seg in ep.segments:
+        d_f = seg["e_idx"] - seg["s_idx"]
+        d_t = -(seg["e_idx_y"] - seg["s_idx_y"])
+        error = d_f + d_t
+        i_f, i_fe = seg["s_idx"], seg["e_idx"]
+        i_t, i_te = seg["s_idx_y"], seg["e_idx_y"]
+        while True:
+            if i_f == i_fe and i_t == i_te:
+                break
+            path.append((i_f, i_t))
+            e2 = 2 * error
+            if e2 >= d_t:
+                error += d_t
+                i_f += 1
+            if e2 <= d_f:
+                error += d_f
+                i_t += 1
+    last = ep.segments[-1]
+    path.append((last["e_idx"], last["e_idx_y"]))
+    return path
+
+
+def get_variations(ep: "ExplainedPair", on_segments: bool = False):
+    """Per-from-index amplitude variations (max downward / upward
+    difference of the matched points) — explainpair.py:1235."""
+    path = _path_for(ep, on_segments)
+    out = np.zeros((len(ep.sf), 2))
+    for fi, ti in path:
+        v = ep.st[ti] - ep.sf[fi]
+        if v <= 0 and -v > out[fi, 0]:
+            out[fi, 0] = -v
+        if v >= 0 and v > out[fi, 1]:
+            out[fi, 1] = v
+    return out
+
+
+def get_bounds(ep: "ExplainedPair", on_segments: bool = False):
+    """Per-from-index amplitude bounds (-min / max matched difference)
+    — explainpair.py:1260."""
+    path = _path_for(ep, on_segments)
+    lo = np.full(len(ep.sf), np.inf)
+    hi = np.full(len(ep.sf), -np.inf)
+    touched = np.zeros(len(ep.sf), dtype=bool)
+    for fi, ti in path:
+        v = ep.st[ti] - ep.sf[fi]
+        touched[fi] = True
+        lo[fi] = min(lo[fi], v)
+        hi[fi] = max(hi[fi], v)
+    out = np.zeros((len(ep.sf), 2))
+    out[touched, 0] = -lo[touched]
+    out[touched, 1] = hi[touched]
+    return out
+
+
+ExplainedPair.segments_to_path = segments_to_path
+ExplainedPair.variations = get_variations
+ExplainedPair.bounds = get_bounds

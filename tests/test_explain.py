@@ -102,3 +102,21 @@ class TestExplainOperator:
         plan = explain_pairs(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan or "Broadcast" in plan
+
+
+class TestExplainVariations:
+    def test_variations_bounds_path_parity(self):
+        rng = np.random.default_rng(21)
+        for t in range(6):
+            a = np.cumsum(rng.normal(0, 1, 70))
+            b = np.cumsum(rng.normal(0, 1, 85))
+            ref = ref_explain.ExplainPair(a, b)
+            got = ExplainedPair(a, b)
+            assert ref.segments_to_path() == got.segments_to_path()
+            for on_seg in (False, True):
+                assert np.array_equal(
+                    ref.get_variations(on_segments=on_seg),
+                    got.variations(on_segments=on_seg))
+                assert np.array_equal(
+                    ref.get_bounds(on_segments=on_seg),
+                    got.bounds(on_segments=on_seg))
