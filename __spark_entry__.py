@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": DQ.q_kmeans_clusters,
         "loco_matches": DQ.q_loco_matches,
         "explain_pairs": DQ.q_explain_pairs,
+        "dtw_weights_learn": DQ.q_dtw_weights_learn,
         "dtw_distance_matrix": DQ.q_dtw_distance_matrix,
         "dtw_ndim_matrix": DQ.q_dtw_ndim_matrix,
         "dtw_flagship": DQ.q_dtw_flagship,

@@ -741,6 +741,28 @@ def q_linkage_tree(spark, sf_dir):
         rows, "step long, left long, right long, dist double, count long")
 
 
+def q_dtw_weights_learn(spark, sf_dir):
+    """Learnable weighted-DTW weights (reference dtw_weighted.py:155
+    compute_weights_using_dt): distributed per-series alignment features
+    vs a broadcast prototype (one Arrow map, no shuffle) + driver-side
+    explainable tree ensemble -> 8-knot rectifier profile per prototype
+    index.  Labels: series ranked 1,3,5,7 must-link, 2,4,6 cannot-link
+    (deterministic).  Rows-only — the boosting rounds over tree fits
+    are an iterative driver-side recursion; the kernel is array-equal
+    with the reference (tests/test_weights.py)."""
+    import numpy as np
+
+    from ..operators.weights import learn_weights, weights_profile_df
+
+    series = _daily_series(spark, sf_dir, 8).orderBy("i").collect()
+    proto = np.asarray(series[0]["values"], dtype=float)
+    rows = [(int(r["i"]), 1 if r["i"] % 2 == 1 else 0,
+             list(r["values"])) for r in series if r["i"] != series[0]["i"]]
+    df = spark.createDataFrame(rows, "i long, label int, values array<double>")
+    w, _ = learn_weights(df, proto, max_clfs=20)
+    return weights_profile_df(spark, w)
+
+
 def q_explain_pairs(spark, sf_dir):
     """DSW warping-path explanation (reference explain/dsw/
     explainpair.py:310, default max_factor_and_diff + spatialdist
