@@ -79,6 +79,11 @@ GOLDEN_DIGESTS = {
     "dtw_distance_matrix": (105, "43a74174b2fdaadd"),
     "dtw_ndim_matrix": (105, "62cf86f19a7e1a0f"),
     "dtw_flagship": (105, "27a2816e8078bb45"),
+    # r4 rows-only additions: both partition-invariant (per-pair kernel;
+    # weight learning is feature-row-order invariant — splits/entropy/
+    # kdistance are permutation-free and value lists are sorted before use)
+    "explain_pairs": (205, "18ef1be519927b1f"),
+    "dtw_weights_learn": (30, "ca76b4d6fb647085"),
 }
 
 
