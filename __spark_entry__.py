@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": DQ.q_split_assign,
         # Gopher-style repetition quality filters (r4) — same window note
         "repetition_stats": DQ.q_repetition_stats,
+        # LTTB shape-preserving downsample (r4) — same window note
+        "downsample_lttb": DQ.q_downsample_lttb,
         # deterministic stratified sampling / data mixing (r4) — same note
         "sample_stratified": DQ.q_sample_stratified,
         # rows-only tail (no SQL oracle by nature — iterative argmin loops or

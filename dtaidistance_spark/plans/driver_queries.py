@@ -741,6 +741,23 @@ def q_linkage_tree(spark, sf_dir):
         rows, "step long, left long, right long, dist double, count long")
 
 
+def q_downsample_lttb(spark, sf_dir):
+    """LTTB shape-preserving downsampling (Steinarsson 2013; Timescale
+    Toolkit's `lttb`) of each series' hourly count curve to 20 points.
+    One applyInPandas per series (single hash exchange); the oracle
+    replays the greedy triangle-area selection as 18 chained
+    per-iteration argmax CTEs.  Integer hourly counts + integer epochs
+    keep every area bit-identical across engines."""
+    from ..operators.downsample import downsample_lttb
+
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
+    pts = agg1h.select("series_id", "bucket_ts",
+                       F.col("cnt").cast("double").alias("value"))
+    out = downsample_lttb(pts, 20)
+    return out.select("series_id", "bucket_ts",
+                      F.round("value", 6).alias("value"))
+
+
 def q_dtw_weights_learn(spark, sf_dir):
     """Learnable weighted-DTW weights (reference dtw_weighted.py:155
     compute_weights_using_dt): distributed per-series alignment features
@@ -1476,6 +1493,72 @@ ORACLES["decontaminate"] = f"""
     FROM train JOIN bench USING (shingle)
     GROUP BY 1 HAVING count(*) >= 3
 """
+
+def _lttb_oracle(n_out: int = 20) -> str:
+    """Chained per-iteration argmax CTEs replaying the greedy LTTB
+    selection (kernels/downsample.py): sel_k holds iteration k's chosen
+    point per series; iteration k maximizes the triangle area with
+    sel_{k-1} and bucket k's successor centroid (area expression in the
+    kernel's exact operand order; ties → earliest t)."""
+    b = n_out - 2
+    parts = [f"""
+    WITH pts0 AS ({_PTS_SQL}),
+    agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                   count(value) AS cnt
+            FROM pts0 GROUP BY 1, 2),
+    p AS (SELECT series_id, bucket_ts,
+                 CAST(extract(epoch FROM bucket_ts) AS DOUBLE) AS t,
+                 CAST(cnt AS DOUBLE) AS v,
+                 row_number() OVER (PARTITION BY series_id
+                                    ORDER BY bucket_ts) - 1 AS i,
+                 count(*) OVER (PARTITION BY series_id) AS n
+          FROM agg),
+    small AS (SELECT series_id, bucket_ts, round(v, 6) AS value
+              FROM p WHERE n <= {n_out}),
+    big AS (SELECT * FROM p WHERE n > {n_out}),
+    ks AS (SELECT unnest(range({b})) AS k),
+    cand AS (SELECT big.*, ks.k
+             FROM big JOIN ks
+               ON big.i >= 1 + (ks.k * (big.n - 2)) // {b}
+              AND big.i <  1 + ((ks.k + 1) * (big.n - 2)) // {b}),
+    cent AS (
+      SELECT series_id, k - 1 AS k,
+             sum(t) / count(*) AS t_c, sum(v) / count(*) AS v_c
+      FROM cand WHERE k >= 1 GROUP BY series_id, k
+      UNION ALL
+      SELECT series_id, {b - 1} AS k, t AS t_c, v AS v_c
+      FROM big WHERE i = n - 1),
+    sel0 AS (SELECT series_id, i AS a, t AS a_t, v AS a_v
+             FROM big WHERE i = 0)"""]
+    for k in range(b):
+        parts.append(f""",
+    sel{k + 1} AS (
+      SELECT series_id, i AS a, t AS a_t, v AS a_v FROM (
+        SELECT c.series_id, c.i, c.t, c.v,
+               row_number() OVER (PARTITION BY c.series_id ORDER BY
+                 abs((s.a_t - ct.t_c) * (c.v - s.a_v)
+                     - (s.a_t - c.t) * (ct.v_c - s.a_v)) DESC,
+                 c.t ASC) AS rk
+        FROM cand c
+        JOIN sel{k} s ON c.series_id = s.series_id
+        JOIN cent ct ON ct.series_id = c.series_id AND ct.k = {k}
+        WHERE c.k = {k}) WHERE rk = 1)"""
+                     )
+    sel_union = " UNION ALL ".join(
+        f"SELECT series_id, a FROM sel{k + 1}" for k in range(b))
+    parts.append(f"""
+    SELECT series_id, bucket_ts, value FROM small
+    UNION ALL
+    SELECT series_id, bucket_ts, round(v, 6) AS value
+    FROM big WHERE i = 0 OR i = n - 1
+    UNION ALL
+    SELECT b2.series_id, b2.bucket_ts, round(b2.v, 6) AS value
+    FROM ({sel_union}) s
+    JOIN big b2 ON b2.series_id = s.series_id AND b2.i = s.a""")
+    return "".join(parts)
+
+
+ORACLES["downsample_lttb"] = _lttb_oracle(20)
 
 ORACLES["repetition_stats"] = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
