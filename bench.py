@@ -26,8 +26,13 @@ single-session behavior for quick iteration, with
 
 Every query is forced end-to-end with a noop-format write (all columns
 materialize, nothing collects to the driver).  "extra" carries the
-north-rule throughputs (rolled-up points/sec, DTW pairs/sec).  For the
-N-vs-4N scaling-efficiency evidence, run scripts/scaling_report.py.
+north-rule throughputs (rolled-up points/sec, DTW pairs/sec) and, since
+r5, per-query CPU-attribution meters ("queries_load": own / neighbor /
+steal / iowait average cores over every timed window, via
+dtaidistance_spark.meter) — this box is a shared VM and the meters make
+a noise-inflated run distinguishable from a real regression directly
+from the artifact.  For the N-vs-4N scaling-efficiency evidence, run
+scripts/scaling_report.py.
 """
 
 from __future__ import annotations
@@ -67,7 +72,8 @@ def _force(df) -> None:
 
 
 def _run_one(spark, qs, name: str, warmup: bool = False):
-    """Time one query end-to-end; return (sec, cold_sec, extra-rows).
+    """Time one query end-to-end; return (sec, cold_sec, extra-rows,
+    load).
 
     With ``warmup``, the query executes once untimed (JVM JIT / codegen /
     page cache), then twice timed, best-of reported.  Before every timed
@@ -75,35 +81,60 @@ def _run_one(spark, qs, name: str, warmup: bool = False):
     caches — resources.release_all) and the plan is rebuilt, so each rep
     recomputes the full DAG, never a cached intermediate.  The reported
     number is steady-state throughput; the cold first-execution time is
-    returned alongside for transparency."""
+    returned alongside for transparency.
+
+    Every timed window is stamped by dtaidistance_spark.meter.CpuMeter
+    with its own/neighbor/steal/iowait core decomposition (VERDICT r4:
+    the shared VM's neighbor storms and hypervisor steal inflated
+    driver records with no way to tell from the artifact).  ``load`` is
+    the decomposition of the window the reported number came from
+    (best rep), plus each rep's meter under ``reps`` — a noisy run is
+    self-diagnosing: a clean number shows own≈cpus, neighbor≈0,
+    steal≲0.1·cpus."""
+    from dtaidistance_spark.meter import CpuMeter
+
+    meter = CpuMeter()
     cold = None
     if warmup:
         from dtaidistance_spark import resources
         df = qs[name](spark, SF_DIR)
+        meter.begin()
         t0 = time.time()
         _force(df)
         cold = round(time.time() - t0, 3)
+        cold_load = meter.end()
         # two timed repetitions, best-of (timeit-style): this box is a
         # shared VM whose neighbor load swings identical runs 2-4×
         # within a minute — the min is the run that measured the plan,
         # not the neighbors.  State is fully released before each rep
         # so every rep recomputes the complete DAG.
         reps = []
+        rep_loads = []
         for _ in range(2):
             resources.release_all()
             spark.catalog.clearCache()
             df = qs[name](spark, SF_DIR)
+            meter.begin()
             t0 = time.time()
             _force(df)
             reps.append(time.time() - t0)
-        sec = round(min(reps), 3)
+            rep_loads.append(meter.end())
+        best = min(range(len(reps)), key=lambda i: reps[i])
+        sec = round(reps[best], 3)
+        load = dict(rep_loads[best])
+        load["reps"] = [dict(r, sec=round(s, 3))
+                        for r, s in zip(rep_loads, reps)]
+        load["cold"] = cold_load
         rows = {}
     else:
         df = qs[name](spark, SF_DIR)
+        meter.begin()
         t0 = time.time()
         _force(df)
         sec = round(time.time() - t0, 3)
+        load = meter.end()
         rows = {}
+    meter.close()
     if name.startswith("rollup_"):
         rows[name] = df.count()  # cheap re-agg, untimed
     if name == "dtw_distance_matrix":
@@ -111,7 +142,7 @@ def _run_one(spark, qs, name: str, warmup: bool = False):
         from dtaidistance_spark.plans import driver_queries as DQ
         n_series = DQ.hourly_series(spark, SF_DIR).count()
         rows[name] = n_series * (n_series - 1) // 2
-    return sec, cold, rows
+    return sec, cold, rows, load
 
 
 def _child(name: str) -> None:
@@ -121,14 +152,16 @@ def _child(name: str) -> None:
 
     spark = get_spark(app_name=f"bench-{name}", cores=CPUS,
                       shuffle_partitions=max(16, CPUS))
-    sec, cold, rows = _run_one(spark, entrymod.queries(), name, warmup=True)
+    sec, cold, rows, load = _run_one(spark, entrymod.queries(), name,
+                                     warmup=True)
     spark.stop()
     print("BENCH_CHILD " + json.dumps({"name": name, "sec": sec,
-                                       "cold_sec": cold, "rows": rows}))
+                                       "cold_sec": cold, "rows": rows,
+                                       "load": load}))
 
 
 def _emit(timings: dict, rows: dict, cold: dict | None = None,
-          failed: list | None = None) -> None:
+          failed: list | None = None, loads: dict | None = None) -> None:
     n_points = rows.get("rollup_1m", 0) + rows.get("rollup_1h_cascade", 0) \
         + rows.get("rollup_1d_cascade", 0)
     t_tiers = (timings.get("rollup_1m", 0) + timings.get("rollup_1h_cascade", 0)
@@ -155,6 +188,14 @@ def _emit(timings: dict, rows: dict, cold: dict | None = None,
     }
     if cold:
         out["extra"]["queries_cold_first_run"] = cold
+    if loads:
+        # per-query CPU attribution of the timed window (avg cores):
+        # own = our Spark subtree, neighbor = other tenants on this
+        # shared VM, steal = hypervisor; "reps" carries both timed reps
+        # so the best-of choice is auditable.  A number is trustworthy
+        # iff own≈cpus and neighbor+storm-steal≈0 — this makes a noisy
+        # driver run self-diagnosing (VERDICT r4 item 2).
+        out["extra"]["queries_load"] = loads
     if failed:
         # crashed bench children: the headline total understates, make the
         # record of truth say so explicitly (ADVICE r3)
@@ -175,6 +216,7 @@ def main():
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     cold: dict[str, float] = {}
+    loads: dict[str, dict] = {}
     failed: list[str] = []
     inproc = "--inproc" in flags or (bool(args) and "--isolate" not in flags)
     if inproc:
@@ -186,9 +228,10 @@ def main():
                           shuffle_partitions=max(16, CPUS))
         qs = entrymod.queries()
         for name in selected:
-            sec, _, r = _run_one(spark, qs, name)
+            sec, _, r, load = _run_one(spark, qs, name)
             timings[name] = sec
             rows.update(r)
+            loads[name] = load
             resources.release_all()
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
@@ -210,8 +253,10 @@ def main():
             timings[name] = result["sec"]
             if result.get("cold_sec") is not None:
                 cold[name] = result["cold_sec"]
+            if result.get("load"):
+                loads[name] = result["load"]
             rows.update({k: int(v) for k, v in result["rows"].items()})
-    _emit(timings, rows, cold, failed)
+    _emit(timings, rows, cold, failed, loads)
 
 
 if __name__ == "__main__":

@@ -4,14 +4,21 @@ engine's re-expression of the reference's ``explain.dsw.explainpair``
 published in Lin, Meert, Robberechts, Blockeel, "Warping and Matching
 Subsequences Between Time Series", arXiv:2506.15452, 2025).
 
-Scope: the reference's *default* configuration — approximation type
-``max_factor_and_diff`` (cost bound d' <= d·(1+delta_rel) + delta_abs),
+Scope: approximation types ``max_factor_and_diff`` (default; cost bound
+d' <= d·(1+delta_rel) + delta_abs), ``max_factor`` (d' <= d·(1+
+delta_rel)), ``max_diff`` (d' <= d + delta_abs), ``max_factor_loose``
+and ``max_dist`` — all sharing the same recurrence, differing only in
+the tolerance factors (reference
+``compute_tolerance_criterion_factors``, explainpair.py:725) — with
 split strategy ``spatialdist``, top-down RDP over the self-similarity
-matrix followed by the bottom-up merge pass (``approx_prune``) with the
-local tolerance criterion (``approx_local``), squared-euclidean inner
-distance.  The other approximation types / split strategies are research
-variations of the same recurrence and are out of scope (documented, not
-silently absent).
+matrix followed by the bottom-up merge pass (``approx_prune``) under
+either the local (``approx_local=True``, per-segment) or the global
+(``approx_local=False``, running full-path bound — reference
+``remove_segments`` else-branch, explainpair.py:660-672) tolerance
+criterion, squared-euclidean inner distance.  ``max_index`` /
+``mean_index`` (a different, epsilon-spatial RDP) and the deriv split
+strategies remain out of scope (documented, not silently absent —
+they raise).
 
 Output parity is pinned bit-exactly against the reference implementation
 in tests (segment tuples, per-segment distances, approximated distance)
@@ -110,9 +117,14 @@ class ExplainedPair:
     """Segments + approximate distances for one series pair (default
     reference configuration; see module docstring for scope)."""
 
+    SUPPORTED_APPROX_TYPES = ("max_factor", "max_diff",
+                              "max_factor_and_diff", "max_factor_loose",
+                              "max_dist")
+
     def __init__(self, series_from, series_to, delta_rel: float = 1.0,
                  delta_abs: float = 0.1, approx_prune: bool = True,
                  approx_local: bool = True, onlychanges=None,
+                 approx_type: str = "max_factor_and_diff",
                  settings: DtwSettings | None = None, path=None):
         self.sf = np.asarray(series_from, dtype=np.float64)
         self.st = np.asarray(series_to, dtype=np.float64)
@@ -120,6 +132,11 @@ class ExplainedPair:
         self.delta_abs = float(delta_abs)
         self.approx_prune = approx_prune
         self.approx_local = approx_local
+        if approx_type not in self.SUPPORTED_APPROX_TYPES:
+            raise NotImplementedError(
+                f"approx_type {approx_type!r} not supported (see module "
+                f"docstring; supported: {self.SUPPORTED_APPROX_TYPES})")
+        self.approx_type = approx_type
         self.settings = settings or DtwSettings()
         if path is None:
             path = warping_path(self.sf, self.st, settings=self.settings)
@@ -128,16 +145,57 @@ class ExplainedPair:
         self.line2, self._lidxs = self._rdp_ssm(self._points)
         self.segments = self._segments_from_line(onlychanges)
 
-    # -- tolerance criterion (max_factor_and_diff; explainpair.py:725) --
+    # -- tolerance criterion factors, per approximation type (reference
+    # compute_tolerance_criterion_factors, explainpair.py:725; inner
+    # distance is squared euclidean, so cost2dist = sqrt and dist2cost
+    # = square) --
+
+    def _ub_m(self, ccost: float) -> float:
+        """Relative factor shared by the max_factor* types; the
+        reference guards 0/0 with try/except ZeroDivisionError."""
+        c = math.sqrt(ccost) * self.delta_rel  # cost2dist then scale
+        try:
+            return (c * c) / ccost             # dist2cost / ccost
+        except ZeroDivisionError:
+            return 0.0
 
     def _tolerance_factors(self, ccost: float, length: int):
-        if ccost == 0.0:
-            ub_m = 0.0
-        else:
-            c = math.sqrt(ccost) * self.delta_rel  # cost2dist then scale
-            ub_m = (c * c) / ccost                 # dist2cost / ccost
+        at = self.approx_type
+        if at == "max_factor":
+            return self._ub_m(ccost), 0.0
+        if at == "max_factor_loose":
+            ub_a = ((math.sqrt(ccost)
+                     * (1 + self.delta_rel * self.delta_abs)) ** 2
+                    - ccost) / length
+            return self._ub_m(ccost), ub_a
+        if at == "max_diff":
+            ub_a = ((math.sqrt(ccost) + self.delta_abs) ** 2
+                    - ccost) / length
+            return 0.0, ub_a
+        if at == "max_dist":
+            return 0.0, (self.delta_abs ** 2 - ccost) / length
+        # max_factor_and_diff (default)
+        ub_m = 0.0 if ccost == 0.0 else self._ub_m(ccost)
         ub_a = ((math.sqrt(ccost) + self.delta_abs) ** 2 - ccost) / length
         return ub_m, ub_a
+
+    def _bounds_global(self, ccost: float) -> float:
+        """Global upper bound on the approximated full-path cost
+        (reference compute_bounds_global, explainpair.py:683), used by
+        the approx_local=False merge criterion."""
+        d = math.sqrt(ccost)
+        at = self.approx_type
+        if at == "max_factor":
+            ub = (self.delta_rel + 1) * d
+        elif at == "max_factor_loose":
+            ub = ((1 + self.delta_abs) * self.delta_rel + 1) * d
+        elif at == "max_diff":
+            ub = self.delta_abs + d
+        elif at == "max_dist":
+            ub = self.delta_abs
+        else:  # max_factor_and_diff
+            ub = (1 + self.delta_rel) * d + self.delta_abs
+        return ub * ub  # dist2cost
 
     # -- top-down RDP over the SSM (explainpair.py:478) --
 
@@ -178,7 +236,9 @@ class ExplainedPair:
             idxs = self._merge_segments(points, idxs, ccostv, ub_m, ub_a)
         return points[np.asarray(idxs, dtype=np.int64)], list(idxs)
 
-    # -- bottom-up merge pass (explainpair.py:610, approx_local) --
+    # -- bottom-up merge pass (explainpair.py:610; approx_local=True →
+    # per-segment criterion, False → running global bound, the
+    # reference's remove_segments else-branch :660-672) --
 
     def _merge_segments(self, points, idxs: List[int], ccostv,
                         ub_m: float, ub_a: float) -> List[int]:
@@ -194,6 +254,18 @@ class ExplainedPair:
                                         include_end=True)[0]
             return cache[key]
 
+        if self.approx_local:
+            global_ub = ccost_a = None
+        else:
+            global_ub = self._bounds_global(float(ccostv[-1]))
+            # running cost of the current approximated path (sequential
+            # accumulation order as the reference: consecutive kept
+            # segments, then the last path point's inner distance)
+            ccost_a = 0.0
+            for a, b in zip(kept, kept[1:]):
+                ccost_a += line_cost(a, b)
+            ccost_a += _inner(sf[-1], st[-1])
+
         heap: list = []
         for a, b, c in zip(kept, kept[1:], kept[2:]):
             heappush(heap, (min(c - b, b - a), (a, b, c)))
@@ -207,10 +279,17 @@ class ExplainedPair:
             if not (_contains(i0) and _contains(i1) and _contains(i2)):
                 continue
             c_02a = line_cost(i0, i2)
-            ccostp_o = float(ccostv[i2] - ccostv[i0])
-            lenp_o = i2 - i0
-            if c_02a <= max(ccostp_o + lenp_o * ub_a,
-                            ccostp_o * (1 + ub_m)):
+            if self.approx_local:
+                ccostp_o = float(ccostv[i2] - ccostv[i0])
+                lenp_o = i2 - i0
+                do_simplify = c_02a <= max(ccostp_o + lenp_o * ub_a,
+                                           ccostp_o * (1 + ub_m))
+            else:
+                c_02 = line_cost(i0, i1) + line_cost(i1, i2)
+                do_simplify = ccost_a - c_02 + c_02a < global_ub
+                if do_simplify:
+                    ccost_a = ccost_a - c_02 + c_02a
+            if do_simplify:
                 pos = bisect_left(kept, i0)
                 if pos > 0:
                     i_n = kept[pos - 1]

@@ -379,6 +379,12 @@ def dt_windows(features, targets, classifier, patternlen, max_clfs,
         candidates.append(clf)
     scored = sorted(((clf.score(max_kd), -clf.tree_.nb_nodes, clf)
                      for clf in candidates), reverse=True)
+    if not scored:
+        # no window produced a splittable tree (all-one-class labels or
+        # patternlen beyond the usable features): return the empty
+        # ensemble instead of the reference's IndexError (ADVICE r4) —
+        # compute_weights_from_mlclvalues handles empty cl_values
+        return cl_values, [], importances
     min_score = scored[-1][0]
     max_score = scored[0][0]
     minallowed = max_score - (max_score - min_score) / 5

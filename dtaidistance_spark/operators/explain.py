@@ -29,11 +29,15 @@ EXPLAIN_SCHEMA = ("i long, j long, seg int, s_idx_p int, e_idx_p int, "
 def explain_pairs(series: DataFrame, delta_rel: float = 1.0,
                   delta_abs: float = 0.1,
                   settings: Optional[DtwSettings] = None,
+                  approx_type: str = "max_factor_and_diff",
+                  approx_local: bool = True,
                   id_col: str = "i",
                   values_col: str = "values") -> DataFrame:
     """Explain the warping path of every series pair (i < j): one row
     per DSW segment with its position in both series, angle, shift,
-    elasticity, and the segment's share of the approximated distance."""
+    elasticity, and the segment's share of the approximated distance.
+    ``approx_type`` / ``approx_local`` select the tolerance criterion
+    (kernels/explain.py module docstring lists the supported set)."""
     s = settings or DtwSettings()
     a = series.select(F.col(id_col).alias("i"),
                       F.col(values_col).alias("values"))
@@ -56,7 +60,9 @@ def explain_pairs(series: DataFrame, delta_rel: float = 1.0,
                 ep = ExplainedPair(
                     np.asarray(r.values, dtype=np.float64),
                     np.asarray(r.values_j, dtype=np.float64),
-                    delta_rel=delta_rel, delta_abs=delta_abs, settings=s)
+                    delta_rel=delta_rel, delta_abs=delta_abs,
+                    approx_type=approx_type, approx_local=approx_local,
+                    settings=s)
                 rows.extend((int(r.i), int(r.j)) + row
                             for row in ep.segment_rows())
             yield pd.DataFrame(rows, columns=cols)

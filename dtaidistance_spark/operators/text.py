@@ -1,9 +1,12 @@
 """Text-analysis operators over the ``documents`` table — the
 training-data-pipeline layer (language ID, quality scoring, token
-counting, fingerprinting).  Everything is built-in ``pyspark.sql.functions``
-column algebra (JVM-side, whole-stage-codegen) — no Python UDFs — so the
-same expressions run unchanged over 100 TB of documents with filters and
-projections pushed to the parquet scan.
+counting, fingerprinting).  Everything except ``repetition_stats`` is
+built-in ``pyspark.sql.functions`` column algebra (JVM-side,
+whole-stage-codegen), so the same expressions run unchanged over 100 TB
+of documents with filters and projections pushed to the parquet scan.
+``repetition_stats`` is the one deliberate exception: a shuffle-free
+Arrow ``mapInPandas`` pass, because within-row n-gram counting via
+interpreted HOF lambdas measured ~1000x slower (see its docstring).
 """
 
 from __future__ import annotations
@@ -175,9 +178,13 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.lower().strip().split()
+                # NULL/empty/whitespace-only docs: 0 tokens, all-zero
+                # stats (ADVICE r4 — previously crashed on NULL and
+                # reported dup=1.0 for empty; the SQL twin guards the
+                # same way so the edge case is pinned, not untested)
+                toks = (text or "").lower().strip().split()
                 n = len(toks)
-                dup = round(1.0 - len(set(toks)) / max(n, 1), 6)
+                dup = round(1.0 - len(set(toks)) / n, 6) if n else 0.0
                 bg, bgf = top_frac(
                     [f"{a} {b}" for a, b in zip(toks, toks[1:])])
                 _, tgf = top_frac(

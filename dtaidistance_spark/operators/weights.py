@@ -105,6 +105,50 @@ def learn_weights(series: DataFrame, prototype: np.ndarray,
     return weights, importances
 
 
+def path_features_long(members: DataFrame, prototype,
+                       member_col: str = "i",
+                       values_col: str = "values") -> DataFrame:
+    """Long-format view of the weight-learning feature stage (the
+    distributed half of ``compute_weights_using_dt``, reference
+    dtw_weighted.py:198-230): one row per (member series, prototype
+    index) with the mean negative / mean positive matched deviation
+    along the member's optimal warping path to the prototype —
+    ``path_features``' interleaved 2n feature vector unrolled.
+
+    Plan: broadcast prototype + one Arrow ``mapInPandas`` stage, no
+    shuffle — each member series is one lattice, embarrassingly
+    parallel at corpus scale.  Value-oracled at the driver: the DuckDB
+    twin replays every path with the shared lattice+walk CTE and
+    buckets the signed deviations per prototype index
+    (ORACLES["weights_features"])."""
+    proto = np.asarray(prototype, dtype=float)
+    spark = members.sparkSession
+    bc_proto = spark.sparkContext.broadcast(proto)
+
+    def extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from ..kernels.weights import path_features
+
+        p = bc_proto.value
+        n = len(p)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                feats, _, _ = path_features(
+                    p, np.asarray(getattr(r, values_col), dtype=float), 0)
+                for idx in range(n):
+                    rows.append((int(getattr(r, member_col)), idx,
+                                 float(feats[idx * 2]),
+                                 float(feats[idx * 2 + 1])))
+            yield pd.DataFrame(rows, columns=[
+                "member", "idx", "feat_neg", "feat_pos"])
+
+    return members.select(member_col, values_col).mapInPandas(
+        extract,
+        schema="member long, idx int, feat_neg double, feat_pos double")
+
+
 def weights_profile_df(spark, weights: np.ndarray) -> DataFrame:
     """Long-format view of a learned weight profile (one row per
     prototype index; inf knots as NULL for a stable schema)."""

@@ -780,6 +780,28 @@ def q_dtw_weights_learn(spark, sf_dir):
     return weights_profile_df(spark, w)
 
 
+def q_weights_features(spark, sf_dir):
+    """Value-oracled weight-learning feature stage (the distributed half
+    of the reference's ``compute_weights_using_dt``, dtw_weighted.py:
+    198-230): per (member series, prototype index), the mean negative /
+    mean positive matched deviation along the member's optimal warping
+    path to the prototype.  Prototype = daily series 0, members = series
+    1..7 (the dba_update fixture shape).  Broadcast prototype + one
+    Arrow map, no shuffle; the DuckDB twin replays each path with the
+    shared lattice+walk CTE and buckets the signed deviations (integer
+    daily counts → exact sums).  The driver-side tree ensemble on top
+    stays pytest-pinned via ``dtw_weights_learn``."""
+    from ..operators.weights import path_features_long
+
+    series = _daily_series(spark, sf_dir, 8)
+    proto = series.where(F.col("i") == 0).select("values").collect()[0][0]
+    members = series.where(F.col("i") >= 1)
+    out = path_features_long(members, proto)
+    return out.select("member", "idx",
+                      F.round("feat_neg", 6).alias("feat_neg"),
+                      F.round("feat_pos", 6).alias("feat_pos"))
+
+
 def q_explain_pairs(spark, sf_dir):
     """DSW warping-path explanation (reference explain/dsw/
     explainpair.py:310, default max_factor_and_diff + spatialdist
@@ -989,9 +1011,11 @@ def q_split_assign(spark, sf_dir):
 
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition filters (dup-token fraction, top 2-/3-gram
-    mass) as within-row HOF column algebra — zero shuffles, zero Python;
-    the per-document n-gram counting runs entirely inside whole-stage
-    codegen, so the plan is a bare scan→project at any corpus size."""
+    mass) as ONE shuffle-free Arrow ``mapInPandas`` pass: scan → project
+    (doc_id, text only) → UDF, no exchange anywhere, embarrassingly
+    parallel at any corpus size.  Python is deliberate here — the
+    within-row n-gram hash-count via interpreted HOF lambdas measured
+    ~1000x slower (see operators/text.py::repetition_stats)."""
     return TX.repetition_stats(_docs(spark, sf_dir))
 
 
@@ -1561,7 +1585,23 @@ def _lttb_oracle(n_out: int = 20) -> str:
 ORACLES["downsample_lttb"] = _lttb_oracle(20)
 
 ORACLES["repetition_stats"] = f"""
-    WITH t AS (SELECT doc_id, {_TOKS} AS l FROM documents),
+    -- NULL/empty/whitespace-only text -> 0 tokens and all-zero stats,
+    -- matching the operator's (text or '').split() guard (string_split
+    -- of '' would otherwise yield [''] = 1 phantom token)
+    WITH t AS (SELECT doc_id,
+                      -- regexp strip (not trim): DuckDB trim() removes
+                      -- only spaces, Python strip() removes tabs and
+                      -- newlines too — mirror (text or '').strip().split()
+                      CASE WHEN text IS NULL
+                             OR regexp_replace(text, '\\s', '', 'g') = ''
+                           THEN CAST([] AS VARCHAR[])
+                           ELSE string_split(
+                                  regexp_replace(regexp_replace(
+                                      lower(text),
+                                      '^\\s+|\\s+$', '', 'g'),
+                                    '\\s+', ' ', 'g'), ' ')
+                      END AS l
+               FROM documents),
     bg AS (SELECT doc_id,
                   unnest([array_to_string(l[i:i+1], ' ')
                           for i in range(1, len(l))]) AS g FROM t),
@@ -1586,8 +1626,9 @@ ORACLES["repetition_stats"] = f"""
                  FROM tc) WHERE rn = 1)
     SELECT t.doc_id,
            len(l) AS n_tokens,
-           round(1.0 - len(list_distinct(l)) * 1.0 / greatest(len(l), 1), 6)
-               AS dup_token_frac,
+           CASE WHEN len(l) = 0 THEN 0.0
+                ELSE round(1.0 - len(list_distinct(l)) * 1.0 / len(l), 6)
+           END AS dup_token_frac,
            coalesce(top_bigram, '') AS top_bigram,
            coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
            coalesce(top_trigram_frac, 0.0) AS top_trigram_frac
@@ -2070,6 +2111,33 @@ ORACLES["dba_update"] = _PATH_BASE.replace(
       JOIN sv bv ON bv.sid = p.sb AND bv.idx = w.j
       GROUP BY 1)
     SELECT CAST(pos AS INT) AS pos, round(s / cnt, 6) AS center_val
+    FROM wagg
+"""
+
+# weight-learning feature stage: prototype = sid 0, members = sids 1..7
+# — every member's warping path to the prototype replayed by the shared
+# lattice+walk base; per (member, prototype index) the signed deviation
+# d = proto[i] - member[j] is bucketed into the mean-negative /
+# mean-positive features exactly as kernels/weights.py::path_features
+# (d == 0 lands in BOTH buckets; an empty bucket divides by 1 → 0.0, the
+# reference's cnts[cnts == 0] = 1 convention).  Integer daily counts
+# keep the SQL sums exact.
+ORACLES["weights_features"] = _PATH_BASE.replace(
+    "ON a.sid < b.sid",
+    "ON a.sid < b.sid AND a.sid = 0") + """    wagg AS (
+      SELECT p.sb AS member, w.i - 1 AS idx,
+             sum(CASE WHEN av.v <= bv.v THEN bv.v - av.v ELSE 0 END) AS sn,
+             sum(CASE WHEN av.v <= bv.v THEN 1 ELSE 0 END) AS cn,
+             sum(CASE WHEN av.v >= bv.v THEN av.v - bv.v ELSE 0 END) AS sp,
+             sum(CASE WHEN av.v >= bv.v THEN 1 ELSE 0 END) AS cp
+      FROM walk w
+      JOIN pairs p ON w.pid = p.pid
+      JOIN sv av ON av.sid = p.sa AND av.idx = w.i
+      JOIN sv bv ON bv.sid = p.sb AND bv.idx = w.j
+      GROUP BY 1, 2)
+    SELECT CAST(member AS BIGINT) AS member, CAST(idx AS INT) AS idx,
+           round(sn / greatest(cn, 1), 6) AS feat_neg,
+           round(sp / greatest(cp, 1), 6) AS feat_pos
     FROM wagg
 """
 

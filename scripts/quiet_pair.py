@@ -19,7 +19,6 @@ import json
 import os
 import resource
 import sys
-import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -28,23 +27,12 @@ from scaling_report import run_at  # noqa: E402
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "scripts", "quiet_pairs.jsonl")
 
-_HZ = os.sysconf("SC_CLK_TCK")
-
-
-def _box_cpu_s() -> dict:
-    """Whole-box cumulative CPU-seconds by class (/proc/stat line 1):
-    busy (everything except idle+iowait+steal), steal (hypervisor gave
-    our vCPUs to another VM), iowait, idle.  Steal is reported
-    separately because on this shared VM it is the invisible neighbor:
-    processes never show it, but a 32-way leg can lose 4-15 cores to
-    it."""
-    with open("/proc/stat") as f:
-        v = [int(x) for x in f.readline().split()[1:]]
-    steal = v[7] if len(v) > 7 else 0
-    return {"busy": (sum(v) - v[3] - v[4] - steal) / _HZ,
-            "steal": steal / _HZ,
-            "iowait": v[4] / _HZ,
-            "idle": v[3] / _HZ}
+sys.path.insert(0, REPO)
+# the meter primitives moved to the engine package r5 so bench.py can
+# stamp every per-query timing with the same decomposition
+from dtaidistance_spark.meter import (box_cpu_s as _box_cpu_s,  # noqa: E402
+                                      DescendantCpuSampler
+                                      as _DescendantCpuSampler)
 
 
 def _own_children_s() -> float:
@@ -53,87 +41,6 @@ def _own_children_s() -> float:
     here by the time run_at returns)."""
     ru = resource.getrusage(resource.RUSAGE_CHILDREN)
     return ru.ru_utime + ru.ru_stime
-
-
-class _DescendantCpuSampler(threading.Thread):
-    """Accumulates CPU-seconds of OUR process subtree by sampling
-    /proc/*/stat once a second and classifying each pid by walking its
-    ppid chain up to our pid.  Needed because py4j may not reap the
-    JVM child when a leg's Python driver exits, in which case that
-    JVM's CPU never lands in RUSAGE_CHILDREN and would be mistaken for
-    neighbor load.  Error bound: ≤1 s of CPU per short-lived process
-    (dies between samples), negligible on 60–200 s legs whose JVM
-    lives the whole leg."""
-
-    def __init__(self):
-        super().__init__(daemon=True)
-        self._halt = threading.Event()
-        self._first = {}   # pid -> first-seen cumulative cpu (ours only)
-        self._last = {}    # pid -> last-seen cumulative cpu (ours only)
-        self._done = {}    # pids that vanished: their final contribution
-        self._mine = os.getpid()
-        # 1 Hz timeline of (epoch, own_cpu_s, box busy/steal/iowait
-        # cumulative) so a storm can be located in time, not just
-        # averaged over the leg
-        self.timeline = []
-
-    def _ppid_chain_hits_us(self, pid: int, ppids: dict) -> bool:
-        seen = 0
-        while pid > 1 and seen < 64:
-            if pid == self._mine:
-                return True
-            pid = ppids.get(pid, 0)
-            seen += 1
-        return False
-
-    def _sample(self):
-        stats = {}
-        ppids = {}
-        for ent in os.listdir("/proc"):
-            if not ent.isdigit():
-                continue
-            try:
-                with open(f"/proc/{ent}/stat") as f:
-                    raw = f.read()
-            except OSError:
-                continue
-            # comm may contain spaces/parens: split after the LAST ')'
-            rp = raw.rindex(")")
-            fields = raw[rp + 2:].split()
-            pid = int(ent)
-            ppids[pid] = int(fields[1])          # field 4 (ppid)
-            stats[pid] = (int(fields[11]) + int(fields[12])) / _HZ  # utime+stime
-        for pid, cpu in stats.items():
-            if pid in self._first:
-                self._last[pid] = cpu
-            elif self._ppid_chain_hits_us(pid, ppids):
-                self._first[pid] = cpu
-                self._last[pid] = cpu
-        for pid in list(self._first):
-            if pid not in stats:  # vanished: bank its contribution
-                self._done[pid] = self._done.get(pid, 0.0) + \
-                    (self._last.pop(pid) - self._first.pop(pid))
-        box = _box_cpu_s()
-        self.timeline.append((round(time.time(), 1), round(self._total_nolock(), 1),
-                              round(box["busy"], 1), round(box["steal"], 1),
-                              round(box["iowait"], 1)))
-
-    def _total_nolock(self) -> float:
-        live = sum(self._last[p] - self._first[p] for p in self._first)
-        return live + sum(self._done.values())
-
-    def run(self):
-        while not self._halt.is_set():
-            try:
-                self._sample()
-            except Exception:
-                pass
-            self._halt.wait(1.0)
-
-    def total(self) -> float:
-        self._halt.set()
-        self.join(timeout=5)
-        return self._total_nolock()
 
 
 def _metered_run(cores: int, src: str) -> dict:

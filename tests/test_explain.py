@@ -52,6 +52,57 @@ class TestExplainParity:
         got2 = ExplainedPair(a, b, onlychanges=3)
         assert _ref_segs(ref2) == _got_segs(got2)
 
+    def test_parity_approx_types(self):
+        # non-default approximation types (VERDICT r4 item 6): only the
+        # tolerance factors differ — bit-exact segments + distances for
+        # each supported type
+        rng = np.random.default_rng(17)
+        for trial in range(8):
+            n = int(rng.integers(8, 110))
+            m = int(rng.integers(8, 110))
+            a = np.cumsum(rng.normal(0, 1, n))
+            b = np.cumsum(rng.normal(0, 1, m))
+            for at, dr, da in (("max_factor", 1.0, 0.1),
+                               ("max_factor", 0.25, 0.0),
+                               ("max_diff", 1.0, 0.5),
+                               ("max_diff", 1.0, 0.05),
+                               ("max_factor_loose", 0.5, 0.1),
+                               ("max_dist", 1.0, 5.0)):
+                ref = ref_explain.ExplainPair(
+                    a, b, approx_type=ref_explain.ApproxType(at),
+                    delta_rel=dr, delta_abs=da)
+                got = ExplainedPair(a, b, approx_type=at,
+                                    delta_rel=dr, delta_abs=da)
+                assert _ref_segs(ref) == _got_segs(got), (trial, at, dr, da)
+                assert ref.distance_approx(per_segment=True) == \
+                    got.distance_approx(per_segment=True)
+
+    def test_parity_global_tolerance(self):
+        # approx_local=False: the running global-bound merge criterion
+        # (reference remove_segments else-branch) — previously silently
+        # ignored (ADVICE r4 medium)
+        rng = np.random.default_rng(23)
+        for trial in range(8):
+            n = int(rng.integers(8, 110))
+            m = int(rng.integers(8, 110))
+            a = np.cumsum(rng.normal(0, 1, n))
+            b = np.cumsum(rng.normal(0, 1, m))
+            for at, dr, da in (("max_factor_and_diff", 1.0, 0.1),
+                               ("max_factor", 0.5, 0.0),
+                               ("max_diff", 1.0, 0.5)):
+                ref = ref_explain.ExplainPair(
+                    a, b, approx_type=ref_explain.ApproxType(at),
+                    delta_rel=dr, delta_abs=da, approx_local=False)
+                got = ExplainedPair(a, b, approx_type=at, delta_rel=dr,
+                                    delta_abs=da, approx_local=False)
+                assert _ref_segs(ref) == _got_segs(got), (trial, at, dr, da)
+                assert ref.distance_approx(per_segment=True) == \
+                    got.distance_approx(per_segment=True)
+
+    def test_unsupported_approx_type_raises(self):
+        with pytest.raises(NotImplementedError):
+            ExplainedPair([1.0, 2.0], [1.0, 2.0], approx_type="max_index")
+
     def test_approximation_guarantee(self):
         # the defining DSW bound: d' <= d*(1+delta_rel) + delta_abs
         rng = np.random.default_rng(3)

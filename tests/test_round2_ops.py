@@ -742,6 +742,36 @@ class TestRepetitionStats:
             .executedPlan().toString()
         assert "Exchange" not in plan  # shuffle-free map
 
+    def test_null_empty_whitespace_docs(self, spark):
+        # ADVICE r4: NULL text crashed the Arrow pass; empty text
+        # diverged from the SQL twin. Both engines now agree: 0 tokens,
+        # all-zero stats. Pinned against the DuckDB oracle directly.
+        import duckdb
+
+        from dtaidistance_spark.operators.text import repetition_stats
+        from dtaidistance_spark.plans.driver_queries import ORACLES
+
+        rows = [(0, None), (1, ""), (2, "   \t  "), (3, "a b a"),
+                (4, "\t x y\nx y \n")]  # tab/newline padding
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = repetition_stats(docs).orderBy("doc_id").toPandas()
+        for i in range(3):
+            r = got.iloc[i]
+            assert r["n_tokens"] == 0
+            assert r["dup_token_frac"] == 0.0
+            assert r["top_bigram"] == ""
+            assert r["top_bigram_frac"] == 0.0 and r["top_trigram_frac"] == 0.0
+        assert got.iloc[3]["n_tokens"] == 3
+        assert got.iloc[4]["n_tokens"] == 4  # strip() semantics
+
+        con = duckdb.connect()
+        con.register("documents", docs.toPandas())
+        want = con.execute(
+            "SELECT * FROM (" + ORACLES["repetition_stats"] +
+            ") ORDER BY doc_id").df()
+        for col in got.columns:
+            assert list(got[col]) == list(want[col]), col
+
 
 class TestSampleStratified:
     def test_rates_and_determinism(self, spark):

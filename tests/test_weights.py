@@ -105,6 +105,49 @@ class TestWeightLearning:
         assert d_weighted <= d_plain
 
 
+class TestDtWindowsGuard:
+    def test_empty_candidates_returns_empty_ensemble(self):
+        # ADVICE r4: all-one-class labels (or patternlen beyond usable
+        # features) produced no splittable window tree and crashed with
+        # IndexError (the reference shares the flaw); the engine now
+        # returns an empty ensemble and downstream weight computation
+        # degrades to the no-constraint profile
+        feats = np.zeros((5, 8))
+        targ = np.zeros(5, dtype=int)  # one class -> no splits anywhere
+        cl_values, clfs, importances = W.dt_windows(
+            feats, targ, W.DecisionTreeClassifier, patternlen=2,
+            max_clfs=10, min_ig=0, min_purity=1.0)
+        assert cl_values == {} and clfs == [] and dict(importances) == {}
+        w = W.compute_weights_from_mlclvalues(
+            np.zeros(4), {}, cl_values)
+        assert w.shape == (4, 8)
+
+    def test_non_empty_path_unchanged_vs_reference(self):
+        wr, ir = ref_w.compute_weights_using_dt(S7, L7, 0, patternlen=4)
+        wg, ig = W.compute_weights_using_dt(S7, L7, 0, patternlen=4)
+        assert np.array_equal(wr, wg)
+
+
+class TestPathFeaturesLong:
+    def test_long_format_equals_kernel(self, spark):
+        from dtaidistance_spark.operators.weights import path_features_long
+
+        rows = [(i, S7[i].tolist()) for i in range(1, len(S7))]
+        df = spark.createDataFrame(rows, "i long, values array<double>")
+        got = path_features_long(df, S7[0]).orderBy("member", "idx") \
+            .toPandas()
+        assert len(got) == (len(S7) - 1) * len(S7[0])
+        k = 0
+        for m in range(1, len(S7)):
+            feats, _, _ = W.path_features(S7[0], S7[m], 0)
+            for idx in range(len(S7[0])):
+                r = got.iloc[k]
+                assert (int(r["member"]), int(r["idx"])) == (m, idx)
+                assert r["feat_neg"] == feats[idx * 2]
+                assert r["feat_pos"] == feats[idx * 2 + 1]
+                k += 1
+
+
 class TestLearnWeightsOperator:
     def test_distributed_equals_kernel(self, spark):
         from dtaidistance_spark.operators.weights import (learn_weights,
