@@ -4,14 +4,16 @@ Binary media are opaque ``binary`` columns with typed metadata; the
 decode / feature-extract / resize / frame-sample operators are Arrow-
 batched ``mapInPandas`` stages.  The codec boundary is split:
 
-* **Real decode** for uncompressed raster formats — binary PPM (P6) and
-  24-bit BMP are parsed byte-for-byte by the pure-numpy codecs in
-  ``kernels/media.py``; ``synth_media`` emits genuine PPM payloads for
-  its image rows, so the image path (decode → grayscale → pooled
-  features / resize) exercises real format parsing end-to-end and the
-  ``media_features`` DuckDB oracle validates the decoded pixel values.
+* **Real decode** for PPM (P6), 24-bit BMP and — since r5 — PNG
+  (8-bit truecolor: stdlib zlib inflate + Sub/Up/Average/Paeth
+  unfiltering), all parsed byte-for-byte by the pure-numpy codecs in
+  ``kernels/media.py``; ``synth_media`` alternates genuine PPM and PNG
+  payloads for its image rows, so the image path (decode → grayscale →
+  pooled features / resize) exercises real format parsing — including
+  a real compressed format — end-to-end, and the ``media_features``
+  DuckDB oracle validates the decoded pixel values of both.
 * **Honest stub** for everything needing an external codec
-  (JPEG/PNG/audio/video): with ``fake=True`` (default) a deterministic
+  (JPEG/MP3/video): with ``fake=True`` (default) a deterministic
   hash-derived decoder stands in (schemas, batching, partitioning and
   downstream math stay real and testable); with ``fake=False`` the
   boundary raises ``NotImplementedError`` where Pillow/ffmpeg/soundfile
@@ -28,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.media import (decode_bmp, decode_ppm, decode_wav,
+from ..kernels.media import (decode_raster, decode_wav, encode_png,
                              encode_ppm, encode_wav, sniff_format)
 
 MEDIA_SCHEMA = ("media_id long, kind string, payload binary, width int, "
@@ -62,10 +64,13 @@ def _synth_samples(media_id: int, n: int = _AUDIO_N) -> np.ndarray:
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table.  Image rows carry a real
-    binary-PPM payload and audio rows a real RIFF/WAVE PCM16 payload
-    (both decoded, not faked, downstream); video rows carry
-    hash-derived opaque bytes for the stubbed codec."""
+    """Deterministic synthetic media table.  Image rows alternate a
+    real binary-PPM payload and a real PNG payload (the PNG encoder
+    cycles all five scanline filters, so decode exercises every
+    unfilter path); audio rows carry a real RIFF/WAVE PCM16 payload;
+    video rows carry hash-derived opaque bytes for the stubbed codec.
+    The decoded pixels follow the same integer formula either way, so
+    the SQL pixel oracle covers both container formats."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -75,7 +80,9 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 mid = int(mid)
                 kind = kinds[mid % 3]
                 if kind == "image":
-                    payload = encode_ppm(_synth_pixels(mid))
+                    px = _synth_pixels(mid)
+                    payload = encode_png(px) if (mid // 3) % 2 \
+                        else encode_ppm(px)
                 elif kind == "audio":
                     payload = encode_wav(_synth_samples(mid), 16000)
                 else:
@@ -109,8 +116,7 @@ def _fake_decode(payload: bytes, n_values: int) -> np.ndarray:
 def _raster_features(payload: bytes, n_features: int) -> np.ndarray:
     """Real decode → grayscale → n_features vertical-strip means in
     [0, 1).  Strip s covers columns [s·w/nf, (s+1)·w/nf)."""
-    fmt = sniff_format(payload)
-    img = decode_ppm(payload) if fmt == "ppm" else decode_bmp(payload)
+    img = decode_raster(payload)
     gray = img.mean(axis=2)  # (h, w) float64, (r+g+b)/3
     w = gray.shape[1]
     out = np.empty(n_features)
@@ -140,7 +146,7 @@ def decode_features(media: DataFrame, n_features: int = 16,
                     fake: bool = True) -> DataFrame:
     """media → fixed-width feature vectors (the embedding-extraction
     stage of a training-data pipeline).  Batched: one pandas frame per
-    Arrow batch, one numpy matrix per batch.  Raster payloads (PPM/BMP
+    Arrow batch, one numpy matrix per batch.  Raster payloads (PPM/BMP/PNG
     magic) and WAVE payloads go through the REAL decoders; other
     formats use the hash stub (or raise with ``fake=False``)."""
 
@@ -158,7 +164,7 @@ def decode_features(media: DataFrame, n_features: int = 16,
                     feats.append(_fake_decode(p, n_features).tolist())
                 else:
                     raise NotImplementedError(
-                        "real decoding of non-PPM/BMP media requires "
+                        "real decoding of non-PPM/BMP/PNG media requires "
                         "Pillow/ffmpeg/soundfile, not available in this "
                         "environment")
             yield pd.DataFrame({"media_id": pdf["media_id"],
@@ -182,8 +188,7 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 6,
                     continue
                 p = bytes(row.payload)
                 if sniff_format(p) != "unknown":
-                    fmt = sniff_format(p)
-                    rgb = decode_ppm(p) if fmt == "ppm" else decode_bmp(p)
+                    rgb = decode_raster(p)
                     img = rgb.mean(axis=2) / 255.0  # gray in [0, 1)
                 elif not fake:
                     raise NotImplementedError("real image decode unavailable")

@@ -868,11 +868,20 @@ def q_loco_best_match(spark, sf_dir):
          the greedy positive-ridge traceback (``best_path``, reference
          :802-868; diag→left→up first-max tie order) as a walk CTE.
 
-    k=1/minlen=1/buffer=0 is the restart-free deterministic first
-    iteration of ``kbest_matches`` — the unbounded masked-argmax k>1
-    loop stays pytest-pinned via the rows-only ``loco_matches``.
-    Output: the full ridge path, one row per path point with the
-    accumulated score (pins lattice, estimation, argmax AND walk)."""
+    k=2/minlen=1/buffer=0 (extended from k=1 in r5, VERDICT r4 item 9)
+    additionally replays ONE masking step of ``kbest_matches``: the
+    rank-0 ridge cells are negativized, the second global argmax
+    excludes them, and the second traceback treats them as unavailable
+    — pinning the masking logic the rows-only ``loco_matches`` leaves
+    value-unchecked.  (The walk can never step onto a masked cell: a
+    masked positive reads as blocked in both engines, and a masked
+    zero reads -0.0 >= 0 in numpy but contributes 0, which fails the
+    strictly-positive step condition exactly like the twin's -1 — so
+    restarts are structurally impossible and the replay is exact.)
+    The unbounded k loop with buffering stays pytest-pinned via
+    ``loco_matches``.  Output: both ridge paths, one row per path
+    point with rank and the accumulated score (pins lattice,
+    estimation, argmax, walk AND mask)."""
     import pandas as pd
     from typing import Iterator
 
@@ -895,21 +904,21 @@ def q_loco_best_match(spark, sf_dir):
                 lc.estimate_settings_from_ssm(rho=0.8)
                 lc.align()
                 wp = lc._wp.copy()
-                m = next(lc.kbest_matches(k=1, minlen=1, buffer=0), None)
-                if m is None:
-                    continue
-                for step, (x, y) in enumerate(m["path"]):
-                    rows.append((ra["series_id"], rb["series_id"], step,
-                                 x, y, round(float(abs(wp[x + 1, y + 1])), 6)))
-            yield pd.DataFrame(rows, columns=["id_a", "id_b", "step",
-                                              "pi", "pj", "val"])
+                for rank, m in enumerate(
+                        lc.kbest_matches(k=2, minlen=1, buffer=0)):
+                    for step, (x, y) in enumerate(m["path"]):
+                        rows.append(
+                            (ra["series_id"], rb["series_id"], rank, step,
+                             x, y, round(float(abs(wp[x + 1, y + 1])), 6)))
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "rank",
+                                              "step", "pi", "pj", "val"])
 
     # the 4 series collapse to one task: coalesce(1) makes the fixed
     # (0,1)/(2,3) pairing deterministic (tiny by construction — the
     # scale path for per-series LoCo is q_loco_matches' mapInPandas)
     return corpus.coalesce(1).mapInPandas(
-        run, schema="id_a string, id_b string, step int, pi int, pj int, "
-                    "val double")
+        run, schema="id_a string, id_b string, rank int, step int, "
+                    "pi int, pj int, val double")
 
 
 def q_symbolize(spark, sf_dir):
@@ -3130,14 +3139,75 @@ def _register_generated_oracles():
           ) s
           WHERE s.best > 0 AND s.ni > 0 AND s.nj > 0
         ),
-        wl AS (SELECT pid, max(step) AS ns FROM walk GROUP BY 1)
-        SELECT p.sa AS id_a, p.sb AS id_b,
+        wl AS (SELECT pid, max(step) AS ns FROM walk GROUP BY 1),
+        -- k=2 (r5): one masking step of kbest_matches — the rank-0
+        -- ridge cells are negativized, so the second argmax excludes
+        -- them and the second traceback reads them as unavailable
+        -- (-1; the kernel's masked zero reads -0.0 >= 0 but its 0
+        -- contribution fails the strictly-positive step condition
+        -- identically, so the walks cannot diverge)
+        mask AS MATERIALIZED (SELECT pid, i, j FROM walk),
+        start2 AS (SELECT c.pid, c.i, c.j FROM cells c
+                   WHERE c.val > 0 AND NOT EXISTS
+                     (SELECT 1 FROM mask m
+                      WHERE m.pid = c.pid AND m.i = c.i AND m.j = c.j)
+                   QUALIFY row_number() OVER (PARTITION BY c.pid
+                             ORDER BY c.val DESC, c.i ASC, c.j ASC) = 1),
+        walk2(pid, i, j, step) AS (
+          SELECT pid, i, j, 0 FROM start2
+          UNION ALL
+          SELECT s.pid, s.ni, s.nj, s.step + 1
+          FROM (
+            SELECT e.pid AS pid, e.step AS step,
+                   CASE WHEN e.vd >= e.vl AND e.vd >= e.vu THEN e.i - 1
+                        WHEN e.vl >= e.vu THEN e.i
+                        ELSE e.i - 1 END AS ni,
+                   CASE WHEN e.vd >= e.vl AND e.vd >= e.vu THEN e.j - 1
+                        WHEN e.vl >= e.vu THEN e.j - 1
+                        ELSE e.j END AS nj,
+                   greatest(e.vd, e.vl, e.vu) AS best
+            FROM (
+              SELECT w.pid AS pid, w.step AS step, w.i AS i, w.j AS j,
+                     CASE WHEN md.i IS NOT NULL THEN -1
+                          ELSE coalesce(cd.val, -1) END AS vd,
+                     CASE WHEN ml.i IS NOT NULL THEN -1
+                          ELSE coalesce(cl.val, -1) END AS vl,
+                     CASE WHEN mu.i IS NOT NULL THEN -1
+                          ELSE coalesce(cu.val, -1) END AS vu
+              FROM walk2 w
+              LEFT JOIN cells cd ON cd.pid = w.pid AND cd.i = w.i - 1
+                                 AND cd.j = w.j - 1
+              LEFT JOIN cells cl ON cl.pid = w.pid AND cl.i = w.i
+                                 AND cl.j = w.j - 1
+              LEFT JOIN cells cu ON cu.pid = w.pid AND cu.i = w.i - 1
+                                 AND cu.j = w.j
+              LEFT JOIN mask md ON md.pid = w.pid AND md.i = w.i - 1
+                                AND md.j = w.j - 1
+              LEFT JOIN mask ml ON ml.pid = w.pid AND ml.i = w.i
+                                AND ml.j = w.j - 1
+              LEFT JOIN mask mu ON mu.pid = w.pid AND mu.i = w.i - 1
+                                AND mu.j = w.j
+            ) e
+          ) s
+          WHERE s.best > 0 AND s.ni > 0 AND s.nj > 0
+        ),
+        wl2 AS (SELECT pid, max(step) AS ns FROM walk2 GROUP BY 1)
+        SELECT p.sa AS id_a, p.sb AS id_b, 0 AS rank,
                CAST(wl.ns - w.step AS INT) AS step,
                CAST(w.i - 1 AS INT) AS pi, CAST(w.j - 1 AS INT) AS pj,
                round(c.val, 6) AS val
         FROM walk w
         JOIN pairs p ON w.pid = p.pid
         JOIN wl ON wl.pid = w.pid
+        JOIN cells c ON c.pid = w.pid AND c.i = w.i AND c.j = w.j
+        UNION ALL
+        SELECT p.sa, p.sb, 1 AS rank,
+               CAST(wl2.ns - w.step AS INT),
+               CAST(w.i - 1 AS INT), CAST(w.j - 1 AS INT),
+               round(c.val, 6)
+        FROM walk2 w
+        JOIN pairs p ON w.pid = p.pid
+        JOIN wl2 ON wl2.pid = w.pid
         JOIN cells c ON c.pid = w.pid AND c.i = w.i AND c.j = w.j
     """
 

@@ -175,10 +175,11 @@ class TestLocoBestMatchCte:
                   for sid, grp in pdf.groupby("series_id")}
         keys = sorted(sid for sid, v in series.items() if len(v) >= 24)[:4]
         got = {}
-        for ia, ib, step, pi, pj, val in \
+        for ia, ib, rank, step, pi, pj, val in \
                 con.execute(ORACLES["loco_best_match"]).fetchall():
-            got.setdefault((ia, ib), []).append((int(step), int(pi),
-                                                 int(pj), float(val)))
+            got.setdefault((ia, ib, int(rank)), []).append(
+                (int(step), int(pi), int(pj), float(val)))
+        n_matches = 0
         for a in range(0, len(keys) - 1, 2):
             s1 = series[keys[a]][:100]
             s2 = series[keys[a + 1]][:100]
@@ -186,14 +187,20 @@ class TestLocoBestMatchCte:
             lc.estimate_settings_from_ssm(rho=0.8)
             lc.align()
             wp = lc._wp.copy()
-            m = next(lc.kbest_matches(k=1, minlen=1, buffer=0), None)
-            key = (keys[a], keys[a + 1])
-            if m is None:
-                assert key not in got
-                continue
-            rows = sorted(got[key])
-            want = [(step, x, y, round(float(abs(wp[x + 1, y + 1])), 6))
-                    for step, (x, y) in enumerate(m["path"])]
-            assert [r[:3] for r in rows] == [w[:3] for w in want], key
-            for r, w in zip(rows, want):
-                assert r[3] == pytest.approx(w[3], abs=2e-6), (key, r[0])
+            matches = list(lc.kbest_matches(k=2, minlen=1, buffer=0))
+            for rank in range(2):
+                key = (keys[a], keys[a + 1], rank)
+                if rank >= len(matches):
+                    assert key not in got
+                    continue
+                n_matches += 1
+                m = matches[rank]
+                rows = sorted(got[key])
+                want = [(step, x, y,
+                         round(float(abs(wp[x + 1, y + 1])), 6))
+                        for step, (x, y) in enumerate(m["path"])]
+                assert [r[:3] for r in rows] == [w[:3] for w in want], key
+                for r, w in zip(rows, want):
+                    assert r[3] == pytest.approx(w[3], abs=2e-6), (key, r[0])
+        # both fixture pairs must exercise the masking step (k=2 found)
+        assert n_matches == 4

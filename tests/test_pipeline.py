@@ -268,13 +268,88 @@ class TestMediaCodecs:
         assert payload[54:62] == bytes([0, 0, 255, 255, 128, 0, 0, 0])
         assert (decode_bmp(payload) == img).all()
 
+    def test_png_roundtrip_all_filters(self):
+        from dtaidistance_spark.kernels.media import decode_png, encode_png
+
+        rng = np.random.default_rng(13)
+        # 7 rows so the cycling default hits every filter type at least
+        # once; width 13 exercises non-multiple-of-4 strides
+        img = rng.integers(0, 256, (7, 13, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+        for f in range(5):  # each filter fixed for every scanline
+            assert (decode_png(encode_png(img, filter_type=f)) == img).all(), f
+        # gradient image (Paeth/Average-friendly data, catches sign slips)
+        grad = ((np.arange(9)[:, None, None] * 17
+                 + np.arange(11)[None, :, None] * 29
+                 + np.arange(3)[None, None, :] * 47) % 256).astype(np.uint8)
+        assert (decode_png(encode_png(grad)) == grad).all()
+
+    def test_png_known_bytes(self):
+        """Byte-level golden: a 2x2 PNG laid out by hand from the spec —
+        guards against a matched encoder/decoder bug pair.  Row 0 uses
+        filter 2 (Up over a zero row = raw), row 1 filter 1 (Sub:
+        second pixel stores raw - left mod 256)."""
+        import struct
+        import zlib
+
+        from dtaidistance_spark.kernels.media import decode_png
+
+        img = np.array([[[10, 20, 30], [40, 50, 60]],
+                        [[70, 80, 90], [15, 25, 35]]], dtype=np.uint8)
+        scan = (b"\x02" + bytes([10, 20, 30, 40, 50, 60])
+                + b"\x01" + bytes([70, 80, 90, 201, 201, 201]))
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2,
+                                                0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(scan))
+                   + chunk(b"IEND", b""))
+        assert (decode_png(payload) == img).all()
+
+    def test_png_error_paths(self):
+        import pytest as _pytest
+
+        from dtaidistance_spark.kernels.media import decode_png, encode_png
+
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        p = bytearray(encode_png(img))
+        p[40] ^= 0xFF  # corrupt a byte inside IDAT -> CRC mismatch
+        with _pytest.raises(ValueError):
+            decode_png(bytes(p))
+        # grayscale (color type 0) stays behind the codec boundary
+        import struct
+        import zlib
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        gray = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0,
+                                             0, 0, 0))
+                + chunk(b"IDAT", zlib.compress(b"\x00\x07"))
+                + chunk(b"IEND", b""))
+        with _pytest.raises(NotImplementedError):
+            decode_png(gray)
+
     def test_decode_features_uses_real_pixels(self, spark):
         """Feature values must equal the strip means of the known
-        synthetic pixel formula — i.e. the bytes really were parsed."""
+        synthetic pixel formula — i.e. the bytes really were parsed.
+        synth_media alternates PPM and PNG image payloads (r5), so this
+        pins BOTH container decoders against the formula end-to-end."""
+        from dtaidistance_spark.kernels.media import sniff_format
         from dtaidistance_spark.operators.multimodal import (
             _synth_pixels, decode_features, synth_media)
 
-        media = synth_media(spark, n=6)
+        media = synth_media(spark, n=12)
+        fmts = {int(r.media_id): sniff_format(bytes(r.payload))
+                for r in media.where("kind = 'image'").toPandas()
+                .itertuples(index=False)}
+        assert set(fmts.values()) == {"ppm", "png"}  # both paths hit
         out = decode_features(media, n_features=8) \
             .where("kind = 'image'").orderBy("media_id").toPandas()
         for r in out.itertuples(index=False):
