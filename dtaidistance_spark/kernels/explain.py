@@ -15,10 +15,13 @@ matrix followed by the bottom-up merge pass (``approx_prune``) under
 either the local (``approx_local=True``, per-segment) or the global
 (``approx_local=False``, running full-path bound — reference
 ``remove_segments`` else-branch, explainpair.py:660-672) tolerance
-criterion, squared-euclidean inner distance.  ``max_index`` /
-``mean_index`` (a different, epsilon-spatial RDP) and the deriv split
-strategies remain out of scope (documented, not silently absent —
-they raise).
+criterion, squared-euclidean inner distance; split strategies
+``spatialdist`` (default), ``pathdiff``, ``deriv`` and ``derivdist``
+(reference max_change_in_path / max_2ndderiv_in_path /
+max_2ndderiv_deviation with the 1st/2nd-derivative cost-surface
+stencils, explainpair.py:846-1028).  Only ``max_index`` /
+``mean_index`` (a different, epsilon-spatial RDP) remain out of scope
+(documented, not silently absent — they raise).
 
 Output parity is pinned bit-exactly against the reference implementation
 in tests (segment tuples, per-segment distances, approximated distance)
@@ -86,6 +89,127 @@ def _bres_cost(sf: np.ndarray, st: np.ndarray, p0, p1,
     return cost, n
 
 
+def _max_change_in_path(sf: np.ndarray, st: np.ndarray,
+                        points: np.ndarray, i0: int, i1: int,
+                        only_from: bool = False):
+    """Split-point selection ``pathdiff``: the path point whose
+    horizontal/vertical projection onto the straight segment has the
+    largest cost increase (reference max_change_in_path,
+    explainpair.py:846; numpy int division keeps the reference's
+    inf/nan semantics on degenerate segments)."""
+    p0, p1 = points[i0], points[i1]
+    s_tf = (p1[1] - p0[1]) / (p1[0] - p0[0])   # vertical-projection slope
+    s_ft = (p1[0] - p0[0]) / (p1[1] - p0[1])   # horizontal-projection slope
+    i_f, i_t = p0[0], p0[1]
+    max_i_lf = len(sf) - 1
+    max_i_lt = len(st) - 1
+    diff_max = 0
+    idx_max = i0
+    for idx in range(i0 + 1, i1):
+        i_of, i_ot = points[idx]
+        c_o = _inner(sf[i_of], st[i_ot])
+        i_lf = min(int(s_tf * (i_ot - i_t) + i_f), max_i_lf)
+        diff = _inner(sf[i_lf], st[i_ot]) - c_o
+        if not only_from:
+            i_lt = min(int(s_ft * (i_of - i_f) + i_t), max_i_lt)
+            diff = max(diff, _inner(sf[i_of], st[i_lt]) - c_o)
+        if diff > diff_max:
+            diff_max = diff
+            idx_max = idx
+    return diff_max, idx_max
+
+
+def _path_derivs(sf: np.ndarray, st: np.ndarray, points: np.ndarray,
+                 order: int, h: int = 1) -> np.ndarray:
+    """Per-path-point 1st/2nd derivative of the |difference| cost
+    surface, centered differences along the two axes, maxed (reference
+    get_1stderiv_in_path / get_2ndderiv_in_path, explainpair.py:884/925;
+    border points fall back to clamped one-sided stencils).  The 1st
+    derivative gets the reference's 10%-of-max floor."""
+    ders = np.zeros(len(points))
+    i_of_m = len(sf) - h - 1
+    i_ot_m = len(st) - h - 1
+    for idx in range(len(points)):
+        i_of, i_ot = points[idx]
+        c = abs(sf[i_of] - st[i_ot])
+        lo_t, hi_t = max(0, i_ot - h), min(i_ot_m, i_ot + h)
+        lo_f, hi_f = max(0, i_of - h), min(i_of_m, i_of + h)
+        border = i_of < h or i_of > i_of_m or i_ot < h or i_ot > i_ot_m
+        if order == 1:
+            if border:
+                der = max(abs(c - abs(sf[i_of] - st[lo_t])) / h,
+                          abs(c - abs(sf[i_of] - st[hi_t])) / h,
+                          abs(c - abs(sf[lo_f] - st[i_ot])) / h,
+                          abs(c - abs(sf[hi_f] - st[i_ot])) / h)
+            else:
+                der = max(abs(c - abs(sf[i_of] - st[i_ot - h])) / h,
+                          abs(c - abs(sf[i_of] - st[i_ot + h])) / h,
+                          abs(c - abs(sf[i_of - h] - st[i_ot])) / h,
+                          abs(c - abs(sf[i_of + h] - st[i_ot])) / h)
+        else:
+            if border:
+                der = max(abs(abs(sf[i_of] - st[lo_t])
+                              + abs(sf[i_of] - st[hi_t]) - 2 * c) / h ** 2,
+                          abs(abs(sf[hi_f] - st[i_ot])
+                              + abs(sf[lo_f] - st[i_ot]) - 2 * c) / h ** 2)
+            else:
+                der = max(abs(abs(sf[i_of] - st[i_ot - h])
+                              + abs(sf[i_of] - st[i_ot + h]) - 2 * c)
+                          / h ** 2,
+                          abs(abs(sf[i_of + h] - st[i_ot])
+                              + abs(sf[i_of - h] - st[i_ot]) - 2 * c)
+                          / h ** 2)
+        ders[idx] = abs(der)
+    if order == 1:
+        min_ders = np.max(ders) * 0.1
+        ders[ders < min_ders] = min_ders
+    return ders
+
+
+def _max_2ndderiv_in_path(ders2: np.ndarray, points: np.ndarray,
+                          i0: int, i1: int):
+    """Split-point selection ``deriv``: highest precomputed 2nd
+    derivative strictly inside (i0, i1) (reference :976)."""
+    der_max = 0
+    idx_max = i0
+    for idx in range(i0 + 1, i1):
+        if ders2[idx] > der_max:
+            der_max = ders2[idx]
+            idx_max = idx
+    return der_max, idx_max
+
+
+def _max_2ndderiv_deviation(ders1: np.ndarray, ders2: np.ndarray,
+                            points: np.ndarray, i0: int, i1: int):
+    """Split-point selection ``derivdist``: spatial deviation from the
+    straight segment reweighted by the 2nd-order Taylor expansion
+    der1·d + ½·der2·d² (reference :988)."""
+    p0, p1 = points[i0], points[i1]
+    p0p1normsqr = np.linalg.norm(p1 - p0) ** 2
+    distmax = 0
+    idxmax = i0
+    for idx in range(i0, i1):
+        p = points[idx]
+        if np.allclose(p0, p1):
+            dist = np.linalg.norm(p - p0)
+        else:
+            t = ((p[0] - p0[0]) * (p1[0] - p0[0])
+                 + (p[1] - p0[1]) * (p1[1] - p0[1])) / p0p1normsqr
+            if t < 0:
+                dist = np.linalg.norm(p - p0)
+            elif t > 1:
+                dist = np.linalg.norm(p - p1)
+            else:
+                pt = np.array([p0[0] + t * (p1[0] - p0[0]),
+                               p0[1] + t * (p1[1] - p0[1])])
+                dist = np.linalg.norm(p - pt)
+        dist = ders1[idx] * dist + 0.5 * ders2[idx] * dist ** 2
+        if dist > distmax:
+            distmax = dist
+            idxmax = idx
+    return distmax, idxmax
+
+
 def _max_deviation_from_line(points: np.ndarray, i0: int, i1: int):
     """Split-point selection (``spatialdist``): the path point with the
     largest spatial distance to the straight segment points[i0]→[i1]
@@ -114,17 +238,22 @@ def _max_deviation_from_line(points: np.ndarray, i0: int, i1: int):
 
 
 class ExplainedPair:
-    """Segments + approximate distances for one series pair (default
-    reference configuration; see module docstring for scope)."""
+    """Segments + approximate distances for one series pair (all
+    reference approx types / split strategies / tolerance criteria
+    except the epsilon-spatial max_index family; see module
+    docstring)."""
 
     SUPPORTED_APPROX_TYPES = ("max_factor", "max_diff",
                               "max_factor_and_diff", "max_factor_loose",
                               "max_dist")
+    SUPPORTED_SPLIT_STRATEGIES = ("spatialdist", "pathdiff", "deriv",
+                                  "derivdist")
 
     def __init__(self, series_from, series_to, delta_rel: float = 1.0,
                  delta_abs: float = 0.1, approx_prune: bool = True,
                  approx_local: bool = True, onlychanges=None,
                  approx_type: str = "max_factor_and_diff",
+                 split_strategy: str = "spatialdist",
                  settings: DtwSettings | None = None, path=None):
         self.sf = np.asarray(series_from, dtype=np.float64)
         self.st = np.asarray(series_to, dtype=np.float64)
@@ -137,6 +266,11 @@ class ExplainedPair:
                 f"approx_type {approx_type!r} not supported (see module "
                 f"docstring; supported: {self.SUPPORTED_APPROX_TYPES})")
         self.approx_type = approx_type
+        if split_strategy not in self.SUPPORTED_SPLIT_STRATEGIES:
+            raise NotImplementedError(
+                f"split_strategy {split_strategy!r} not supported "
+                f"(supported: {self.SUPPORTED_SPLIT_STRATEGIES})")
+        self.split_strategy = split_strategy
         self.settings = settings or DtwSettings()
         if path is None:
             path = warping_path(self.sf, self.st, settings=self.settings)
@@ -207,6 +341,23 @@ class ExplainedPair:
         ccost_o = float(ccostv[-1])
         ub_m, ub_a = self._tolerance_factors(ccost_o, n)
 
+        if self.split_strategy == "pathdiff":
+            def split_selection(pts, a, b):
+                return _max_change_in_path(sf, st, pts, a, b)
+        elif self.split_strategy == "deriv":
+            ders2 = _path_derivs(sf, st, points, order=2)
+
+            def split_selection(pts, a, b):
+                return _max_2ndderiv_in_path(ders2, pts, a, b)
+        elif self.split_strategy == "derivdist":
+            ders1 = _path_derivs(sf, st, points, order=1)
+            ders2 = _path_derivs(sf, st, points, order=2)
+
+            def split_selection(pts, a, b):
+                return _max_2ndderiv_deviation(ders1, ders2, pts, a, b)
+        else:
+            split_selection = _max_deviation_from_line
+
         queue = deque([(0, n - 1)])
         result = set()
         while queue:
@@ -225,7 +376,7 @@ class ExplainedPair:
                 result.add(i0)
                 result.add(i1)
             else:
-                _, idxmax = _max_deviation_from_line(points, i0, i1)
+                _, idxmax = split_selection(points, i0, i1)
                 if idxmax == i0:
                     idxmax = i0 + 1
                 queue.append((i0, idxmax))

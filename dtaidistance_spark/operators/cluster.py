@@ -252,16 +252,100 @@ def kmeanspp_centers(spark, series_df: DataFrame, k: int,
     return centers
 
 
+def kmeans_par_centers(spark, series_df: DataFrame, k: int,
+                       settings: DtwSettings, seed: int = 42,
+                       oversample: Optional[int] = None) -> list:
+    """k-means‖ seeding (Bahmani, Moseley, Vattani, Kumar, Vassilvitskii,
+    "Scalable k-means++", VLDB 2012), single oversampling round —
+    replaces ``kmeanspp_centers``' k-1 sequential candidate-scoring
+    rounds (each a full Spark job; 2k tiny jobs at k=64, VERDICT r4
+    item 7) with THREE jobs total:
+
+    1. deterministic first pick (TakeOrderedAndProject, job 1);
+    2. ONE distance pass corpus → c0 + an Efraimidis-Spirakis weighted
+       draw (key = log(u)/d², i.e. u^(1/w) in log space) of
+       ``oversample`` candidates — a sample ∝ d² that never
+       materializes the potential φ (job 2);
+    3. ONE nearest-candidate pass for the paper's reweighting
+       w_c = |points whose nearest candidate is c| (job 3).
+
+    The weighted k-means++ reduction then runs DRIVER-side over the
+    ≤ oversample candidates (numpy, O(ℓ²) short-series DTWs — the
+    candidate set is tiny next to the corpus by construction), seeded
+    and deterministic.  Oversampling default ℓ = max(8k, 16) ≈ the
+    paper's ℓ=2k × 4-5 rounds collapsed into one round."""
+    from ..kernels.dtw import dtw_distance
+
+    ell = oversample if oversample is not None else max(8 * k, 16)
+    first = series_df.orderBy(F.xxhash64(F.lit(seed), "i")).limit(1) \
+        .toPandas()
+    c0_id = int(first["i"].iloc[0])
+    c0 = np.asarray(first["values"].iloc[0], dtype=np.float64)
+    cdf = spark.createDataFrame(
+        [(0, [float(x) for x in c0])], "i long, values array<double>")
+    d0 = distance_matrix_cross(cdf, series_df, settings=settings) \
+        .select("i", (F.col("d") * F.col("d")).alias("d2"))
+    key = F.when(F.col("d2") > 0, F.log(F.rand(seed)) / F.col("d2")) \
+           .otherwise(F.lit(float("-inf")))
+    cand_pdf = (d0.withColumn("wkey", key)
+                .orderBy(F.desc("wkey")).limit(ell).select("i")
+                .join(series_df.select("i", "values"), "i")).toPandas()
+    ids = [c0_id] + [int(i) for i in cand_pdf["i"] if int(i) != c0_id]
+    by_id = {int(i): np.asarray(v, dtype=np.float64)
+             for i, v in zip(cand_pdf["i"], cand_pdf["values"])}
+    by_id[c0_id] = c0
+    cands = [by_id[i] for i in ids]
+    m = len(cands)
+    if m <= k:
+        return cands
+    all_cdf = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(cands)],
+        "i long, values array<double>")
+    cd = distance_matrix_cross(all_cdf, series_df, settings=settings)
+    w = W.partitionBy("i").orderBy(F.asc("d"), F.asc("qi"))
+    wrows = (cd.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1)
+             .groupBy("qi").agg(F.count("*").alias("w"))).collect()
+    wmap = {int(r["qi"]): float(r["w"]) for r in wrows}
+    wts = np.array([wmap.get(ci, 0.0) for ci in range(m)])
+
+    # driver-side weighted k-means++ over the candidate set
+    D = np.zeros((m, m))
+    for a in range(m):
+        for b in range(a + 1, m):
+            D[a, b] = D[b, a] = dtw_distance(cands[a], cands[b],
+                                             settings=settings)
+    rng = np.random.default_rng(seed)
+    chosen = [0]                      # c0 is in C per the paper
+    min_d2 = D[0] ** 2
+    for _ in range(1, k):
+        probs = wts * min_d2
+        tot = probs.sum()
+        if tot > 0:
+            pick = int(rng.choice(m, p=probs / tot))
+        else:
+            rest = [x for x in range(m) if x not in chosen]
+            if not rest:
+                break
+            pick = int(rng.choice(rest))
+        chosen.append(pick)
+        min_d2 = np.minimum(min_d2, D[pick] ** 2)
+    return [cands[c] for c in chosen]
+
+
 def kmeans_dtw(spark, series_df: DataFrame, k: int, max_it: int = 10,
                settings: Optional[DtwSettings] = None, seed: int = 42,
-               dba_max_it: int = 5, init: str = "kmeans++",
+               dba_max_it: int = 5, init: str = "kmeans||",
                drop_stddev: Optional[float] = None, **kwargs):
     """Lloyd k-means with DBA centroid update (reference
     clustering/kmeans.py:241-420, multiprocessing pool → Spark jobs).
 
-    * ``init``: "kmeans++" (reference :156-232), "sample" (random sample +
-      ``get_good_c`` medoid pick per center, reference :135-150), or
-      "random" (plain random series).
+    * ``init``: "kmeans||" (default since r5 — the 3-job k-means‖
+      oversampling seed, :func:`kmeans_par_centers`), "kmeans++" (the
+      reference-shaped sequential seeding, reference :156-232; k-1
+      Spark jobs), "sample" (random sample + ``get_good_c`` medoid pick
+      per center, reference :135-150), or "random" (plain random
+      series).
     * empty clusters are reseeded with the series currently farthest from
       its center (reference :361-367).
     * ``drop_stddev``: exclude members farther than mean + drop_stddev·σ
@@ -275,8 +359,11 @@ def kmeans_dtw(spark, series_df: DataFrame, k: int, max_it: int = 10,
     st = settings if settings is not None else DtwSettings(**kwargs)
     st_json = st.to_json()
     series_df = track_persist(series_df.persist())
-    if init == "kmeans++":
-        centers = kmeanspp_centers(spark, series_df, k, st, seed=seed)
+    if init in ("kmeans||", "kmeans++"):
+        if init == "kmeans||":
+            centers = kmeans_par_centers(spark, series_df, k, st, seed=seed)
+        else:
+            centers = kmeanspp_centers(spark, series_df, k, st, seed=seed)
         while len(centers) < k:  # degenerate corpus: pad with copies
             centers.append(centers[len(centers) % max(1, len(centers))])
     else:

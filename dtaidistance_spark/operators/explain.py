@@ -31,13 +31,15 @@ def explain_pairs(series: DataFrame, delta_rel: float = 1.0,
                   settings: Optional[DtwSettings] = None,
                   approx_type: str = "max_factor_and_diff",
                   approx_local: bool = True,
+                  split_strategy: str = "spatialdist",
                   id_col: str = "i",
                   values_col: str = "values") -> DataFrame:
     """Explain the warping path of every series pair (i < j): one row
     per DSW segment with its position in both series, angle, shift,
     elasticity, and the segment's share of the approximated distance.
     ``approx_type`` / ``approx_local`` select the tolerance criterion
-    (kernels/explain.py module docstring lists the supported set)."""
+    and ``split_strategy`` the split-point selection (kernels/explain.py
+    module docstring lists the supported sets)."""
     s = settings or DtwSettings()
     a = series.select(F.col(id_col).alias("i"),
                       F.col(values_col).alias("values"))
@@ -62,7 +64,7 @@ def explain_pairs(series: DataFrame, delta_rel: float = 1.0,
                     np.asarray(r.values_j, dtype=np.float64),
                     delta_rel=delta_rel, delta_abs=delta_abs,
                     approx_type=approx_type, approx_local=approx_local,
-                    settings=s)
+                    split_strategy=split_strategy, settings=s)
                 rows.extend((int(r.i), int(r.j)) + row
                             for row in ep.segment_rows())
             yield pd.DataFrame(rows, columns=cols)

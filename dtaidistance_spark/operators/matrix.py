@@ -270,8 +270,46 @@ def _chunk_pair_tagged(src: DataFrame, chunk_size: int, triu: bool, blk,
     (quadratic pairs per group), not bytes — AQE's byte-based partition
     coalescing must not shrink its parallelism (observed 3×32 cores idle
     when it did).  groupBy reuses this partitioning, and AQE leaves
-    user-specified repartitioning alone."""
-    src = src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
+    user-specified repartitioning alone.
+
+    Chunk ids (r5, VERDICT r4 item 4): ragged corpora get LENGTH-
+    balanced chunks so each chunk holds ~equal total series length and
+    the quadratic per-group cost stays ~equal under power-law lengths.
+    Scale shape: one parallel histogram aggregate over fine id-range
+    buckets (≤64k rows to the driver — never a single-partition window
+    or a full-id collect), driver prefix-sums it into bucket→chunk
+    boundaries, broadcast-joined back.  Chunk ids stay monotone in
+    ``i``, so the triangular chunk-pair pruning below stays exact.
+    Equal-length corpora keep the plain ``i // chunk_size`` projection
+    (no extra jobs); block restriction keeps fixed-size chunks (its
+    pruning arithmetic indexes chunks by ``id // chunk_size``)."""
+    len_col = F.size(data_cols[0])
+    ragged = os.environ.get("DTW_COST_GUIDED", "1") == "1" and blk is None \
+        and src.agg((F.min(len_col) != F.max(len_col)).alias("r")) \
+               .collect()[0]["r"]
+    if ragged:
+        imin, imax, tot, n_rows = src.agg(
+            F.min("i"), F.max("i"), F.sum(len_col), F.count("*")).collect()[0]
+        n_chunks = max(1, -(-int(n_rows) // chunk_size))
+        nb = min(max(n_chunks * 64, 256), 65536)
+        span = int(imax) - int(imin) + 1
+        bexpr = ((F.col("i") - F.lit(int(imin))) * nb / span).cast("long")
+        hist = sorted(src.groupBy(bexpr.alias("b"))
+                      .agg(F.sum(len_col).alias("s")).collect())
+        target = max(1.0, float(tot) / n_chunks)
+        cum = 0
+        mapping = []
+        for r in hist:
+            # chunk from the length mass BEFORE the bucket: monotone
+            # nondecreasing in b, hence in i
+            mapping.append((int(r["b"]),
+                            min(int(cum / target), n_chunks - 1)))
+            cum += int(r["s"])
+        mdf = src.sparkSession.createDataFrame(mapping, "b long, chunk long")
+        src = src.withColumn("b", bexpr) \
+                 .join(F.broadcast(mdf), "b").drop("b")
+    else:
+        src = src.withColumn("chunk", (F.col("i") / chunk_size).cast("long"))
     chunks = src.select("chunk").distinct()
     ca = chunks.select(F.col("chunk").alias("ci"))
     cb_df = chunks.select(F.col("chunk").alias("cj"))
@@ -328,6 +366,95 @@ def _guided_ranges(n_pairs: int, par: int) -> list:
     return ranges
 
 
+def _guided_ranges_cost(cost_upto, n_pairs: int, total: float,
+                        par: int) -> list:
+    """Cost-weighted guided pair ranges (VERDICT r4 item 4): the same
+    guided decay as :func:`_guided_ranges`, but measured in estimated
+    kernel cost rather than pair count.  A DTW pair costs
+    O(len_i · len_j); for the equal-length bench corpus count == cost
+    and the two schedules coincide, but for a power-law ragged corpus
+    (real conversation lengths) an early count-based range can hold
+    10-100x the work of a late one, defeating the guided tail — the
+    reference's OMP loop shares the concern (its guided schedule also
+    decays in *pair count*, dd_dtw_openmp.c:111-116; we can do better
+    because the driver knows every length upfront).
+
+    ``cost_upto(p)`` must return the closed-form cumulative cost of the
+    first ``p`` pairs of the linear pair space; boundaries are found by
+    binary search on it, so nothing O(n²) is materialized.  Outputs are
+    a partition of [0, n_pairs) — the kernel computes the same pairs in
+    the same per-task order, so results are bit-identical to any other
+    schedule."""
+    ranges = []
+    lo = 0
+    cost_lo = 0.0
+    floor_c = max(total / n_pairs, total / (par * 24))
+    while lo < n_pairs:
+        want = cost_lo + max(floor_c, (total - cost_lo) / (2 * par))
+        if want >= total:
+            hi = n_pairs
+        else:
+            a, b = lo + 1, n_pairs
+            while a < b:
+                mid = (a + b) // 2
+                if cost_upto(mid) >= want:
+                    b = mid
+                else:
+                    a = mid + 1
+            hi = a
+        ranges.append((lo, hi))
+        cost_lo = cost_upto(hi)
+        lo = hi
+    return ranges
+
+
+def _triu_cost_fn(lens: np.ndarray):
+    """(cost_upto, total) for the row-major upper-triangular pair space
+    over series with the given lengths (in unranked-id order)."""
+    n = len(lens)
+    L = np.asarray(lens, dtype=np.float64)
+    P = np.concatenate([[0.0], np.cumsum(L)])          # prefix len sums
+    row_cost = L[:n - 1] * (P[n] - P[1:n])             # rows 0..n-2
+    cumrow = np.concatenate([[0.0], np.cumsum(row_cost)])
+    n_pairs = n * (n - 1) // 2
+    total = float(cumrow[-1])
+
+    def cost_upto(p: int) -> float:
+        if p <= 0:
+            return 0.0
+        if p >= n_pairs:
+            return total
+        r, j = _triu_unrank(np.array([p], dtype=np.int64), n)
+        r, j = int(r[0]), int(j[0])
+        # pairs before p: rows < r complete, plus (r, r+1..j-1)
+        return float(cumrow[r] + L[r] * (P[j] - P[r + 1]))
+
+    return cost_upto, total
+
+
+def _rect_cost_fn(row_lens: np.ndarray, col_lens: np.ndarray):
+    """(cost_upto, total) for the rectangular (block) pair space with
+    linear order p -> (rows[p // C], cols[p % C])."""
+    Lr = np.asarray(row_lens, dtype=np.float64)
+    Lc = np.asarray(col_lens, dtype=np.float64)
+    Pc = np.concatenate([[0.0], np.cumsum(Lc)])
+    sum_c = float(Pc[-1])
+    cumrow = np.concatenate([[0.0], np.cumsum(Lr * sum_c)])
+    C = len(Lc)
+    n_pairs = len(Lr) * C
+    total = float(cumrow[-1])
+
+    def cost_upto(p: int) -> float:
+        if p <= 0:
+            return 0.0
+        if p >= n_pairs:
+            return total
+        r, k = p // C, p % C
+        return float(cumrow[r] + Lr[r] * Pc[k])
+
+    return cost_upto, total
+
+
 def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
                                settings_json: str) -> DataFrame:
     """Broadcast-corpus physical strategy: series dict broadcast once,
@@ -363,7 +490,26 @@ def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
         # launches tasks by partition index as slots free, which is
         # exactly OMP guided scheduling.  parallelize(n items, n slices)
         # keeps the order; .repartition() would round-robin it away.
-        ranges = _guided_ranges(n_pairs, par)
+        # Ragged corpora (unequal series lengths) get COST-weighted
+        # boundaries — len_i·len_j, the DTW kernel's actual work — so a
+        # power-law length distribution cannot hide 100x the work in an
+        # early "equal-count" range (r5; DTW_COST_GUIDED=0 reverts to
+        # count-weighted for A/B).  Equal lengths: identical schedule.
+        lens = np.array([vals[int(i)].shape[0] for i in ids],
+                        dtype=np.int64)
+        ragged = lens.min() != lens.max() \
+            and os.environ.get("DTW_COST_GUIDED", "1") == "1"
+        if ragged and blk is None:
+            cost_upto, total = _triu_cost_fn(lens)
+            ranges = _guided_ranges_cost(cost_upto, n_pairs, total, par)
+        elif ragged:
+            pos = {int(v): k for k, v in enumerate(ids)}
+            cost_upto, total = _rect_cost_fn(
+                lens[[pos[int(r)] for r in rows]],
+                lens[[pos[int(c)] for c in cols]])
+            ranges = _guided_ranges_cost(cost_upto, n_pairs, total, par)
+        else:
+            ranges = _guided_ranges(n_pairs, par)
         rdf = spark.createDataFrame(
             spark.sparkContext.parallelize(ranges, len(ranges)),
             "lo long, hi long")

@@ -99,9 +99,33 @@ class TestExplainParity:
                 assert ref.distance_approx(per_segment=True) == \
                     got.distance_approx(per_segment=True)
 
+    def test_parity_split_strategies(self):
+        # non-default split-point selection (pathdiff / deriv /
+        # derivdist) — bit-exact segments + distances vs the reference
+        rng = np.random.default_rng(29)
+        for trial in range(8):
+            n = int(rng.integers(8, 110))
+            m = int(rng.integers(8, 110))
+            a = np.cumsum(rng.normal(0, 1, n))
+            b = np.cumsum(rng.normal(0, 1, m))
+            for strat in ("pathdiff", "deriv", "derivdist"):
+                for dr, da in ((1.0, 0.1), (0.25, 0.02)):
+                    ref = ref_explain.ExplainPair(
+                        a, b,
+                        split_strategy=ref_explain.SplitStrategy(strat),
+                        delta_rel=dr, delta_abs=da)
+                    got = ExplainedPair(a, b, split_strategy=strat,
+                                        delta_rel=dr, delta_abs=da)
+                    assert _ref_segs(ref) == _got_segs(got), \
+                        (trial, strat, dr, da)
+                    assert ref.distance_approx(per_segment=True) == \
+                        got.distance_approx(per_segment=True)
+
     def test_unsupported_approx_type_raises(self):
         with pytest.raises(NotImplementedError):
             ExplainedPair([1.0, 2.0], [1.0, 2.0], approx_type="max_index")
+        with pytest.raises(NotImplementedError):
+            ExplainedPair([1.0, 2.0], [1.0, 2.0], split_strategy="nope")
 
     def test_approximation_guarantee(self):
         # the defining DSW bound: d' <= d*(1+delta_rel) + delta_abs

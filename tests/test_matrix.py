@@ -139,6 +139,95 @@ class TestBlockedPath:
         np.testing.assert_allclose(m, np.asarray(expected), rtol=1e-14)
 
 
+class TestCostAwareScheduling:
+    """Cost-weighted guided ranges + length-balanced chunks for ragged
+    corpora (VERDICT r4 item 4): the schedule equalizes estimated
+    kernel cost len_i·len_j, outputs stay bit-identical."""
+
+    def test_cost_ranges_partition_and_guided_profile(self):
+        from dtaidistance_spark.operators.matrix import (
+            _guided_ranges_cost, _triu_cost_fn)
+
+        rng = np.random.default_rng(3)
+        lens = (5 + rng.pareto(1.5, 200) * 40).astype(np.int64)  # power law
+        n = len(lens)
+        n_pairs = n * (n - 1) // 2
+        cost_upto, total = _triu_cost_fn(lens)
+        par = 32
+        ranges = _guided_ranges_cost(cost_upto, n_pairs, total, par)
+        # exact partition of the linear pair space
+        assert ranges[0][0] == 0 and ranges[-1][1] == n_pairs
+        assert all(a[1] == b[0] for a, b in zip(ranges, ranges[1:]))
+        assert all(lo < hi for lo, hi in ranges)
+        # guided profile in COST: each range holds at most the guided
+        # quantum of the cost remaining at its start, up to one pair of
+        # binary-search overshoot
+        sl = np.sort(lens)
+        slack = float(sl[-1] * sl[-2])  # max possible single-pair cost
+        floor_c = max(total / n_pairs, total / (par * 24))
+        for lo, hi in ranges:
+            c_lo, c_hi = cost_upto(lo), cost_upto(hi)
+            quantum = max(floor_c, (total - c_lo) / (2 * par))
+            assert c_hi - c_lo <= quantum + slack, (lo, hi)
+
+    def test_equal_lengths_reduce_to_count_schedule(self):
+        from dtaidistance_spark.operators.matrix import (
+            _guided_ranges, _guided_ranges_cost, _triu_cost_fn)
+
+        lens = np.full(150, 37, dtype=np.int64)
+        n_pairs = 150 * 149 // 2
+        cost_upto, total = _triu_cost_fn(lens)
+        got = _guided_ranges_cost(cost_upto, n_pairs, total, 16)
+        want = _guided_ranges(n_pairs, 16)
+        # same decay profile (the cost search is ceil-of-quantum where
+        # the count schedule floors, so boundaries drift by ≤1 pair per
+        # range and the tail may pack into ±2 ranges)
+        assert abs(len(got) - len(want)) <= 2
+        for k, ((gl, gh), (wl, wh)) in enumerate(zip(got, want)):
+            assert abs((gh - gl) - (wh - wl)) <= k + 1, k
+
+    def test_cost_vs_count_schedules_bit_identical(self, spark, rng,
+                                                   monkeypatch):
+        series = [list(rng.normal(size=int(n)))
+                  for n in rng.integers(6, 60, 20)]
+        df = _series_df(spark, series)
+        monkeypatch.setenv("DTW_COST_GUIDED", "1")
+        a = distance_matrix(df).toPandas().sort_values(["i", "j"]) \
+            .reset_index(drop=True)
+        monkeypatch.setenv("DTW_COST_GUIDED", "0")
+        b = distance_matrix(df).toPandas().sort_values(["i", "j"]) \
+            .reset_index(drop=True)
+        assert a.equals(b)  # bit-identical, schedule only moves work
+
+    def test_ragged_shuffle_path_matches_reference(self, spark, ref_dtw,
+                                                   rng):
+        # force the chunked-shuffle strategy on a ragged corpus: chunk
+        # ids come from the length-balanced histogram path
+        series = [list(rng.normal(size=int(n)))
+                  for n in rng.integers(6, 80, 18)]
+        df = _series_df(spark, series)
+        spark.conf.set("spark.dtaidistance.broadcastMatrixMaxBytes", "0")
+        try:
+            cond = to_condensed(distance_matrix(df, chunk_size=4), 18)
+        finally:
+            spark.conf.unset("spark.dtaidistance.broadcastMatrixMaxBytes")
+        expected = np.asarray(ref_dtw.distance_matrix(series, compact=True))
+        np.testing.assert_allclose(cond, expected, rtol=1e-14)
+
+    def test_ragged_block_rectangular_cost_ranges(self, spark, ref_dtw,
+                                                  rng):
+        # broadcast strategy + block restriction + ragged lengths: the
+        # rectangular cost function drives the ranges
+        series = [list(rng.normal(size=int(n)))
+                  for n in rng.integers(6, 60, 12)]
+        block = ((0, 7), (4, 12))
+        df = _series_df(spark, series)
+        m = to_matrix(distance_matrix(df, block=block), 12, only_triu=True)
+        expected = ref_dtw.distance_matrix(series, block=block,
+                                           only_triu=True)
+        np.testing.assert_allclose(m, np.asarray(expected), rtol=1e-14)
+
+
 class TestCross:
     def test_cross_matrix(self, spark, ref_dtw, rng):
         corpus = [list(rng.normal(size=10)) for _ in range(12)]

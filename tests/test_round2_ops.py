@@ -504,16 +504,24 @@ class TestDbaPartial:
 
 
 class TestKmeansInit:
-    def test_kmeanspp_separated_clusters(self, spark):
-        from dtaidistance_spark.operators.cluster import kmeans_dtw
+    @staticmethod
+    def _separated_df(spark):
         rng = np.random.default_rng(7)
         base = [np.zeros(30), np.ones(30) * 5, np.sin(np.linspace(0, 6, 30)) * 3]
         rows = []
         for i in range(24):
             pat = base[i % 3] + rng.normal(0, 0.05, 30)
             rows.append((i, pat.tolist()))
-        df = spark.createDataFrame(rows, "i long, values array<double>")
-        _, assign = kmeans_dtw(spark, df, k=3, max_it=5,
+        return spark.createDataFrame(rows, "i long, values array<double>")
+
+    @pytest.mark.parametrize("init", ["kmeans||", "kmeans++"])
+    def test_separated_clusters_recovered(self, spark, init):
+        # both seedings (the r5 3-job k-means|| default and the
+        # reference-shaped sequential k-means++) recover the fixture
+        from dtaidistance_spark.operators.cluster import kmeans_dtw
+
+        df = self._separated_df(spark)
+        _, assign = kmeans_dtw(spark, df, k=3, max_it=5, init=init,
                                settings=DtwSettings(window=5), dba_max_it=2)
         pdf = assign.toPandas()
         groups = {}
@@ -522,6 +530,27 @@ class TestKmeansInit:
         # perfectly separated patterns → each cluster holds one pattern
         assert len(groups) == 3
         assert all(len(v) == 1 for v in groups.values())
+
+    def test_kmeans_par_job_count_independent_of_k(self, spark):
+        # the point of k-means|| (VERDICT r4 item 7): seeding cost is a
+        # FIXED number of Spark jobs (3 actions), not k-1 sequential
+        # candidate rounds — job counts at k=3 and k=6 must be equal
+        from dtaidistance_spark.operators.cluster import kmeans_par_centers
+
+        df = self._separated_df(spark)
+        sc = spark.sparkContext
+        counts = {}
+        for k in (3, 6):
+            group = f"kmeanspar-{k}"
+            sc.setJobGroup(group, "seed job count probe")
+            try:
+                centers = kmeans_par_centers(spark, df, k,
+                                             DtwSettings(window=5))
+            finally:
+                sc.setJobGroup(None, None)
+            assert len(centers) == k
+            counts[k] = len(sc.statusTracker().getJobIdsForGroup(group))
+        assert counts[3] == counts[6], counts
 
     def test_get_good_c(self):
         from dtaidistance_spark.operators.cluster import get_good_c
