@@ -10,7 +10,7 @@ delta_rel)), ``max_diff`` (d' <= d + delta_abs), ``max_factor_loose``
 and ``max_dist`` — all sharing the same recurrence, differing only in
 the tolerance factors (reference
 ``compute_tolerance_criterion_factors``, explainpair.py:725) — with
-split strategy ``spatialdist``, top-down RDP over the self-similarity
+top-down RDP over the self-similarity
 matrix followed by the bottom-up merge pass (``approx_prune``) under
 either the local (``approx_local=True``, per-segment) or the global
 (``approx_local=False``, running full-path bound — reference
@@ -19,9 +19,11 @@ criterion, squared-euclidean inner distance; split strategies
 ``spatialdist`` (default), ``pathdiff``, ``deriv`` and ``derivdist``
 (reference max_change_in_path / max_2ndderiv_in_path /
 max_2ndderiv_deviation with the 1st/2nd-derivative cost-surface
-stencils, explainpair.py:846-1028).  Only ``max_index`` /
-``mean_index`` (a different, epsilon-spatial RDP) remain out of scope
-(documented, not silently absent — they raise).
+stencils, explainpair.py:846-1028).  ``max_index`` (epsilon-spatial
+RDP over the path, reference rdp_vectorized :2685, including the
+vertical-segment tilt pass) is supported since r5; only
+``mean_index`` remains out of scope — the reference itself marks it
+"Not implemented yet" (it raises here, not silently absent).
 
 Output parity is pinned bit-exactly against the reference implementation
 in tests (segment tuples, per-segment distances, approximated distance)
@@ -210,6 +212,55 @@ def _max_2ndderiv_deviation(ders1: np.ndarray, ders2: np.ndarray,
     return distmax, idxmax
 
 
+def rdp_epsilon(points: np.ndarray, epsilon: float):
+    """Plain spatial Ramer-Douglas-Peucker over the path (the
+    ``max_index`` approximation type — reference rdp_vectorized,
+    explainpair.py:2685): keep points whose perpendicular distance to
+    the straight segment exceeds ``epsilon``, then tilt the remaining
+    pure-vertical segments one index right (or merge them into a
+    neighboring diagonal) exactly as the reference does so every
+    segment advances in the from-axis."""
+    points = np.asarray(points)
+    queue = deque([(0, len(points) - 1)])
+    result: set = set()
+    while queue:
+        i0, i1 = queue.popleft()
+        p0, p1 = points[i0], points[i1]
+        seg = points[i0:i1]
+        if np.allclose(p0, p1):
+            distances = np.linalg.norm(seg - p0, axis=1)
+        else:
+            a = np.abs((seg[:, 0] - p0[0]) * (p1[1] - p0[1])
+                       - (seg[:, 1] - p0[1]) * (p1[0] - p0[0]))
+            distances = a / np.linalg.norm(p1 - p0)
+        idxmax = int(np.argmax(distances))
+        distmax = distances[idxmax]
+        idxmax += i0
+        if distmax > epsilon:
+            queue.append((i0, idxmax))
+            queue.append((idxmax, i1))
+        else:
+            result.add(i0)
+            result.add(i1)
+    result = sorted(result)
+    # the tilt pass reads the PRE-FIX snapshot of the kept points while
+    # mutating `result` (pops shift later indices) — the reference does
+    # exactly this, so replicate it rather than re-deriving per step
+    new_points = points[result]
+    if new_points[-2, 0] == new_points[-1, 0]:
+        if new_points[-3, 0] == new_points[-2, 0] - 1:
+            result.pop(-2)
+        else:
+            result[-2] = result[-2] - 1
+    for i in np.arange(len(result) - 2, 0, -1):
+        if new_points[i, 0] == new_points[i - 1, 0]:
+            if new_points[i + 1, 0] == new_points[i, 0] + 1:
+                result.pop(int(i))
+            else:
+                result[i] = result[i] + 1
+    return points[result], result
+
+
 def _max_deviation_from_line(points: np.ndarray, i0: int, i1: int):
     """Split-point selection (``spatialdist``): the path point with the
     largest spatial distance to the straight segment points[i0]→[i1]
@@ -238,14 +289,13 @@ def _max_deviation_from_line(points: np.ndarray, i0: int, i1: int):
 
 
 class ExplainedPair:
-    """Segments + approximate distances for one series pair (all
-    reference approx types / split strategies / tolerance criteria
-    except the epsilon-spatial max_index family; see module
-    docstring)."""
+    """Segments + approximate distances for one series pair (every
+    approx type / split strategy / tolerance criterion the reference
+    implements; see module docstring)."""
 
     SUPPORTED_APPROX_TYPES = ("max_factor", "max_diff",
                               "max_factor_and_diff", "max_factor_loose",
-                              "max_dist")
+                              "max_dist", "max_index")
     SUPPORTED_SPLIT_STRATEGIES = ("spatialdist", "pathdiff", "deriv",
                                   "derivdist")
 
@@ -276,7 +326,14 @@ class ExplainedPair:
             path = warping_path(self.sf, self.st, settings=self.settings)
         self.path = [(int(i), int(j)) for i, j in path]
         self._points = np.asarray(self.path, dtype=np.int64)
-        self.line2, self._lidxs = self._rdp_ssm(self._points)
+        if approx_type == "max_index":
+            # epsilon-spatial RDP directly over the path (reference
+            # path_to_segments' max_index branch, explainpair.py:436):
+            # no SSM tolerance, no merge pass; delta_abs is the epsilon
+            self.line2, self._lidxs = rdp_epsilon(self._points,
+                                                  self.delta_abs)
+        else:
+            self.line2, self._lidxs = self._rdp_ssm(self._points)
         self.segments = self._segments_from_line(onlychanges)
 
     # -- tolerance criterion factors, per approximation type (reference

@@ -121,9 +121,28 @@ class TestExplainParity:
                     assert ref.distance_approx(per_segment=True) == \
                         got.distance_approx(per_segment=True)
 
+    def test_parity_max_index(self):
+        # the epsilon-spatial RDP type (rdp_vectorized + the
+        # vertical-segment tilt pass) — bit-exact vs the reference
+        rng = np.random.default_rng(31)
+        for trial in range(10):
+            n = int(rng.integers(10, 120))
+            m = int(rng.integers(10, 120))
+            a = np.cumsum(rng.normal(0, 1, n))
+            b = np.cumsum(rng.normal(0, 1, m))
+            for eps in (0.5, 2.0, 8.0):
+                ref = ref_explain.ExplainPair(
+                    a, b, approx_type=ref_explain.ApproxType("max_index"),
+                    delta_abs=eps)
+                got = ExplainedPair(a, b, approx_type="max_index",
+                                    delta_abs=eps)
+                assert _ref_segs(ref) == _got_segs(got), (trial, eps)
+                assert ref.distance_approx(per_segment=True) == \
+                    got.distance_approx(per_segment=True)
+
     def test_unsupported_approx_type_raises(self):
         with pytest.raises(NotImplementedError):
-            ExplainedPair([1.0, 2.0], [1.0, 2.0], approx_type="max_index")
+            ExplainedPair([1.0, 2.0], [1.0, 2.0], approx_type="mean_index")
         with pytest.raises(NotImplementedError):
             ExplainedPair([1.0, 2.0], [1.0, 2.0], split_strategy="nope")
 
