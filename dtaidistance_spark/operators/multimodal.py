@@ -4,20 +4,22 @@ Binary media are opaque ``binary`` columns with typed metadata; the
 decode / feature-extract / resize / frame-sample operators are Arrow-
 batched ``mapInPandas`` stages.  The codec boundary is split:
 
-* **Real decode** for PPM (P6), 24-bit BMP and — since r5 — PNG
-  (8-bit truecolor: stdlib zlib inflate + Sub/Up/Average/Paeth
-  unfiltering), all parsed byte-for-byte by the pure-numpy codecs in
+* **Real decode** for PPM (P6), 24-bit BMP, PNG (r5: 8-bit truecolor,
+  stdlib zlib inflate + Sub/Up/Average/Paeth unfiltering) and — late
+  r5 — **baseline JPEG** (T.81 sequential DCT: canonical Huffman,
+  dequantize + de-zigzag + exact IDCT, chroma upsample, JFIF
+  YCbCr→RGB), all parsed byte-for-byte by the pure-numpy codecs in
   ``kernels/media.py``; ``synth_media`` alternates genuine PPM and PNG
-  payloads for its image rows, so the image path (decode → grayscale →
-  pooled features / resize) exercises real format parsing — including
-  a real compressed format — end-to-end, and the ``media_features``
-  DuckDB oracle validates the decoded pixel values of both.
+  payloads for its image rows (both lossless, so the ``media_features``
+  DuckDB oracle validates the decoded pixel values exactly); the lossy
+  JPEG path is pinned by spec-formula goldens and bounded roundtrips
+  in tests/test_pipeline.py::TestJpegCodec instead.
 * **Honest stub** for everything needing an external codec
-  (JPEG/MP3/video): with ``fake=True`` (default) a deterministic
-  hash-derived decoder stands in (schemas, batching, partitioning and
-  downstream math stay real and testable); with ``fake=False`` the
-  boundary raises ``NotImplementedError`` where Pillow/ffmpeg/soundfile
-  would be invoked.
+  (progressive JPEG/MP3/video): with ``fake=True`` (default) a
+  deterministic hash-derived decoder stands in (schemas, batching,
+  partitioning and downstream math stay real and testable); with
+  ``fake=False`` the boundary raises ``NotImplementedError`` where
+  Pillow/ffmpeg/soundfile would be invoked.
 """
 
 from __future__ import annotations
@@ -146,9 +148,10 @@ def decode_features(media: DataFrame, n_features: int = 16,
                     fake: bool = True) -> DataFrame:
     """media → fixed-width feature vectors (the embedding-extraction
     stage of a training-data pipeline).  Batched: one pandas frame per
-    Arrow batch, one numpy matrix per batch.  Raster payloads (PPM/BMP/PNG
-    magic) and WAVE payloads go through the REAL decoders; other
-    formats use the hash stub (or raise with ``fake=False``)."""
+    Arrow batch, one numpy matrix per batch.  Raster payloads
+    (PPM/BMP/PNG/JPEG magic) and WAVE payloads go through the REAL
+    decoders; other formats use the hash stub (or raise with
+    ``fake=False``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -164,9 +167,9 @@ def decode_features(media: DataFrame, n_features: int = 16,
                     feats.append(_fake_decode(p, n_features).tolist())
                 else:
                     raise NotImplementedError(
-                        "real decoding of non-PPM/BMP/PNG media requires "
-                        "Pillow/ffmpeg/soundfile, not available in this "
-                        "environment")
+                        "real decoding of media beyond PPM/BMP/PNG/baseline-"
+                        "JPEG/WAV requires Pillow/ffmpeg/soundfile, not "
+                        "available in this environment")
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "kind": pdf["kind"],
                                 "features": feats})

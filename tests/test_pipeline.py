@@ -404,6 +404,230 @@ class TestMediaCodecs:
             assert np.allclose(list(r.pixels), small.ravel(), atol=1e-12)
 
 
+class TestJpegCodec:
+    """Pure-numpy baseline JPEG (kernels/media.py, VERDICT r4 item 3
+    follow-through: PNG landed r5, JPEG closes the compressed-image
+    gap).  Oracles: (a) a hand-assembled single-block stream decoded
+    against the textbook IDCT double-sum computed independently in the
+    test (spec-formula pin, matrix-IDCT-free); (b) encoder/decoder
+    roundtrips at quant=1 whose error is bounded by DCT rounding alone;
+    (c) the documented NotImplementedError boundary for progressive."""
+
+    @staticmethod
+    def _idct_double_sum(F):
+        """T.81 A.3.3 IDCT as the literal double sum — independent of
+        the kernel's matrix-product implementation."""
+        out = np.zeros((8, 8))
+        c = np.ones(8)
+        c[0] = 1.0 / np.sqrt(2.0)
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (c[u] * c[v] * F[u, v]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                out[x, y] = s / 4.0
+        return np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)
+
+    def test_hand_assembled_stream_matches_spec_formula(self):
+        """Byte-by-byte hand-built 8×8 grayscale JPEG: DC=5 (category 3),
+        one AC coefficient −3 at zigzag position 1 = F[0,1], EOB.
+        Entropy bits hand-packed (0·101·0·00·1 = 0x51).  The expected
+        pixels come from the literal spec double-sum, so this pins the
+        whole chain (marker parse → canonical Huffman → EXTEND →
+        dequantize → de-zigzag → IDCT → level shift) to T.81 itself."""
+        import struct
+
+        from dtaidistance_spark.kernels.media import decode_jpeg
+
+        dqt = bytes([0x00]) + bytes([1] * 64)           # Pq=0, Tq=0, all-1s
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        dht_dc = bytes([0x00, 1] + [0] * 15) + bytes([3])       # "0" -> 3
+        dht_ac = bytes([0x10, 2] + [0] * 15) + bytes([0x02, 0x00])
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        payload = (b"\xff\xd8"
+                   + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+                   + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+                   + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc))
+                   + dht_dc
+                   + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac))
+                   + dht_ac
+                   + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+                   + bytes([0x51])
+                   + b"\xff\xd9")
+        F = np.zeros((8, 8))
+        F[0, 0] = 5.0
+        F[0, 1] = -3.0
+        expected = self._idct_double_sum(F)
+        got = decode_jpeg(payload)
+        assert got.shape == (8, 8, 3)
+        assert (got[:, :, 0] == expected).all()
+        assert (got[:, :, 0] == got[:, :, 1]).all()
+
+    def test_hand_assembled_16bit_dqt(self):
+        """Same stream but with a 16-bit-precision DQT (Pq=1) whose
+        entries are big-endian 16-bit 1s — exercises the wide-table
+        parse path against the identical spec expectation."""
+        import struct
+
+        from dtaidistance_spark.kernels.media import decode_jpeg
+
+        dqt = bytes([0x10]) + struct.pack(">64H", *([1] * 64))
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        dht_dc = bytes([0x00, 1] + [0] * 15) + bytes([3])
+        dht_ac = bytes([0x10, 2] + [0] * 15) + bytes([0x02, 0x00])
+        sos = bytes([1, 1, 0x00, 0, 63, 0])
+        payload = (b"\xff\xd8"
+                   + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+                   + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+                   + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc))
+                   + dht_dc
+                   + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac))
+                   + dht_ac
+                   + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+                   + bytes([0x51]) + b"\xff\xd9")
+        F = np.zeros((8, 8))
+        F[0, 0] = 5.0
+        F[0, 1] = -3.0
+        assert (decode_jpeg(payload)[:, :, 0]
+                == self._idct_double_sum(F)).all()
+
+    def test_gray_roundtrip_quant1_rounding_bound(self):
+        """quant=1 leaves only FDCT/IDCT integer rounding: per-pixel
+        error provably ≤ a few counts.  Non-multiple-of-8 dims exercise
+        edge-padding + crop."""
+        from dtaidistance_spark.kernels.media import (decode_jpeg,
+                                                      encode_jpeg)
+
+        rng = np.random.default_rng(23)
+        for shape in [(8, 8), (24, 17), (9, 31)]:
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            dec = decode_jpeg(encode_jpeg(img, quant=1))
+            assert dec.shape == shape + (3,)
+            err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+            assert err.max() <= 2, (shape, err.max())
+
+    def test_color_roundtrip_444_and_uniform_420(self):
+        from dtaidistance_spark.kernels.media import (decode_jpeg,
+                                                      encode_jpeg)
+
+        rng = np.random.default_rng(29)
+        img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quant=1))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+        # 4:2:0: uniform color makes chroma subsampling lossless, so the
+        # MCU interleave (4 Y blocks + Cb + Cr) is pinned tightly
+        img = np.zeros((20, 28, 3), dtype=np.uint8)
+        img[:] = [37, 180, 99]
+        dec = decode_jpeg(encode_jpeg(img, quant=1, subsample=True))
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+
+    def test_420_structured_luma_matches_independent_pipeline(self):
+        """4:2:0 with varying luma + smooth chroma: expected image
+        recomputed in the test via the independent JFIF pipeline
+        (RGB→YCbCr → 2×2 box chroma → replication upsample → RGB)."""
+        from dtaidistance_spark.kernels.media import (decode_jpeg,
+                                                      encode_jpeg)
+
+        x = np.arange(32)[None, :]
+        y = np.arange(24)[:, None]
+        r = ((x * 3 + y * 5) % 200 + 20).astype(np.float64)
+        g = np.full((24, 32), 120.0)
+        b = ((x + y) % 150 + 40).astype(np.float64)
+        img = np.stack([r, g, b], axis=2).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quant=1, subsample=True))
+        rr, gg, bb = (img[:, :, i].astype(np.float64) for i in range(3))
+        yy = 0.299 * rr + 0.587 * gg + 0.114 * bb
+        cb = -0.168736 * rr - 0.331264 * gg + 0.5 * bb + 128.0
+        cr = 0.5 * rr - 0.418688 * gg - 0.081312 * bb + 128.0
+        cb = cb.reshape(12, 2, 16, 2).mean(axis=(1, 3))
+        cr = cr.reshape(12, 2, 16, 2).mean(axis=(1, 3))
+        cb = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)
+        cr = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)
+        exp_r = yy + 1.402 * (cr - 128.0)
+        exp_g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        exp_b = yy + 1.772 * (cb - 128.0)
+        exp = np.clip(np.round(np.stack([exp_r, exp_g, exp_b], axis=2)),
+                      0, 255)
+        assert np.abs(dec.astype(float) - exp).max() <= 4
+
+    def test_restart_markers(self):
+        from dtaidistance_spark.kernels.media import (decode_jpeg,
+                                                      encode_jpeg)
+
+        rng = np.random.default_rng(31)
+        img = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+        payload = encode_jpeg(img, quant=1, restart_interval=2)
+        assert b"\xff\xd0" in payload  # RST0 actually emitted
+        dec = decode_jpeg(payload)
+        assert np.abs(dec[:, :, 0].astype(int)
+                      - img.astype(int)).max() <= 2
+
+    def test_quantized_smooth_image_small_error(self):
+        """A realistic flat quant table on a smooth image: error stays
+        small (the compression actually did something: stream much
+        smaller than raw)."""
+        from dtaidistance_spark.kernels.media import (decode_jpeg,
+                                                      encode_jpeg)
+
+        x = np.arange(64)[None, :]
+        y = np.arange(48)[:, None]
+        img = ((np.sin(x / 9) + np.cos(y / 7)) * 60 + 128) \
+            .clip(0, 255).astype(np.uint8)
+        payload = encode_jpeg(img, quant=8)
+        assert len(payload) < img.size // 2
+        dec = decode_jpeg(payload)
+        err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
+        assert err.max() <= 8 and err.mean() < 2.0
+
+    def test_codec_boundary_progressive_raises(self):
+        import struct
+
+        import pytest as _pytest
+
+        from dtaidistance_spark.kernels.media import (decode_jpeg,
+                                                      encode_jpeg,
+                                                      sniff_format)
+
+        sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        payload = (b"\xff\xd8"
+                   + b"\xff\xc2" + struct.pack(">H", 2 + len(sof2))
+                   + sof2)
+        with _pytest.raises(NotImplementedError):
+            decode_jpeg(payload)
+        # truncated entropy data fails loudly, not silently
+        good = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+        with _pytest.raises(ValueError):
+            decode_jpeg(bytes(good[:len(good) // 2]) + b"\xff\xd9")
+        assert sniff_format(bytes(good)) == "jpeg"
+
+    def test_decode_features_parses_jpeg_payload(self, spark):
+        """Operator plumbing: a JPEG payload goes through the REAL
+        decoder inside decode_features (features = strip means of the
+        decoded gray image, within JPEG rounding of the source)."""
+        import pandas as pd
+
+        from dtaidistance_spark.kernels.media import encode_jpeg
+        from dtaidistance_spark.operators.multimodal import (
+            MEDIA_SCHEMA, decode_features)
+
+        rng = np.random.default_rng(41)
+        img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+        pdf = pd.DataFrame([(0, "image", encode_jpeg(img, quant=1),
+                             32, 24, 16000, 3)],
+                           columns=["media_id", "kind", "payload",
+                                    "width", "height", "sample_rate",
+                                    "n_frames"])
+        media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+        out = decode_features(media, n_features=8).toPandas()
+        gray = img.mean(axis=2)
+        exp = [gray[:, s * 4:(s + 1) * 4].mean() / 255.0
+               for s in range(8)]
+        assert np.allclose(list(out.features[0]), exp, atol=0.02)
+
+
 class TestSaltedIngest:
     """North-rule skew mandate: salted repartitioning for power-law turn
     counts.  The salted lag plan must be value-identical to the plain
