@@ -11,11 +11,12 @@ broadcast handles, JVM/python-worker state) — the DTW matrix benched
 ~3× slower in-suite than standalone, and clearCache()+System.gc()
 between queries did NOT close the gap.  The default mode therefore runs
 each query in its own subprocess (fresh JVM, fresh python workers).
-Within a child the query executes twice: the first run warms JIT /
-codegen / page cache and is reported under
-``extra.queries_cold_first_run``; every engine-held resource is then
-released (persisted DFs, broadcasts, caches — the timed run recomputes
-the complete DAG) and a freshly-built plan is timed.  "value" is the
+Within a child the query's first run warms JIT / codegen / page cache
+and is reported under ``extra.queries_cold_first_run``; then
+$SPARK_GRAFT_BENCH_REPS (default 3) timed repetitions run, min
+reported — before each rep every engine-held resource is released
+(persisted DFs, broadcasts, caches), so each rep recomputes the
+complete DAG from a freshly-built plan.  "value" is the
 sum of the steady-state times — reproducible, equal to standalone
 numbers by construction, and free of both cross-query residue and
 one-off JVM warm-up noise.
@@ -76,7 +77,8 @@ def _run_one(spark, qs, name: str, warmup: bool = False):
     load).
 
     With ``warmup``, the query executes once untimed (JVM JIT / codegen /
-    page cache), then twice timed, best-of reported.  Before every timed
+    page cache), then $SPARK_GRAFT_BENCH_REPS (default 3) timed reps,
+    best-of reported.  Before every timed
     rep ALL engine-held state is released (persisted DFs, broadcasts,
     caches — resources.release_all) and the plan is rebuilt, so each rep
     recomputes the full DAG, never a cached intermediate.  The reported
@@ -103,14 +105,19 @@ def _run_one(spark, qs, name: str, warmup: bool = False):
         _force(df)
         cold = round(time.time() - t0, 3)
         cold_load = meter.end()
-        # two timed repetitions, best-of (timeit-style): this box is a
+        # timed repetitions, best-of (timeit-style): this box is a
         # shared VM whose neighbor load swings identical runs 2-4×
         # within a minute — the min is the run that measured the plan,
         # not the neighbors.  State is fully released before each rep
-        # so every rep recomputes the complete DAG.
+        # so every rep recomputes the complete DAG.  min over more reps
+        # only sharpens the estimate; 3 reps bound the odds that every
+        # window of a query was stormed (r4's driver record had three
+        # queries >2× published on what the meters later showed was
+        # exactly that).
+        n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
         reps = []
         rep_loads = []
-        for _ in range(2):
+        for _ in range(max(1, n_reps)):
             resources.release_all()
             spark.catalog.clearCache()
             df = qs[name](spark, SF_DIR)
