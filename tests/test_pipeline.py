@@ -719,3 +719,125 @@ class TestPerTurnTextInvariant:
         # and a different seed is a genuinely different corpus
         c = synth_transcripts(spark, n_convs=30, seed=14, max_turns=100)
         assert self._ordered(c)["text"].tolist() != pa["text"].tolist()
+
+
+class TestStreamMatch:
+    """Streaming subsequence DTW (SPRING) — kernel parity with the batch
+    subsequence kernel, chunk invariance, and the stateful operator
+    end-to-end (streaming/match_stream.py)."""
+
+    def _planted(self, seed=3, qlen=20, copies=(50, 40, 60), tail=30,
+                 scale=0.05):
+        rng = np.random.default_rng(seed)
+        q = np.sin(np.linspace(0, 2 * np.pi, qlen))
+        parts, spans, pos = [], [], 0
+        for gap in copies:
+            parts.append(rng.normal(scale=3.0, size=gap))
+            pos += gap
+            parts.append(q + rng.normal(scale=scale, size=qlen))
+            spans.append((pos, pos + qlen - 1))
+            pos += qlen
+        parts.append(rng.normal(scale=3.0, size=tail))
+        return q, np.concatenate(parts), spans
+
+    def test_matching_function_bit_equal_to_batch(self):
+        from dtaidistance_spark.kernels.subsequence import (
+            subsequence_alignment)
+        from dtaidistance_spark.streaming.match_stream import (
+            spring_init, spring_step)
+
+        rng = np.random.default_rng(7)
+        for pen in (0.0, 0.1, 0.5):
+            q, s = rng.normal(size=12), rng.normal(size=300)
+            sa = subsequence_alignment(q, s, penalty=pen)
+            st = spring_init(len(q))
+            vals = []
+            # threshold=-1: pure DP advance, no candidate masking
+            for v in s:
+                spring_step(st, q, np.array([v]), threshold=-1.0,
+                            penalty_sq=pen ** 2)
+                vals.append(float(np.sqrt(st.col[-1]) / len(q)))
+            assert np.array_equal(np.array(vals), sa.matching)
+
+    def test_planted_matches_and_chunk_invariance(self):
+        from dtaidistance_spark.kernels.subsequence import (
+            subsequence_alignment)
+        from dtaidistance_spark.streaming.match_stream import (
+            spring_init, spring_step)
+
+        q, s, spans = self._planted()
+        st = spring_init(len(q))
+        ms = spring_step(st, q, s, threshold=0.05, penalty_sq=0.01)
+        assert [(a, b) for a, b, _ in ms] == spans
+        # emitted values equal the batch matching function at the end-points
+        sa = subsequence_alignment(q, s, penalty=0.1)
+        for _, e, v in ms:
+            assert v == sa.matching[e]
+        # any chunking (1-pt, 7-pt) == one-shot: state and emissions
+        for step in (1, 7):
+            st2 = spring_init(len(q))
+            ms2 = []
+            for i in range(0, len(s), step):
+                ms2 += spring_step(st2, q, s[i:i + step], threshold=0.05,
+                                   penalty_sq=0.01)
+            assert ms2 == ms
+            assert np.array_equal(st2.col, st.col)
+            assert np.array_equal(st2.starts, st.starts)
+
+    def test_flush_emits_trailing_open_candidate(self):
+        from dtaidistance_spark.streaming.match_stream import (
+            spring_init, spring_step, spring_flush)
+
+        rng = np.random.default_rng(5)
+        q = np.sin(np.linspace(0, 2 * np.pi, 20))
+        s = np.concatenate([rng.normal(scale=3.0, size=30), q])
+        st = spring_init(len(q))
+        assert spring_step(st, q, s, threshold=0.05, penalty_sq=0.01) == []
+        m = spring_flush(st)
+        assert m == (30, 49, 0.0)  # exact copy -> distance exactly 0
+        assert spring_flush(st) is None  # flush is idempotent
+
+    def test_stateful_operator_matches_kernel(self, spark, tmp_path):
+        """File stream -> applyInPandasWithState -> parquet sink equals a
+        direct kernel run per series (closed matches; the open trailing
+        candidate stays in state until the event-time timeout)."""
+        import pandas as pd
+        from dtaidistance_spark.streaming.match_stream import (
+            spring_init, spring_step, stream_subsequence_match)
+
+        q, s_a, spans_a = self._planted(seed=3)
+        _, s_b, spans_b = self._planted(seed=11, copies=(35, 80), tail=45)
+        t0 = pd.Timestamp("2026-01-05")
+        pdf = pd.concat([
+            pd.DataFrame({"series_id": sid,
+                          "ts": t0 + pd.to_timedelta(
+                              np.arange(len(vals)), unit="min"),
+                          "value": vals})
+            for sid, vals in (("A", s_a), ("B", s_b))])
+        src_dir = str(tmp_path / "match_src")
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(src_dir)
+        out_dir, ck_dir = str(tmp_path / "m_out"), str(tmp_path / "m_ck")
+        src = spark.readStream.schema(
+            "series_id string, ts timestamp, value double").parquet(src_dir)
+        qh = (stream_subsequence_match(src, q, threshold=0.05, penalty=0.1)
+              .writeStream.format("parquet")
+              .option("path", out_dir)
+              .option("checkpointLocation", ck_dir)
+              .outputMode("append")
+              .trigger(availableNow=True)
+              .start())
+        qh.awaitTermination()
+        got = (spark.read.parquet(out_dir)
+               .orderBy("series_id", "match_start").toPandas())
+        want = []
+        for sid, vals in (("A", s_a), ("B", s_b)):
+            st = spring_init(len(q))
+            for m in spring_step(st, q, vals, threshold=0.05,
+                                 penalty_sq=0.01):
+                want.append((sid, *m))
+        want.sort()
+        assert [tuple(r) for r in
+                got[["series_id", "match_start", "match_end",
+                     "value"]].itertuples(index=False)] == want
+        assert got["closed"].all()
+        assert [(a, b) for sid, a, b, _ in want if sid == "A"] == spans_a
