@@ -13,9 +13,13 @@ sampling factors, restart markers, 8-bit precision) — so the decode →
 resize → feature path in ``operators/multimodal.py`` exercises genuine
 byte parsing of the two most common real-corpus compressed image
 formats instead of a hash stub (VERDICT r3 item 6 + r4 item 3).
-Progressive JPEG (SOF2), arithmetic coding, 12-bit precision, and
-MP3/video remain behind the honest ``NotImplementedError`` codec
-boundary (they need external codecs).
+**Progressive JPEG** (SOF2, late r5) is decoded too: spectral
+selection, successive approximation (DC bit refinement, AC EOB-run +
+correction-bit refinement per T.81 G.1.2), interleaved DC and
+per-component AC scans, restart markers, between-scan table
+definition.  Lossless/arithmetic/12-bit JPEG and MP3/video remain
+behind the honest ``NotImplementedError`` codec boundary (they need
+external codecs).
 
 Encoders exist so tests and ``synth_media`` can build deterministic
 payloads without any imaging library.  The JPEG encoder is a minimal
@@ -34,7 +38,8 @@ import numpy as np
 
 __all__ = ["encode_ppm", "decode_ppm", "encode_bmp", "decode_bmp",
            "encode_png", "decode_png", "encode_wav", "decode_wav",
-           "encode_jpeg", "decode_jpeg", "decode_raster", "sniff_format"]
+           "encode_jpeg", "encode_jpeg_progressive", "decode_jpeg",
+           "decode_raster", "sniff_format"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -482,111 +487,15 @@ def _split_entropy(payload: bytes, pos: int):
     return segments, pos
 
 
-def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) uint8 RGB (grayscale replicated
-    across channels, matching :func:`decode_raster`'s contract)."""
-    if payload[:3] != b"\xff\xd8\xff":
-        raise ValueError("not a JPEG payload")
-    qt = {}        # table id -> (64,) int array in zigzag order
-    dc_tabs = {}
-    ac_tabs = {}
-    frame = None   # (h, w, [(cid, hs, vs, tq), ...])
-    restart = 0
-    scan = None    # ([(comp index, dc id, ac id), ...], entropy pos)
-    pos = 2
-    n = len(payload)
-    while pos < n:
-        if payload[pos] != 0xFF:
-            raise ValueError(f"expected marker at byte {pos}")
-        while pos < n and payload[pos] == 0xFF:  # fill bytes
-            pos += 1
-        m = payload[pos]
-        pos += 1
-        if m == 0xD9:  # EOI
-            break
-        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST: no body
-            continue
-        (seglen,) = struct.unpack_from(">H", payload, pos)
-        body = payload[pos + 2:pos + seglen]
-        pos += seglen
-        if m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
-            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8:
-                raise NotImplementedError(
-                    f"only 8-bit JPEG precision is decoded natively "
-                    f"(got {prec})")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                comps.append((cid, hv >> 4, hv & 0xF, tq))
-            frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(
-                f"JPEG SOF marker 0x{m:02X} (progressive / lossless / "
-                "arithmetic / differential) is outside the baseline "
-                "decoder; needs Pillow/libjpeg")
-        elif m == 0xC4:  # DHT — may hold several tables
-            off = 0
-            while off < len(body):
-                tc_th = body[off]
-                bits = list(body[off + 1:off + 17])
-                nv = sum(bits)
-                vals = list(body[off + 17:off + 17 + nv])
-                tab = _HuffTable(bits, vals)
-                (dc_tabs if tc_th >> 4 == 0 else ac_tabs)[tc_th & 0xF] = tab
-                off += 17 + nv
-        elif m == 0xDB:  # DQT — may hold several tables
-            off = 0
-            while off < len(body):
-                pq_tq = body[off]
-                if pq_tq >> 4 == 0:
-                    q = np.frombuffer(body[off + 1:off + 65],
-                                      dtype=np.uint8).astype(np.int64)
-                    off += 65
-                else:  # 16-bit precision table
-                    q = np.frombuffer(body[off + 1:off + 129],
-                                      dtype=">u2").astype(np.int64)
-                    off += 129
-                qt[pq_tq & 0xF] = q
-        elif m == 0xDD:  # DRI
-            (restart,) = struct.unpack_from(">H", body, 0)
-        elif m == 0xDA:  # SOS
-            if frame is None:
-                raise ValueError("JPEG SOS before SOF")
-            ns = body[0]
-            comps = frame[2]
-            if ns != len(comps):
-                raise NotImplementedError(
-                    "only single interleaved baseline scans are decoded "
-                    "natively (multi-scan needs libjpeg)")
-            order = []
-            for i in range(ns):
-                cs, tt = struct.unpack_from(">BB", body, 1 + 2 * i)
-                idx = next(j for j, c in enumerate(comps) if c[0] == cs)
-                order.append((idx, tt >> 4, tt & 0xF))
-            scan = (order, pos)
-            break
-        # else: APPn / COM / DNL — skipped
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF or SOS")
-    h, w, comps = frame
-    order, entpos = scan
-    segments, _ = _split_entropy(payload, entpos)
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # zigzag-order coefficient store per component, one row per block
-    coefs = [np.zeros((mcuy * c[2] * mcux * c[1], 64), dtype=np.int64)
-             for c in comps]
-
+def _seq_scan(coefs, comps, scan, mcux, mcuy):
+    """One interleaved sequential scan (T.81 F.2.2): DC difference +
+    AC run/size coding for every data unit of every MCU."""
+    order, _, _, _, _, segments, dc_tabs, ac_tabs, dri = scan
     seg_i = 0
     br = _BitReader(segments[0])
     preds = [0] * len(comps)
     for mcu in range(mcux * mcuy):
-        if restart and mcu and mcu % restart == 0:
+        if dri and mcu and mcu % dri == 0:
             seg_i += 1
             if seg_i >= len(segments):
                 raise ValueError("JPEG missing restart segment")
@@ -620,6 +529,338 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                             raise ValueError("AC run past block end")
                         blk[k] = _extend(br.receive(s), s)
                         k += 1
+
+
+def _comp_grid(comps, idx, mcux, hmax, vmax, w, h):
+    """Non-interleaved scan geometry for one component (T.81 A.2.2):
+    (blocks across, blocks down, row stride in the MCU-padded store)."""
+    _, hs, vs, _ = comps[idx]
+    cw = -(-w * hs // hmax)
+    ch = -(-h * vs // vmax)
+    return -(-cw // 8), -(-ch // 8), mcux * hs
+
+
+def _prog_scan(coefs, comps, scan, mcux, mcuy, hmax, vmax, w, h):
+    """Accumulate one progressive scan into the coefficient store
+    (T.81 G.2): DC scans may be interleaved; AC scans are per-component
+    over that component's own (non-MCU-padded) block raster."""
+    order, ss, se, ah, al, segments, dc_tabs, ac_tabs, dri = scan
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        _prog_dc_scan(coefs, comps, order, segments, dc_tabs, ah, al,
+                      dri, mcux, mcuy, hmax, vmax, w, h)
+        return
+    if len(order) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    idx, _, tac = order[0]
+    nbx, nby, stride = _comp_grid(comps, idx, mcux, hmax, vmax, w, h)
+    if ah == 0:
+        _prog_ac_first(coefs[idx], ac_tabs[tac], segments, ss, se, al,
+                       dri, nbx, nby, stride)
+    else:
+        _prog_ac_refine(coefs[idx], ac_tabs[tac], segments, ss, se, al,
+                        dri, nbx, nby, stride)
+
+
+def _dc_unit(br, blk, dc_t, preds, idx, ah, al):
+    """One data unit of a progressive DC scan: first pass (Ah=0) codes
+    the size-category/diff pair of coef>>Al; refinement passes append
+    one low-order bit per block (T.81 G.1.2.1)."""
+    if ah == 0:
+        s = dc_t.decode(br)
+        if s > 11:
+            raise ValueError("invalid DC size category")
+        diff = _extend(br.receive(s), s) if s else 0
+        preds[idx] += diff
+        blk[0] = preds[idx] << al
+    elif br.read_bit():
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _prog_dc_scan(coefs, comps, order, segments, dc_tabs, ah, al, dri,
+                  mcux, mcuy, hmax, vmax, w, h):
+    seg_i = 0
+    br = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    if len(order) > 1:  # interleaved: MCU walk over the padded grid
+        for mcu in range(mcux * mcuy):
+            if dri and mcu and mcu % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(segments[seg_i])
+                preds = [0] * len(comps)
+            my, mx = divmod(mcu, mcux)
+            for idx, tdc, _ in order:
+                _, hs, vs, _ = comps[idx]
+                dc_t = dc_tabs[tdc] if ah == 0 else None
+                for v in range(vs):
+                    for hrz in range(hs):
+                        blk = coefs[idx][(my * vs + v) * (mcux * hs)
+                                         + (mx * hs + hrz)]
+                        _dc_unit(br, blk, dc_t, preds, idx, ah, al)
+    else:  # single component: its own block raster
+        idx, tdc, _ = order[0]
+        dc_t = dc_tabs[tdc] if ah == 0 else None
+        nbx, nby, stride = _comp_grid(comps, idx, mcux, hmax, vmax, w, h)
+        cnt = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if dri and cnt and cnt % dri == 0:
+                    seg_i += 1
+                    if seg_i >= len(segments):
+                        raise ValueError("JPEG missing restart segment")
+                    br = _BitReader(segments[seg_i])
+                    preds = [0] * len(comps)
+                cnt += 1
+                _dc_unit(br, coefs[idx][by * stride + bx], dc_t, preds,
+                         idx, ah, al)
+
+
+def _prog_ac_first(coefs_c, ac_t, segments, ss, se, al, dri,
+                   nbx, nby, stride):
+    """First AC pass of a spectral band (T.81 G.1.2.2): run/size pairs
+    scaled by 2^Al plus EOB-run codes spanning whole blocks."""
+    seg_i = 0
+    br = _BitReader(segments[0])
+    eobrun = 0
+    cnt = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if dri and cnt and cnt % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(segments[seg_i])
+                eobrun = 0
+            cnt += 1
+            if eobrun:
+                eobrun -= 1
+                continue
+            blk = coefs_c[by * stride + bx]
+            k = ss
+            while k <= se:
+                rs = ac_t.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1  # run includes this block
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run past band end")
+                blk[k] = _extend(br.receive(s), s) << al
+                k += 1
+
+
+def _refine_nonzero(br, blk, k, p1, m1):
+    """Apply one buffered correction bit to an already-nonzero
+    coefficient: grow its magnitude by 2^Al if the bit is set and that
+    bit isn't already present (T.81 G.1.2.3)."""
+    if br.read_bit() and not (int(blk[k]) & p1):
+        blk[k] += p1 if blk[k] >= 0 else m1
+
+
+def _prog_ac_refine(coefs_c, ac_t, segments, ss, se, al, dri,
+                    nbx, nby, stride):
+    """AC refinement pass (T.81 G.1.2.3): newly-nonzero coefficients
+    arrive as size-1 run codes; every already-nonzero coefficient
+    crossed — including the remainder of a block where an EOB run
+    starts, and all nonzero coefficients of blocks the run covers —
+    consumes one correction bit."""
+    p1, m1 = 1 << al, -1 << al
+    seg_i = 0
+    br = _BitReader(segments[0])
+    eobrun = 0
+    cnt = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if dri and cnt and cnt % dri == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("JPEG missing restart segment")
+                br = _BitReader(segments[seg_i])
+                eobrun = 0
+            cnt += 1
+            blk = coefs_c[by * stride + bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = ac_t.decode(br)
+                    r, s = rs >> 4, rs & 0xF
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "AC refinement size category must be 1")
+                        val = p1 if br.read_bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r  # includes this block's tail
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    # advance past r zero-history positions (16 for ZRL),
+                    # correcting nonzero coefficients crossed on the way
+                    while k <= se:
+                        if blk[k] != 0:
+                            _refine_nonzero(br, blk, k, p1, m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError(
+                                "AC refinement run past band end")
+                        blk[k] = val
+                    k += 1
+            if eobrun:
+                while k <= se:  # correction bits for the block remainder
+                    if blk[k] != 0:
+                        _refine_nonzero(br, blk, k, p1, m1)
+                    k += 1
+                eobrun -= 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline or progressive JPEG bytes → (h, w, 3) uint8 RGB
+    (grayscale replicated across channels, matching
+    :func:`decode_raster`'s contract).
+
+    Sequential (SOF0/SOF1) streams take the single-interleaved-scan MCU
+    loop; progressive (SOF2) streams accumulate coefficients scan by
+    scan — spectral selection (Ss..Se bands), successive approximation
+    (DC arithmetic-shift + AC magnitude point transform, first and
+    refinement passes with EOB-run coding, T.81 G.1.2), interleaved DC
+    and per-component AC scans, restart markers, and between-scan table
+    redefinition (tables are snapshotted per scan).  Both modes share
+    one dequantize → de-zigzag → IDCT → upsample → YCbCr reconstruction,
+    so a sequential and a progressive encoding of the same quantized
+    coefficients decode to bit-identical pixels (the test oracle)."""
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    qt = {}        # table id -> (64,) int array in zigzag order
+    dc_tabs = {}
+    ac_tabs = {}
+    frame = None   # (h, w, [(cid, hs, vs, tq), ...])
+    progressive = False
+    restart = 0
+    scans = []     # (order, Ss, Se, Ah, Al, segments, dc snap, ac snap, dri)
+    pos = 2
+    n = len(payload)
+    while pos < n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        while pos < n and payload[pos] == 0xFF:  # fill bytes
+            pos += 1
+        m = payload[pos]
+        pos += 1
+        if m == 0xD9:  # EOI
+            break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / stray RST: no body
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        body = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"only 8-bit JPEG precision is decoded natively "
+                    f"(got {prec})")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif m == 0xC2:  # SOF2 progressive (huffman)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(
+                    f"only 8-bit JPEG precision is decoded natively "
+                    f"(got {prec})")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+            progressive = True
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{m:02X} (lossless / arithmetic / "
+                "differential) is outside this decoder; needs "
+                "Pillow/libjpeg")
+        elif m == 0xC4:  # DHT — may hold several tables
+            off = 0
+            while off < len(body):
+                tc_th = body[off]
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                tab = _HuffTable(bits, vals)
+                (dc_tabs if tc_th >> 4 == 0 else ac_tabs)[tc_th & 0xF] = tab
+                off += 17 + nv
+        elif m == 0xDB:  # DQT — may hold several tables
+            off = 0
+            while off < len(body):
+                pq_tq = body[off]
+                if pq_tq >> 4 == 0:
+                    q = np.frombuffer(body[off + 1:off + 65],
+                                      dtype=np.uint8).astype(np.int64)
+                    off += 65
+                else:  # 16-bit precision table
+                    q = np.frombuffer(body[off + 1:off + 129],
+                                      dtype=">u2").astype(np.int64)
+                    off += 129
+                qt[pq_tq & 0xF] = q
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif m == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            comps = frame[2]
+            if not progressive and ns != len(comps):
+                raise NotImplementedError(
+                    "only single interleaved sequential scans are decoded "
+                    "natively (non-interleaved sequential needs libjpeg)")
+            order = []
+            for i in range(ns):
+                cs, tt = struct.unpack_from(">BB", body, 1 + 2 * i)
+                idx = next(j for j, c in enumerate(comps) if c[0] == cs)
+                order.append((idx, tt >> 4, tt & 0xF))
+            ss, se, ahal = body[1 + 2 * ns:4 + 2 * ns]
+            segments, pos = _split_entropy(payload, pos)
+            # snapshot the Huffman tables and restart interval in effect
+            # for THIS scan — later DHT/DRI segments may redefine them
+            scans.append((order, ss, se, ahal >> 4, ahal & 0xF, segments,
+                          dict(dc_tabs), dict(ac_tabs), restart))
+            if not progressive:
+                break
+        # else: APPn / COM / DNL — skipped
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF or SOS")
+    h, w, comps = frame
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # zigzag-order coefficient store per component, one row per block
+    coefs = [np.zeros((mcuy * c[2] * mcux * c[1], 64), dtype=np.int64)
+             for c in comps]
+    if progressive:
+        for scan in scans:
+            _prog_scan(coefs, comps, scan, mcux, mcuy, hmax, vmax, w, h)
+    else:
+        _seq_scan(coefs, comps, scans[0], mcux, mcuy)
 
     planes = []
     for ci, (cid, hs, vs, tq) in enumerate(comps):
@@ -758,19 +999,13 @@ def _pad_to(plane: np.ndarray, bh: int, bw_: int) -> np.ndarray:
     return np.pad(plane, ((0, bh - h), (0, bw_ - w)), mode="edge")
 
 
-def encode_jpeg(img: np.ndarray, quant: int | np.ndarray = 1,
-                subsample: bool = False,
-                restart_interval: int = 0) -> bytes:
-    """(h, w) grayscale or (h, w, 3) uint8 RGB → baseline JPEG bytes.
-
-    ``quant`` is either a scalar (flat quantization table — 1 gives a
-    near-lossless stream bounded only by DCT rounding, which is what
-    the roundtrip tests pin) or a full (64,) table in zigzag order.
-    ``subsample=True`` encodes color as 4:2:0 (2×2 box-averaged
-    chroma); ``restart_interval`` emits DRI + RSTn markers so decoders
-    exercise the restart path.  Test/synthetic use only — a real corpus
-    encoder would use the Annex K psychovisual tables.
-    """
+def _prep_jpeg(img, quant, subsample):
+    """Shared encoder front half: RGB→YCbCr, optional 4:2:0 box-average
+    chroma, MCU-aligned edge padding, FDCT + quantization.  Returns
+    (h, w, q, samp, per-component zigzag coefficient arrays, mcux,
+    mcuy) — both the sequential and progressive encoders entropy-code
+    the SAME coefficients, which is what makes cross-mode decodes a
+    bit-identical oracle."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -800,11 +1035,28 @@ def encode_jpeg(img: np.ndarray, quant: int | np.ndarray = 1,
     vmax = max(s[1] for s in samp)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # pad each plane to its MCU-aligned block grid and FDCT it
     comp_zz = []
     for p, (hs, vs) in zip(planes, samp):
         comp_zz.append(_fdct_quant(
             _pad_to(p, mcuy * vs * 8, mcux * hs * 8), q))
+    return h, w, q, samp, comp_zz, mcux, mcuy
+
+
+def encode_jpeg(img: np.ndarray, quant: int | np.ndarray = 1,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """(h, w) grayscale or (h, w, 3) uint8 RGB → baseline JPEG bytes.
+
+    ``quant`` is either a scalar (flat quantization table — 1 gives a
+    near-lossless stream bounded only by DCT rounding, which is what
+    the roundtrip tests pin) or a full (64,) table in zigzag order.
+    ``subsample=True`` encodes color as 4:2:0 (2×2 box-averaged
+    chroma); ``restart_interval`` emits DRI + RSTn markers so decoders
+    exercise the restart path.  Test/synthetic use only — a real corpus
+    encoder would use the Annex K psychovisual tables.
+    """
+    h, w, q, samp, comp_zz, mcux, mcuy = _prep_jpeg(img, quant, subsample)
+    gray = len(samp) == 1
     dc_codes = _huff_codes(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_codes = _huff_codes(_ENC_AC_BITS, _ENC_AC_VALS)
 
@@ -852,4 +1104,234 @@ def encode_jpeg(img: np.ndarray, quant: int | np.ndarray = 1,
                         dc_codes, ac_codes)
     out += bw.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# Progressive AC table: the flat sequential table plus the EOB-run
+# symbols (nb<<4, nb=1..14, T.81 Table G.1) — 176 codes all at length 8,
+# still a valid canonical table (176 <= 256).
+_ENC_ACP_VALS = _ENC_AC_VALS + [nb << 4 for nb in range(1, 15)]
+_ENC_ACP_BITS = [0] * 16
+_ENC_ACP_BITS[7] = len(_ENC_ACP_VALS)
+
+
+def _emit_eobrun(bw, ac_codes, eobrun, corr=None):
+    """Flush a pending EOB run: symbol nb<<4 (nb = floor(log2 run)),
+    the run's low nb bits, then any buffered refinement correction
+    bits (T.81 G.1.2.2/G.1.2.3)."""
+    if eobrun:
+        nb = eobrun.bit_length() - 1
+        code, ln = ac_codes[nb << 4]
+        bw.write(code, ln)
+        if nb:
+            bw.write(eobrun, nb)
+        for b in corr or ():
+            bw.write(b, 1)
+    return 0, []
+
+
+def _enc_dc_prog(bw, zz, preds, ci, ah, al, dc_codes):
+    """One block of a progressive DC scan (encoder side)."""
+    if ah == 0:
+        t = int(zz[0]) >> al          # arithmetic shift, sign-preserving
+        diff = t - preds[ci]
+        preds[ci] = t
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    else:
+        bw.write((int(zz[0]) >> al) & 1, 1)
+
+
+def _enc_ac_first(bw, zz, ss, se, al, ac_codes, eobrun):
+    """One block of a first AC pass: run/size over |coef|>>Al with
+    EOB-run accumulation across blocks; returns the updated run."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        a = (-t if t < 0 else t) >> al
+        if a == 0:
+            r += 1
+            continue
+        eobrun, _ = _emit_eobrun(bw, ac_codes, eobrun)
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = a.bit_length()
+        code, ln = ac_codes[(r << 4) | s]
+        bw.write(code, ln)
+        bw.write(a if t > 0 else ~a, s)
+        r = 0
+    if r:
+        eobrun += 1
+        if eobrun == 0x7FFF:
+            eobrun, _ = _emit_eobrun(bw, ac_codes, eobrun)
+    return eobrun
+
+
+def _enc_ac_refine(bw, zz, ss, se, al, ac_codes, eobrun, corr):
+    """One block of an AC refinement pass (T.81 G.1.2.3 via the
+    public-domain libjpeg jcphuff structure): newly-nonzero
+    coefficients (|coef|>>Al == 1) get size-1 run codes; correction
+    bits of previously-nonzero coefficients are buffered and emitted
+    after the code (or EOB run) that carries them."""
+    absv = {}
+    eob = ss - 1                      # last newly-nonzero position
+    for k in range(ss, se + 1):
+        absv[k] = abs(int(zz[k])) >> al
+        if absv[k] == 1:
+            eob = k
+    r = 0
+    pend = []                         # this block's buffered bits
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:    # ZRLs not foldable into the EOB
+            eobrun, corr = _emit_eobrun(bw, ac_codes, eobrun, corr)
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pend:
+                bw.write(b, 1)
+            pend = []
+        if t > 1:                     # previously nonzero: buffer a bit
+            pend.append(t & 1)
+            continue
+        eobrun, corr = _emit_eobrun(bw, ac_codes, eobrun, corr)
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in pend:
+            bw.write(b, 1)
+        pend = []
+        r = 0
+    if r > 0 or pend:
+        eobrun += 1
+        corr.extend(pend)
+        if eobrun == 0x7FFF:
+            eobrun, corr = _emit_eobrun(bw, ac_codes, eobrun, corr)
+    return eobrun, corr
+
+
+def _default_scan_script(nc):
+    """A libjpeg-style spectral-selection + successive-approximation
+    script: coarse DC, split AC bands at Al=2, two AC refinement
+    rounds, DC refinement last — exercises every progressive decode
+    path (interleaved DC, EOB runs, ZRL-in-refinement, band splits)."""
+    comps = list(range(nc))
+    script = [(comps, 0, 0, 0, 1)]
+    script += [([c], 1, 5, 0, 2) for c in comps]
+    script += [([c], 6, 63, 0, 2) for c in comps]
+    script += [([c], 1, 63, 2, 1) for c in comps]
+    script += [([c], 1, 63, 1, 0) for c in comps]
+    script.append((comps, 0, 0, 1, 0))
+    return script
+
+
+def encode_jpeg_progressive(img: np.ndarray,
+                            quant: int | np.ndarray = 1,
+                            subsample: bool = False,
+                            restart_interval: int = 0,
+                            script=None) -> bytes:
+    """(h, w) grayscale or (h, w, 3) uint8 RGB → progressive (SOF2)
+    JPEG bytes.  Shares :func:`_prep_jpeg` with the sequential encoder,
+    so ``decode_jpeg(encode_jpeg_progressive(img, q))`` must equal
+    ``decode_jpeg(encode_jpeg(img, q))`` bit-for-bit — the progressive
+    test oracle.  ``script`` is a list of (component indices, Ss, Se,
+    Ah, Al) scans; the default exercises spectral selection and both
+    successive-approximation pass kinds.  The AC Huffman table is
+    deliberately emitted AFTER the first scan to exercise between-scan
+    table definition.  Test/synthetic use only."""
+    h, w, q, samp, comp_zz, mcux, mcuy = _prep_jpeg(img, quant, subsample)
+    nc = len(samp)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    if script is None:
+        script = _default_scan_script(nc)
+    dc_codes = _huff_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _huff_codes(_ENC_ACP_BITS, _ENC_ACP_VALS)
+
+    def _dht(tc, th, bits, vals):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out = bytearray(b"\xff\xd8")
+    dqt = bytes([0]) + bytes(int(v) for v in q)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i in range(nc):
+        hs, vs = samp[i]
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    out += _dht(0, 0, _ENC_DC_BITS, _ENC_DC_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    ac_dht_emitted = False
+    for scomps, ss, se, ah, al in script:
+        if ss > 0 and not ac_dht_emitted:   # between-scan DHT on purpose
+            out += _dht(1, 0, _ENC_ACP_BITS, _ENC_ACP_VALS)
+            ac_dht_emitted = True
+        sos = bytes([len(scomps)])
+        for c in scomps:
+            sos += bytes([c + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+        # enumerate the scan's data units: interleaved MCU walk for
+        # multi-component DC, per-component block raster otherwise
+        units = []
+        if len(scomps) > 1:
+            for mcu in range(mcux * mcuy):
+                my, mx = divmod(mcu, mcux)
+                group = []
+                for c in scomps:
+                    hs, vs = samp[c]
+                    for v in range(vs):
+                        for hz in range(hs):
+                            group.append(
+                                (c, (my * vs + v) * (mcux * hs)
+                                 + (mx * hs + hz)))
+                units.append(group)
+        else:
+            c = scomps[0]
+            hs, vs = samp[c]
+            cw = -(-w * hs // hmax)
+            ch = -(-h * vs // vmax)
+            nbx, nby = -(-cw // 8), -(-ch // 8)
+            stride = mcux * hs
+            for by in range(nby):
+                for bx in range(nbx):
+                    units.append([(c, by * stride + bx)])
+
+        bw = _BitWriter()
+        preds = [0] * nc
+        eobrun = 0
+        corr = []
+        rst = 0
+        for ui, group in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                eobrun, corr = _emit_eobrun(bw, ac_codes, eobrun, corr)
+                out += bw.flush()
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0] * nc
+            for c, bi in group:
+                zz = comp_zz[c][bi]
+                if ss == 0:
+                    _enc_dc_prog(bw, zz, preds, c, ah, al, dc_codes)
+                elif ah == 0:
+                    eobrun = _enc_ac_first(bw, zz, ss, se, al,
+                                           ac_codes, eobrun)
+                else:
+                    eobrun, corr = _enc_ac_refine(bw, zz, ss, se, al,
+                                                  ac_codes, eobrun, corr)
+        eobrun, corr = _emit_eobrun(bw, ac_codes, eobrun, corr)
+        out += bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)

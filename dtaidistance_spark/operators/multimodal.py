@@ -15,7 +15,8 @@ batched ``mapInPandas`` stages.  The codec boundary is split:
   JPEG path is pinned by spec-formula goldens and bounded roundtrips
   in tests/test_pipeline.py::TestJpegCodec instead.
 * **Honest stub** for everything needing an external codec
-  (progressive JPEG/MP3/video): with ``fake=True`` (default) a
+  (MP3/video; JPEG — sequential AND progressive — is decoded natively):
+  with ``fake=True`` (default) a
   deterministic hash-derived decoder stands in (schemas, batching,
   partitioning and downstream math stay real and testable); with
   ``fake=False`` the boundary raises ``NotImplementedError`` where

@@ -582,7 +582,7 @@ class TestJpegCodec:
         err = np.abs(dec[:, :, 0].astype(int) - img.astype(int))
         assert err.max() <= 8 and err.mean() < 2.0
 
-    def test_codec_boundary_progressive_raises(self):
+    def test_codec_boundary_lossless_raises(self):
         import struct
 
         import pytest as _pytest
@@ -591,10 +591,10 @@ class TestJpegCodec:
                                                       encode_jpeg,
                                                       sniff_format)
 
-        sof2 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        sof3 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
         payload = (b"\xff\xd8"
-                   + b"\xff\xc2" + struct.pack(">H", 2 + len(sof2))
-                   + sof2)
+                   + b"\xff\xc3" + struct.pack(">H", 2 + len(sof3))
+                   + sof3)
         with _pytest.raises(NotImplementedError):
             decode_jpeg(payload)
         # truncated entropy data fails loudly, not silently
@@ -602,6 +602,111 @@ class TestJpegCodec:
         with _pytest.raises(ValueError):
             decode_jpeg(bytes(good[:len(good) // 2]) + b"\xff\xd9")
         assert sniff_format(bytes(good)) == "jpeg"
+
+    def test_progressive_hand_assembled_stream(self):
+        """Byte-by-byte hand-built progressive stream for the SAME
+        coefficients as the baseline hand test (DC=5, F[0,1]=−3), split
+        across four scans: DC first at Al=1 (diff 2, size-2 code +
+        bits), AC first 1..63 at Al=1 (size-1 code, negative sign bit,
+        then an EOB run covering the 62 trailing zeros), a one-bit DC
+        refinement, and an AC refinement whose correction bit for the
+        already-nonzero coefficient rides AFTER the EOB-run code — the
+        exact buffered-bit semantics of T.81 G.1.2.3.  Every entropy
+        byte below is hand-packed, so this pins the progressive decode
+        chain to the spec independently of the repo's own encoder."""
+        import struct
+
+        from dtaidistance_spark.kernels.media import decode_jpeg
+
+        dqt = bytes([0x00]) + bytes([1] * 64)
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        dht_dc = bytes([0x00, 1] + [0] * 15) + bytes([2])  # "0" -> size 2
+        # two AC codes at length 2: "00" -> 0x01 (run 0 size 1),
+        # "01" -> 0x00 (EOB / EOB-run length 1)
+        dht_ac = bytes([0x10, 0, 2] + [0] * 14) + bytes([0x01, 0x00])
+
+        def sos(ss, se, ahal, *entropy):
+            hdr = bytes([1, 1, 0x00, ss, se, ahal])
+            return (b"\xff\xda" + struct.pack(">H", 2 + len(hdr)) + hdr
+                    + bytes(entropy))
+
+        payload = (
+            b"\xff\xd8"
+            + b"\xff\xdb" + struct.pack(">H", 2 + len(dqt)) + dqt
+            + b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+            + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_dc)) + dht_dc
+            + b"\xff\xc4" + struct.pack(">H", 2 + len(dht_ac)) + dht_ac
+            # DC first, Al=1: code(2)="0", diff bits "10" -> 010 +1-pad
+            + sos(0, 0, 0x01, 0x5F)
+            # AC first 1..63, Al=1: "00" + sign 0 (negative 1), then
+            # EOB-run code "01" -> 00001 + 1-pad
+            + sos(1, 63, 0x01, 0x0F)
+            # DC refinement Ah=1 Al=0: bit (5 & 1) = 1 -> 1 + 0-pad
+            + sos(0, 0, 0x10, 0x80)
+            # AC refinement Ah=1 Al=0: EOB-run code "01" then the
+            # buffered correction bit 1 for the nonzero coef -> 011
+            + sos(1, 63, 0x10, 0x60)
+            + b"\xff\xd9")
+        F = np.zeros((8, 8))
+        F[0, 0] = 5.0
+        F[0, 1] = -3.0
+        got = decode_jpeg(payload)
+        assert (got[:, :, 0] == self._idct_double_sum(F)).all()
+
+    def test_progressive_matches_sequential_bit_exact(self):
+        """Progressive and sequential encoders share _prep_jpeg, so the
+        entropy layer is the ONLY difference — decodes must be equal
+        bit-for-bit (not approximately) across gray/color/4:2:0/
+        non-multiple-of-8/quantized/restart configurations."""
+        from dtaidistance_spark.kernels.media import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        rng = np.random.default_rng(37)
+        smooth = ((np.sin(np.arange(48)[:, None] / 7)
+                   + np.cos(np.arange(64)[None, :] / 9)) * 60
+                  + 128).clip(0, 255).astype(np.uint8)
+        cases = [
+            (rng.integers(0, 256, (24, 17), dtype=np.uint8), {}),
+            (smooth, {"quant": 8}),
+            (rng.integers(0, 256, (16, 16, 3), dtype=np.uint8), {}),
+            (rng.integers(0, 256, (20, 28, 3), dtype=np.uint8),
+             {"subsample": True}),
+            (rng.integers(0, 256, (32, 40), dtype=np.uint8),
+             {"restart_interval": 2}),
+        ]
+        for img, kw in cases:
+            seq = decode_jpeg(encode_jpeg(img, **kw))
+            prog_payload = encode_jpeg_progressive(img, **kw)
+            assert prog_payload[3] != 0xC0  # really SOF2, not baseline
+            prog = decode_jpeg(prog_payload)
+            assert (seq == prog).all(), (img.shape, kw)
+
+    def test_progressive_custom_script_deep_refinement(self):
+        """A deeper successive-approximation ladder (AC first at Al=3
+        with three refinement rounds, DC at Al=2 with two) plus
+        restarts inside a 4:2:0 color frame — exercises ZRL inside
+        refinement passes, interleaved-DC restart resets, and EOB runs
+        spanning restart-bounded segments.  Still bit-identical to the
+        sequential decode."""
+        from dtaidistance_spark.kernels.media import (
+            decode_jpeg, encode_jpeg, encode_jpeg_progressive)
+
+        rng = np.random.default_rng(41)
+        img = rng.integers(0, 256, (24, 36, 3), dtype=np.uint8)
+        comps = [0, 1, 2]
+        script = [(comps, 0, 0, 0, 2)]
+        script += [([c], 1, 20, 0, 3) for c in comps]
+        script += [([c], 21, 63, 0, 3) for c in comps]
+        script += [([c], 1, 63, 3, 2) for c in comps]
+        script += [([c], 1, 63, 2, 1) for c in comps]
+        script += [([c], 1, 63, 1, 0) for c in comps]
+        script += [(comps, 0, 0, 2, 1), (comps, 0, 0, 1, 0)]
+        payload = encode_jpeg_progressive(
+            img, quant=1, subsample=True, restart_interval=3,
+            script=script)
+        assert b"\xff\xd0" in payload
+        seq = decode_jpeg(encode_jpeg(img, quant=1, subsample=True))
+        assert (decode_jpeg(payload) == seq).all()
 
     def test_decode_features_parses_jpeg_payload(self, spark):
         """Operator plumbing: a JPEG payload goes through the REAL
