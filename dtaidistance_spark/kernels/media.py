@@ -39,14 +39,14 @@ import numpy as np
 __all__ = ["encode_ppm", "decode_ppm", "encode_bmp", "decode_bmp",
            "encode_png", "decode_png", "encode_wav", "decode_wav",
            "encode_jpeg", "encode_jpeg_progressive", "decode_jpeg",
-           "decode_raster", "sniff_format"]
+           "encode_avi", "decode_avi", "decode_raster", "sniff_format"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str:
-    """'ppm' | 'bmp' | 'png' | 'jpeg' | 'wav' | 'unknown' from magic
-    bytes."""
+    """'ppm' | 'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | 'unknown' from
+    magic bytes."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
@@ -57,6 +57,8 @@ def sniff_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 
@@ -1335,3 +1337,148 @@ def encode_jpeg_progressive(img: np.ndarray,
         out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AVI (Microsoft RIFF container, public AVI 1.0 / OpenDML spec): RIFF
+# 'AVI ' + LIST hdrl (avih main header + LIST strl (strh stream header
+# + strf BITMAPINFOHEADER)) + LIST movi with one frame chunk per video
+# frame + idx1 index.  Two codecs, both self-contained: '00db' raw
+# frames (uncompressed bottom-up BGR DIB rows, 4-byte-aligned stride,
+# biCompression=0 BI_RGB) and '00dc' MJPEG frames (each chunk is one
+# complete JPEG stream, decoded by this module's own decode_jpeg —
+# baseline or progressive).  Anything else (H.264 & co) stays behind
+# the NotImplementedError codec boundary.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(ckid: bytes, data: bytes) -> bytes:
+    """FOURCC + little-endian size + data + word-alignment pad."""
+    return (ckid + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+
+
+def _riff_list(ltype: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", ltype + body)
+
+
+def encode_avi(frames, codec: str = "raw", fps: int = 10,
+               quant: int | np.ndarray = 1) -> bytes:
+    """List of (h, w, 3) uint8 RGB frames → AVI bytes.
+
+    ``codec='raw'`` writes '00db' BI_RGB DIB chunks (lossless — the
+    pixel-formula oracle path); ``codec='mjpeg'`` writes '00dc' chunks,
+    each a complete JPEG from this module's encoder at ``quant``.
+    Emits a spec-shaped idx1 index (keyframe flag, offsets relative to
+    the 'movi' fourcc) so decoders that read it see a real file."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    h, w, _ = frames[0].shape
+    if any(f.shape != (h, w, 3) for f in frames):
+        raise ValueError("all AVI frames must share one (h, w, 3) shape")
+    if codec == "raw":
+        ckid, handler, compression = b"00db", b"DIB ", 0
+        stride = (w * 3 + 3) // 4 * 4
+        payloads = []
+        for f in frames:
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, :w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # BGR, up
+            payloads.append(rows.tobytes())
+    elif codec == "mjpeg":
+        ckid, handler = b"00dc", b"MJPG"
+        compression = struct.unpack("<I", b"MJPG")[0]
+        payloads = [encode_jpeg(f, quant=quant) for f in frames]
+    else:
+        raise ValueError(f"unsupported AVI codec {codec!r}")
+    maxbuf = max(len(p) for p in payloads)
+    n = len(frames)
+
+    avih = struct.pack("<10I", 1_000_000 // fps, maxbuf * fps, 0,
+                       0x10,          # AVIF_HASINDEX
+                       n, 0, 1, maxbuf, w, h) + b"\x00" * 16
+    strh = (b"vids" + handler
+            + struct.pack("<10I", 0, 0, 0, 1, fps, 0, n, maxbuf,
+                          0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, compression,
+                       len(payloads[0]), 0, 0, 0, 0)
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih)
+                      + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                                   + _riff_chunk(b"strf", strf)))
+    movi_body = b""
+    idx = b""
+    for p in payloads:
+        # idx1 offsets point at the chunk FOURCC, relative to 'movi'
+        idx += ckid + struct.pack("<III", 0x10, 4 + len(movi_body),
+                                  len(p))
+        movi_body += _riff_chunk(ckid, p)
+    movi = _riff_list(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_walk(payload: bytes, pos: int, lim: int, out: dict) -> None:
+    """Recursive RIFF chunk walk collecting strf geometry and movi
+    frame chunks (descends into LIST 'rec ' groupings too).  Limits
+    are clamped to the real buffer so a truncated file fails with the
+    decoder's own ValueError, not a struct error."""
+    lim = min(lim, len(payload))
+    while pos + 8 <= lim:
+        ckid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        start = pos + 8
+        if ckid == b"LIST":
+            _avi_walk(payload, start + 4, start + size, out)
+        elif ckid == b"strf" and "w" not in out:
+            if start + 20 > lim:
+                raise ValueError("truncated AVI strf header")
+            _, w, h, _, bits, comp = struct.unpack(
+                "<IiiHHI", payload[start:start + 20])
+            out.update(w=w, h=h, bits=bits, compression=comp)
+        elif ckid == b"strh" and "fps" not in out:
+            scale, rate = struct.unpack("<II", payload[start + 20:
+                                                       start + 28])
+            if scale:
+                out["fps"] = rate / scale
+        elif ckid[2:4] in (b"db", b"dc") and ckid[:2].isdigit():
+            out.setdefault("frames", []).append(
+                payload[start:start + size])
+        pos = start + size + (size & 1)
+
+
+def decode_avi(payload: bytes):
+    """AVI bytes → (list of (h, w, 3) uint8 RGB frames, meta dict with
+    w/h/fps/compression).  Raw BI_RGB DIB chunks are unpacked exactly
+    (bottom-up BGR, padded stride); MJPEG chunks go through
+    :func:`decode_jpeg`.  Other codecs raise NotImplementedError."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    out: dict = {}
+    _avi_walk(payload, 12, 8 + struct.unpack("<I", payload[4:8])[0], out)
+    if "w" not in out or not out.get("frames"):
+        raise ValueError("AVI missing strf header or movi frames")
+    w, h = out["w"], out["h"]
+    nrows = abs(h)
+    imgs = []
+    for body in out["frames"]:
+        if body[:3] == b"\xff\xd8\xff":  # MJPEG: one JPEG per chunk
+            imgs.append(decode_jpeg(body))
+            continue
+        if out["compression"] != 0 or out.get("bits") != 24:
+            raise NotImplementedError(
+                f"AVI codec 0x{out['compression']:08X}/"
+                f"{out.get('bits')}bpp needs ffmpeg")
+        stride = (w * 3 + 3) // 4 * 4
+        arr = np.frombuffer(body, dtype=np.uint8)
+        if arr.size < stride * nrows:
+            raise ValueError("truncated AVI DIB frame")
+        rows = arr[:stride * nrows].reshape(nrows, stride)[:, :w * 3]
+        img = rows.reshape(nrows, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if h > 0:  # positive biHeight = bottom-up rows
+            img = img[::-1]
+        imgs.append(np.ascontiguousarray(img))
+    meta = {"w": w, "h": nrows, "fps": out.get("fps"),
+            "compression": out["compression"],
+            "n_frames": len(imgs)}
+    return imgs, meta

@@ -14,13 +14,16 @@ batched ``mapInPandas`` stages.  The codec boundary is split:
   DuckDB oracle validates the decoded pixel values exactly); the lossy
   JPEG path is pinned by spec-formula goldens and bounded roundtrips
   in tests/test_pipeline.py::TestJpegCodec instead.
-* **Honest stub** for everything needing an external codec
-  (MP3/video; JPEG — sequential AND progressive — is decoded natively):
-  with ``fake=True`` (default) a
-  deterministic hash-derived decoder stands in (schemas, batching,
-  partitioning and downstream math stay real and testable); with
-  ``fake=False`` the boundary raises ``NotImplementedError`` where
-  Pillow/ffmpeg/soundfile would be invoked.
+* **Real video** (late r5): RIFF/AVI container parse with lossless
+  raw-DIB ('00db') and MJPEG ('00dc', each chunk one JPEG through the
+  native decoder — baseline or progressive) frame chunks, feeding both
+  ``decode_features`` and ``sample_frames``.
+* **Honest stub** for everything needing an external codec (MP3,
+  non-MJPEG video): with ``fake=True`` (default) a deterministic
+  hash-derived decoder stands in (schemas, batching, partitioning and
+  downstream math stay real and testable); with ``fake=False`` the
+  boundary raises ``NotImplementedError`` where Pillow/ffmpeg/
+  soundfile would be invoked.
 """
 
 from __future__ import annotations
@@ -33,8 +36,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.media import (decode_raster, decode_wav, encode_png,
-                             encode_ppm, encode_wav, sniff_format)
+from ..kernels.media import (decode_avi, decode_raster, decode_wav,
+                             encode_avi, encode_png, encode_ppm,
+                             encode_wav, sniff_format)
 
 MEDIA_SCHEMA = ("media_id long, kind string, payload binary, width int, "
                 "height int, sample_rate int, n_frames int")
@@ -55,6 +59,16 @@ def _synth_pixels(media_id: int, w: int = _IMG_W, h: int = _IMG_H) -> np.ndarray
 
 _AUDIO_N = 2048
 
+_VID_W, _VID_H = 16, 12
+
+
+def _synth_frame(media_id: int, frame_idx: int) -> np.ndarray:
+    """Deterministic video frame: the image formula with the frame
+    index folded in additively (id' = media_id + 131·frame), so the
+    DuckDB oracle replays per-frame pixels as
+    (7·id + 917·f + 3·x + 5·y + 11·c + x·y) mod 256."""
+    return _synth_pixels(media_id + 131 * frame_idx, _VID_W, _VID_H)
+
 
 def _synth_samples(media_id: int, n: int = _AUDIO_N) -> np.ndarray:
     """Deterministic mono PCM16 test signal — integer formula kept
@@ -71,9 +85,12 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     real binary-PPM payload and a real PNG payload (the PNG encoder
     cycles all five scanline filters, so decode exercises every
     unfilter path); audio rows carry a real RIFF/WAVE PCM16 payload;
-    video rows carry hash-derived opaque bytes for the stubbed codec.
-    The decoded pixels follow the same integer formula either way, so
-    the SQL pixel oracle covers both container formats."""
+    video rows carry a real uncompressed-DIB AVI (one lossless '00db'
+    BGR frame chunk per frame, so the per-frame pixel formula stays
+    SQL-replayable too — the MJPEG flavor is pinned by pytest
+    roundtrips instead).  The decoded pixels follow the same integer
+    formula either way, so the SQL pixel oracle covers every container
+    format."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         kinds = ["image", "audio", "video"]
@@ -89,8 +106,9 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 elif kind == "audio":
                     payload = encode_wav(_synth_samples(mid), 16000)
                 else:
-                    payload = hashlib.sha256(
-                        f"m{seed}:{mid}".encode()).hexdigest().encode()
+                    payload = encode_avi(
+                        [_synth_frame(mid, fi)
+                         for fi in range(mid % 7 + 3)], codec="raw")
                 rows.append((mid, kind, payload, _IMG_W, _IMG_H, 16000,
                              mid % 7 + 3))
             yield pd.DataFrame(rows, columns=[
@@ -145,14 +163,31 @@ def _audio_features(payload: bytes, n_features: int) -> np.ndarray:
     return out
 
 
+def _frame_sig(frame: np.ndarray) -> float:
+    """Mean channel intensity of one frame in [0, 1): exact integer sum
+    (< 2^53) divided last, so the value is summation-order-independent
+    and bit-reproducible by the SQL oracle."""
+    return int(frame.sum(dtype=np.int64)) / frame.size / 255.0
+
+
+def _video_features(payload: bytes, n_features: int) -> np.ndarray:
+    """Real AVI decode → ``n_features`` frame signatures; feature f
+    samples frame ⌊f·n_frames/n_features⌋ (repeats when the clip is
+    shorter than the feature vector)."""
+    frames, _ = decode_avi(payload)
+    nf = len(frames)
+    return np.array([_frame_sig(frames[f * nf // n_features])
+                     for f in range(n_features)])
+
+
 def decode_features(media: DataFrame, n_features: int = 16,
                     fake: bool = True) -> DataFrame:
     """media → fixed-width feature vectors (the embedding-extraction
     stage of a training-data pipeline).  Batched: one pandas frame per
     Arrow batch, one numpy matrix per batch.  Raster payloads
-    (PPM/BMP/PNG/JPEG magic) and WAVE payloads go through the REAL
-    decoders; other formats use the hash stub (or raise with
-    ``fake=False``)."""
+    (PPM/BMP/PNG/JPEG magic), WAVE payloads, and AVI video payloads
+    (raw DIB or MJPEG chunks) go through the REAL decoders; other
+    formats use the hash stub (or raise with ``fake=False``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -162,14 +197,16 @@ def decode_features(media: DataFrame, n_features: int = 16,
                 fmt = sniff_format(p)
                 if fmt == "wav":
                     feats.append(_audio_features(p, n_features).tolist())
+                elif fmt == "avi":
+                    feats.append(_video_features(p, n_features).tolist())
                 elif fmt != "unknown":
                     feats.append(_raster_features(p, n_features).tolist())
                 elif fake:
                     feats.append(_fake_decode(p, n_features).tolist())
                 else:
                     raise NotImplementedError(
-                        "real decoding of media beyond PPM/BMP/PNG/baseline-"
-                        "JPEG/WAV requires Pillow/ffmpeg/soundfile, not "
+                        "real decoding of media beyond PPM/BMP/PNG/JPEG/"
+                        "WAV/AVI requires Pillow/ffmpeg/soundfile, not "
                         "available in this environment")
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "kind": pdf["kind"],
@@ -213,7 +250,11 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 6,
 
 def sample_frames(media: DataFrame, every_k: int = 2,
                   fake: bool = True) -> DataFrame:
-    """Video frame-sampling stage: one output row per kept frame."""
+    """Video frame-sampling stage: one output row per kept frame.
+    AVI payloads are REALLY decoded (every ``every_k``-th frame chunk,
+    raw DIB or MJPEG) and signed with the exact integer-mean
+    signature; non-AVI video uses the hash stub (or raises with
+    ``fake=False``)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -221,11 +262,19 @@ def sample_frames(media: DataFrame, every_k: int = 2,
             for row in pdf.itertuples(index=False):
                 if row.kind != "video":
                     continue
+                p = bytes(row.payload)
+                if sniff_format(p) == "avi":
+                    frames, _ = decode_avi(p)
+                    for fi in range(0, len(frames), every_k):
+                        rows.append((row.media_id, fi,
+                                     _frame_sig(frames[fi])))
+                    continue
                 for fi in range(0, int(row.n_frames), every_k):
                     if not fake:
-                        raise NotImplementedError("real video decode unavailable")
+                        raise NotImplementedError(
+                            "real decode of non-AVI video needs ffmpeg")
                     frame_sig = float(_fake_decode(
-                        bytes(row.payload) + fi.to_bytes(2, "big"), 1)[0])
+                        p + fi.to_bytes(2, "big"), 1)[0])
                     rows.append((row.media_id, fi, frame_sig))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
                                               "frame_sig"])

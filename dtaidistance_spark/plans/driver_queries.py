@@ -2283,9 +2283,14 @@ ORACLES["media_features"] = """
     -- the RMS from the sample formula here validates the WAVE decoder
     -- end-to-end (integer squares sum exactly below 2^53, so the value
     -- is order-independent and bit-equal).
-    -- VIDEO payloads are the UTF-8 bytes of sha2-hex('m42:<id>') and
-    -- go through the honest _fake_decode stub (hash payload ||
-    -- uint32_be(0), stretch digest bytes into [0,1) floats).
+    -- VIDEO rows carry a REAL uncompressed-DIB AVI whose frame fi has
+    -- pixels (7·(id + 131·fi) + 3·x + 5·y + 11·c + x·y) mod 256 on a
+    -- 16×12 grid; the Spark side round-trips it through encode_avi →
+    -- decode_avi (RIFF walk + bottom-up BGR DIB unpack) → 8 frame
+    -- signatures (feature f samples frame ⌊f·n_frames/8⌋, n_frames =
+    -- id mod 7 + 3; signature = exact integer pixel sum / 576 / 255),
+    -- so recomputing the signature from the formula here validates
+    -- the AVI container decode end-to-end, bit-for-bit.
     SELECT r.range AS media_id, 'image' AS kind,
            round(sum(((7 * r.range + 3 * x.range + 5 * y.range
                        + x.range * y.range) % 256
@@ -2313,16 +2318,19 @@ ORACLES["media_features"] = """
     GROUP BY media_id
     UNION ALL
     SELECT media_id, 'video' AS kind,
-           round(list_sum(list_transform(range(0, 8), i ->
-             ((strpos('0123456789abcdef', substr(dg, 2*i+1, 1)) - 1) * 16
-              + (strpos('0123456789abcdef', substr(dg, 2*i+2, 1)) - 1))
-             / 256.0)), 6) AS feat_sum
+           round(list_sum(list(sig ORDER BY f)), 6) AS feat_sum
     FROM (
-      SELECT r.range AS media_id,
-             sha256(sha256('m42:' || r.range::VARCHAR)
-                    || chr(0) || chr(0) || chr(0) || chr(0)) AS dg
-      FROM range(0, 64) r WHERE r.range % 3 = 2
+      SELECT r.range AS media_id, f.range AS f,
+             sum((7 * (r.range
+                       + 131 * ((f.range * (r.range % 7 + 3)) // 8))
+                  + 3 * x.range + 5 * y.range + 11 * c.range
+                  + x.range * y.range) % 256) / 576.0 / 255.0 AS sig
+      FROM range(0, 64) r, range(0, 8) f, range(0, 16) x,
+           range(0, 12) y, range(0, 3) c
+      WHERE r.range % 3 = 2
+      GROUP BY 1, 2
     )
+    GROUP BY media_id
 """
 
 
