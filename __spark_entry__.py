@@ -46,9 +46,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": DQ.q_rollup_1d_cascade,
         "gap_fill_1h": DQ.q_gap_fill_1h,
         "latency_points": DQ.q_latency_points,
-        # discrete p50/p95/p99 per (series, day) — rank-exact in both
-        # engines; approx_percentile is the documented 100 TB swap-in
-        "latency_quantiles": DQ.q_latency_quantiles,
         # composite differencing + DDTW derivative over the 1h tier
         "diff_derivative_1h": DQ.q_diff_derivative_1h,
         "top_users_1d": DQ.q_top_users_1d,
@@ -108,6 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": DQ.q_repetition_stats,
         # deterministic stratified sampling / data mixing (r4)
         "sample_stratified": DQ.q_sample_stratified,
+        # exact repeated-substring spans (late r5): hash-window
+        # suffix-array relaxation, gaps-and-islands span merge
+        "dup_spans": DQ.q_dup_spans,
         "ngram_jaccard": DQ.q_ngram_jaccard,
         "minhash_lsh": DQ.q_minhash_lsh,
         "simhash": DQ.q_simhash,
@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out r5 (each carries 3-4 rounds of driver hash-green
         # records, r1-r4); still fully SQL-oracled here and re-verified
         # every round by the scripts/check_oracles.py sweep
+        # (latency_quantiles made room for dup_spans late r5: rank-exact
+        # p50/p95/p99; approx_percentile is the documented 100 TB swap-in)
+        "latency_quantiles": DQ.q_latency_quantiles,
         "znormal_latency": DQ.q_znormal_latency,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

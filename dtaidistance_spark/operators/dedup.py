@@ -370,3 +370,65 @@ def embedding_neardup_lsh(emb: DataFrame, dim: int, threshold: float = 0.95,
         .select("id_a", "id_b", "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def repeated_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
+                   broadcast_hot: bool = True) -> DataFrame:
+    """Exact repeated-substring spans, the hash-window variant of
+    suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — the published
+    suffix-array method finds corpus-wide repeated substrings; the
+    scalable re-expression hashes every k-token window instead, the
+    same relaxation production curation pipelines use).
+
+    Plan shape (one shuffle on the window hash + per-doc windowed
+    merge):
+
+    1. every k-token window of the normalized text → a portable
+       md5-derived 60-bit hash (JVM column algebra, one md5 per
+       window — no Python);
+    2. groupBy(window hash) with map-side partial aggregation keeps
+       ``count >= min_count`` window hashes (the "hot" set — repeated
+       anywhere in the corpus, including within one document);
+    3. join windows back to the hot set — broadcast by default (the
+       hot set is the *filtered* aggregate, normally tiny relative to
+       the corpus; set ``broadcast_hot=False`` to let the planner
+       shuffle-join when boilerplate makes it large, and lean on AQE's
+       skew-join for hot keys);
+    4. overlapping hot windows merge into maximal spans per document —
+       the classic gaps-and-islands pattern (a window covers
+       [pos, pos+k); a new island starts where pos exceeds the running
+       max end), partitioned per doc so the sort never goes global.
+
+    Returns one row per maximal repeated span: (doc_id, span_start,
+    span_end, n_windows) in token coordinates, end exclusive.  Hash
+    collisions can merge distinct substrings (standard for the hashed
+    variant; at 100 TB widen the hash, here 60 bits ≫ corpus windows²).
+    """
+    toks = F.split(_norm_text(), " ")
+    n = F.size(toks)
+    whash = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: _md5_long(F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    wins = (docs.where(n >= k)
+            .select("doc_id", F.posexplode(whash).alias("pos", "whash")))
+    hot = (wins.groupBy("whash").count()
+           .where(F.col("count") >= min_count).select("whash"))
+    if broadcast_hot:
+        hot = F.broadcast(hot)
+    hw = wins.join(hot, "whash").select("doc_id", "pos")
+
+    from pyspark.sql import Window
+    byd = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        byd.rowsBetween(Window.unboundedPreceding, -1))
+    marked = hw.withColumn(
+        "new_isl",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0))
+    grouped = marked.withColumn("isl", F.sum("new_isl").over(byd))
+    return (grouped.groupBy("doc_id", "isl")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k).alias("span_end"),
+                 F.count("*").alias("n_windows"))
+            .drop("isl"))

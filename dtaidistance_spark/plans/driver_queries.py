@@ -1011,6 +1011,16 @@ def q_decontaminate(spark, sf_dir):
     return DD.decontaminate(train, bench, k=3, min_overlap=3)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact repeated-substring spans (hash-window suffix-array
+    relaxation, Lee et al. 2022): every 8-token window md5-hashed
+    JVM-side, one shuffle to find corpus-wide repeated windows,
+    broadcast join back, per-doc gaps-and-islands merge into maximal
+    spans.  The DuckDB twin replays windows, hot set, and island merge
+    with the identical portable md5 hash."""
+    return DD.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic 90/5/5 train/val/test assignment keyed on
     md5(salt:doc_id) — reshuffle-stable and engine-portable (DuckDB twin
@@ -1592,6 +1602,54 @@ def _lttb_oracle(n_out: int = 20) -> str:
 
 
 ORACLES["downsample_lttb"] = _lttb_oracle(20)
+
+ORACLES["dup_spans"] = f"""
+    -- twin of repeated_spans(k=8, min_count=2): hash every 8-token
+    -- window of the normalized text with the portable md5-derived
+    -- 60-bit hash, keep window hashes seen >= 2 times anywhere in the
+    -- corpus (within-doc repeats count), merge each doc's hot windows
+    -- into maximal spans via gaps-and-islands (a window covers
+    -- [pos, pos+8); a new island starts where pos exceeds the running
+    -- max end over preceding windows).
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t
+      FROM documents
+    ),
+    starts AS (
+      -- scalar range() returns a per-row list, so unnest stays
+      -- row-local (table-function generate_series can't be lateral)
+      SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos
+      FROM toks WHERE len(t) >= 8
+    ),
+    wins AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(md5(array_to_string(
+                 list_slice(t, pos + 1, pos + 8), ' ')), 1, 15)
+               AS BIGINT) AS whash
+      FROM starts
+    ),
+    hot AS (SELECT whash FROM wins GROUP BY whash HAVING count(*) >= 2),
+    hw AS (SELECT w.doc_id, w.pos FROM wins w JOIN hot USING (whash)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM hw
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS isl_id
+      FROM isl
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
+           count(*) AS n_windows
+    FROM grp GROUP BY doc_id, isl_id
+"""
 
 ORACLES["repetition_stats"] = f"""
     -- NULL/empty/whitespace-only text -> 0 tokens and all-zero stats,

@@ -10,10 +10,13 @@ pipeline over a documents corpus:
 
     1 quality   quality_score + Gopher repetition filters, threshold cut
     2 exact     exact-dup collapse (one representative per normalized text)
-    3 neardup   MinHash-LSH pairs -> connected components -> dedup_apply
-    4 decontam  drop docs sharing >= min-overlap k-shingles with the eval set
-    5 split     deterministic md5-bucket train/val/test assignment
-    6 mix       stratified per-language sampling of the train split
+    3 spans     repeated-substring coverage cut (Lee et al.-style
+                hash-window spans: drop docs mostly made of text that
+                repeats anywhere in the corpus)
+    4 neardup   MinHash-LSH pairs -> connected components -> dedup_apply
+    5 decontam  drop docs sharing >= min-overlap k-shingles with the eval set
+    6 split     deterministic md5-bucket train/val/test assignment
+    7 mix       stratified per-language sampling of the train split
 
 Every stage goes through operators/checkpoint.run_stage: parquet data +
 a JSON manifest with per-partition lineage (rows per partition + an
@@ -27,8 +30,10 @@ metrics line (per-stage rows/wall/resumed + final mix counts).
 At 100 TB every stage is the scale-shape the operators were built with:
 the quality pass is a scan-side filter (one Arrow map for repetition
 features), exact/near dedup shuffle only md5 keys and banded signatures,
-decontamination broadcasts the eval-set shingles so the corpus scan
-never shuffles, and split/mix are pushdown-able hash predicates.
+the span cut shuffles only 60-bit window hashes and broadcasts the
+filtered hot set back, decontamination broadcasts the eval-set shingles
+so the corpus scan never shuffles, and split/mix are pushdown-able hash
+predicates.
 """
 
 from __future__ import annotations
@@ -54,7 +59,7 @@ def curate(spark: SparkSession, args) -> dict:
     from dtaidistance_spark.operators.checkpoint import read_manifest, run_stage
     from dtaidistance_spark.operators.dedup import (
         connected_components, dedup_apply, decontaminate, exact_dedup,
-        minhash_lsh_pairs)
+        minhash_lsh_pairs, repeated_spans)
     from dtaidistance_spark.operators.text import (
         assign_split, quality_score, repetition_stats, sample_stratified)
 
@@ -98,8 +103,27 @@ def curate(spark: SparkSession, args) -> dict:
         return cur.join(reps, "doc_id", "semi")
     cur, metrics["stages"]["exact"] = stage("exact", fp2, e_fn)
 
-    # 3 near dedup: LSH pairs -> transitive closure -> keep representatives
-    fp3 = _fp("neardup", fp2, args.minhash_hashes, args.minhash_bands,
+    # 3 repeated-span coverage cut: drop docs whose corpus-repeated
+    # token coverage exceeds the threshold (exact dups are already
+    # collapsed, so what this catches is boilerplate-heavy documents)
+    fp2b = _fp("spans", fp2, args.span_k, args.span_cover_max)
+    def sp_fn():
+        spans = repeated_spans(cur, k=args.span_k)
+        cover = spans.groupBy("doc_id").agg(
+            F.sum(F.col("span_end") - F.col("span_start"))
+            .alias("dup_toks"))
+        ntok = cur.select(
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"))
+        drop = (cover.join(ntok, "doc_id")
+                .where(F.col("dup_toks")
+                       > args.span_cover_max * F.col("n_toks"))
+                .select("doc_id"))
+        return cur.join(drop, "doc_id", "left_anti")
+    cur, metrics["stages"]["spans"] = stage("spans", fp2b, sp_fn)
+
+    # 4 near dedup: LSH pairs -> transitive closure -> keep representatives
+    fp3 = _fp("neardup", fp2b, args.minhash_hashes, args.minhash_bands,
               args.jaccard_threshold)
     def n_fn():
         pairs = minhash_lsh_pairs(cur, n_hashes=args.minhash_hashes,
@@ -109,7 +133,7 @@ def curate(spark: SparkSession, args) -> dict:
         return dedup_apply(cur, clusters)
     cur, metrics["stages"]["neardup"] = stage("neardup", fp3, n_fn)
 
-    # 4 decontamination vs the deterministic eval slice
+    # 5 decontamination vs the deterministic eval slice
     fp4 = _fp("decontam", fp3, args.bench_mod, args.shingle_k,
               args.min_overlap)
     def d_fn():
@@ -121,13 +145,13 @@ def curate(spark: SparkSession, args) -> dict:
         return train.join(flagged, "doc_id", "left_anti")
     cur, metrics["stages"]["decontam"] = stage("decontam", fp4, d_fn)
 
-    # 5 deterministic split
+    # 6 deterministic split
     fp5 = _fp("split", fp4, args.split_salt)
     def s_fn():
         return assign_split(cur, salt=args.split_salt)
     cur, metrics["stages"]["split"] = stage("split", fp5, s_fn)
 
-    # 6 stratified mix of the train split; val/test pass through
+    # 7 stratified mix of the train split; val/test pass through
     rates = dict(kv.split("=") for kv in args.mix_rates.split(","))
     rates = {k: int(v) for k, v in rates.items()}
     fp6 = _fp("mix", fp5, sorted(rates.items()), args.mix_salt)
@@ -154,6 +178,8 @@ def main(argv=None) -> dict:
     ap.add_argument("--quality-min", type=float, default=0.05)
     ap.add_argument("--top-bigram-max", type=float, default=0.5)
     ap.add_argument("--dup-token-max", type=float, default=0.95)
+    ap.add_argument("--span-k", type=int, default=8)
+    ap.add_argument("--span-cover-max", type=float, default=0.9)
     ap.add_argument("--minhash-hashes", type=int, default=16)
     ap.add_argument("--minhash-bands", type=int, default=4)
     ap.add_argument("--jaccard-threshold", type=float, default=0.5)

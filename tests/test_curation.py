@@ -30,7 +30,8 @@ class TestCurationPipeline:
         wd = tmp_path / "curate"
         m1 = _run(spark, wd)
         s = m1["stages"]
-        order = ["quality", "exact", "neardup", "decontam", "split"]
+        order = ["quality", "exact", "spans", "neardup", "decontam",
+                 "split"]
         rows = [s[name]["rows"] for name in order]
         assert rows == sorted(rows, reverse=True)  # each stage only drops
         assert s["mix"]["rows"] <= s["split"]["rows"]
@@ -53,8 +54,62 @@ class TestCurationPipeline:
         m = _run(spark, wd, extra=("--min-overlap", "2"))
         s = m["stages"]
         assert s["quality"]["resumed"] and s["exact"]["resumed"] \
-            and s["neardup"]["resumed"]
+            and s["spans"]["resumed"] and s["neardup"]["resumed"]
         assert not s["decontam"]["resumed"] and not s["split"]["resumed"] \
             and not s["mix"]["resumed"]
         # stricter overlap cut can only drop more docs
         assert s["decontam"]["rows"] <= s["neardup"]["rows"]
+
+
+class TestRepeatedSpans:
+    """Exact repeated-substring spans (hash-window suffix-array
+    relaxation, operators/dedup.py::repeated_spans; the driver query
+    `dup_spans` carries the full gaps-and-islands DuckDB twin)."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "a b c d e f g h i j unique1 tail one"),
+             (2, "prefix two a b c d e f g h i j other"),
+             (3, "z z z z z z z z z z z z"),       # within-doc repeat
+             (4, "totally different words with no repeats here at all"),
+             (5, "short doc")],                    # < k tokens: no rows
+            "doc_id long, text string")
+
+    def test_known_spans(self, spark):
+        from dtaidistance_spark.operators.dedup import repeated_spans
+
+        out = repeated_spans(self._docs(spark), k=8, min_count=2) \
+            .orderBy("doc_id", "span_start").collect()
+        got = [(r.doc_id, r.span_start, r.span_end, r.n_windows)
+               for r in out]
+        # docs 1/2 share the 10-token run "a b … j" (3 hot windows,
+        # merged into one maximal span at each doc's own offset);
+        # doc 3 repeats its single all-z window at every position
+        assert got == [(1, 0, 10, 3), (2, 2, 12, 3), (3, 0, 12, 5)]
+
+    def test_islands_split_on_gap(self, spark):
+        from dtaidistance_spark.operators.dedup import repeated_spans
+
+        # two disjoint repeated runs inside one doc pair -> two spans
+        run1 = "a b c d e f g h"
+        run2 = "p q r s t u v w"
+        docs = spark.createDataFrame(
+            [(1, f"{run1} xx yy zz qq {run2}"),
+             (2, f"one {run1} mid gap words {run2} two")],
+            "doc_id long, text string")
+        out = repeated_spans(docs, k=8, min_count=2) \
+            .orderBy("doc_id", "span_start").collect()
+        spans = [(r.doc_id, r.span_start, r.span_end) for r in out]
+        assert spans == [(1, 0, 8), (1, 12, 20),
+                         (2, 1, 9), (2, 12, 20)]
+
+    def test_hot_set_broadcast_plan(self, spark):
+        from dtaidistance_spark.operators.dedup import repeated_spans
+
+        plan = repeated_spans(self._docs(spark))._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        plan2 = repeated_spans(self._docs(spark), broadcast_hot=False) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan2.split("AdaptiveSparkPlan")[0] \
+            or "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
