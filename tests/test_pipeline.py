@@ -255,6 +255,55 @@ class TestStreaming:
         w12 = final[final["bucket_ts"] == t + pd.Timedelta("2h")]
         assert len(w12) == 1 and int(w12["cnt"].iloc[0]) == 1
 
+    def test_streaming_exact_dedup(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark keyed on the exact_dedup md5
+        fingerprint: one output row per distinct normalized text across
+        micro-batch boundaries (within the watermark horizon), bounded
+        state, idempotent resume from the checkpoint."""
+        import pandas as pd
+
+        from dtaidistance_spark.streaming.dedup_stream import (
+            run_doc_dedup_stream)
+
+        src_dir = tmp_path / "dd_src"
+        src_dir.mkdir()
+        out_dir = str(tmp_path / "dd_out")
+        ck_dir = str(tmp_path / "dd_ck")
+        schema = "doc_id long, ts timestamp, text string"
+        t = pd.Timestamp("2024-01-01 10:00:00")
+
+        def drop(name, rows):
+            pdf = pd.DataFrame(rows, columns=["doc_id", "ts", "text"])
+            pdf["ts"] = pd.to_datetime(pdf["ts"])
+            spark.createDataFrame(pdf).coalesce(1) \
+                .write.parquet(str(src_dir / name))
+
+        # batch 1: dup inside the batch (1 vs 2, differing only by
+        # whitespace/case — same normalized fingerprint) + a unique doc
+        drop("b1", [(1, t, "Hello   World again"),
+                    (2, t + pd.Timedelta("10s"), "hello world AGAIN"),
+                    (3, t + pd.Timedelta("20s"), "something else")])
+        run_doc_dedup_stream(spark, str(src_dir) + "/*", schema=schema,
+                             out_dir=out_dir, checkpoint_dir=ck_dir)
+        got1 = spark.read.parquet(out_dir).toPandas()
+        assert len(got1) == 2
+        assert set(got1["doc_id"]) < {1, 2, 3} and 3 in set(got1["doc_id"])
+
+        # batch 2 (same checkpoint): a cross-batch dup of doc 3 within
+        # the watermark is suppressed; a genuinely new doc passes
+        drop("b2", [(4, t + pd.Timedelta("30s"), "  SOMETHING   ELSE "),
+                    (5, t + pd.Timedelta("40s"), "brand new words")])
+        run_doc_dedup_stream(spark, str(src_dir) + "/*", schema=schema,
+                             out_dir=out_dir, checkpoint_dir=ck_dir)
+        got2 = spark.read.parquet(out_dir).toPandas()
+        assert len(got2) == 3 and 4 not in set(got2["doc_id"])
+        assert 5 in set(got2["doc_id"])
+
+        # rerun with nothing new: checkpoint resume emits nothing
+        run_doc_dedup_stream(spark, str(src_dir) + "/*", schema=schema,
+                             out_dir=out_dir, checkpoint_dir=ck_dir)
+        assert spark.read.parquet(out_dir).count() == 3
+
     def test_stateful_sessionize_matches_batch(self, spark, tmp_path):
         """applyInPandasWithState sessionizer vs the batch window-cumsum
         sessionization, on the safely-closed subset."""
