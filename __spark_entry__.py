@@ -49,7 +49,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composite differencing + DDTW derivative over the 1h tier
         "diff_derivative_1h": DQ.q_diff_derivative_1h,
         "top_users_1d": DQ.q_top_users_1d,
-        "retention_7d": DQ.q_retention_7d,
         "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
         # tiered parquet sink (sinks/tiers.py): write partitioned by
         # (tier, day) with dynamic overwrite, read back partition-pruned
@@ -108,6 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact repeated-substring spans (late r5): hash-window
         # suffix-array relaxation, gaps-and-islands span merge
         "dup_spans": DQ.q_dup_spans,
+        # find-then-cut substring dedup (late r5): spans applied back,
+        # tokens dropped, normalized text rebuilt (Lee et al. pipeline)
+        "span_clean": DQ.q_span_clean,
         "ngram_jaccard": DQ.q_ngram_jaccard,
         "minhash_lsh": DQ.q_minhash_lsh,
         "simhash": DQ.q_simhash,
@@ -123,9 +125,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out r5 (each carries 3-4 rounds of driver hash-green
         # records, r1-r4); still fully SQL-oracled here and re-verified
         # every round by the scripts/check_oracles.py sweep
-        # (latency_quantiles made room for dup_spans late r5: rank-exact
-        # p50/p95/p99; approx_percentile is the documented 100 TB swap-in)
+        # (latency_quantiles and retention_7d made room for dup_spans +
+        # span_clean late r5: rank-exact p50/p95/p99 with
+        # approx_percentile as the documented 100 TB swap-in, and the
+        # 7-day retention query — both 4 rounds hash-green)
         "latency_quantiles": DQ.q_latency_quantiles,
+        "retention_7d": DQ.q_retention_7d,
         "znormal_latency": DQ.q_znormal_latency,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

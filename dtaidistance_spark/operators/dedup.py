@@ -432,3 +432,38 @@ def repeated_spans(docs: DataFrame, k: int = 8, min_count: int = 2,
                  (F.max("pos") + k).alias("span_end"),
                  F.count("*").alias("n_windows"))
             .drop("isl"))
+
+
+def remove_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Apply :func:`repeated_spans` output: drop every token that falls
+    inside a repeated span and rebuild the (normalized) text — the
+    second half of Lee et al.-style substring dedup (find, then cut).
+
+    Pure column algebra: the span list per doc is collected (a handful
+    of structs), left-joined onto the corpus, and tokens are filtered
+    by index with an ``exists`` probe over the spans — O(tokens·spans)
+    per doc with spans per doc small by construction (maximal, merged,
+    non-overlapping).  Docs with no spans pass through untouched (the
+    join is a left join against the *tiny* span side; at corpus scale
+    broadcast it).
+
+    Returns (doc_id, clean_text, n_tokens, n_removed).
+    """
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp"))
+    toks = F.split(_norm_text(), " ")
+    zipped = F.arrays_zip(toks.alias("tok"),
+                          F.sequence(F.lit(0), F.size(toks) - 1).alias("i"))
+    in_span = lambda s: F.exists(  # noqa: E731
+        F.col("sp"), lambda p: (p.span_start <= s.i) & (s.i < p.span_end))
+    kept = F.filter(zipped, lambda s: ~in_span(s))
+    return (docs.join(F.broadcast(sp), "doc_id", "left")
+            .withColumn("sp", F.coalesce(
+                F.col("sp"), F.array().cast(
+                    "array<struct<span_start:int,span_end:int>>")))
+            .select(
+                "doc_id",
+                F.concat_ws(" ", F.transform(kept, lambda s: s.tok))
+                .alias("clean_text"),
+                F.size(toks).alias("n_tokens"),
+                (F.size(toks) - F.size(kept)).alias("n_removed")))

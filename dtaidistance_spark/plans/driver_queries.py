@@ -1021,6 +1021,15 @@ def q_dup_spans(spark, sf_dir):
     return DD.repeated_spans(_docs(spark, sf_dir), k=8, min_count=2)
 
 
+def q_span_clean(spark, sf_dir):
+    """Find-then-cut substring dedup (the second half of the Lee et al.
+    pipeline): repeated_spans feeds remove_spans, which drops every
+    token inside a repeated span and rebuilds the normalized text —
+    span side broadcast, token filter pure column algebra."""
+    docs = _docs(spark, sf_dir)
+    return DD.remove_spans(docs, DD.repeated_spans(docs, k=8, min_count=2))
+
+
 def q_split_assign(spark, sf_dir):
     """Deterministic 90/5/5 train/val/test assignment keyed on
     md5(salt:doc_id) — reshuffle-stable and engine-portable (DuckDB twin
@@ -1603,7 +1612,7 @@ def _lttb_oracle(n_out: int = 20) -> str:
 
 ORACLES["downsample_lttb"] = _lttb_oracle(20)
 
-ORACLES["dup_spans"] = f"""
+_DUP_SPANS_CTES = f"""
     -- twin of repeated_spans(k=8, min_count=2): hash every 8-token
     -- window of the normalized text with the portable md5-derived
     -- 60-bit hash, keep window hashes seen >= 2 times anywhere in the
@@ -1646,9 +1655,36 @@ ORACLES["dup_spans"] = f"""
                                 AND CURRENT ROW) AS isl_id
       FROM isl
     )
+"""
+
+ORACLES["dup_spans"] = _DUP_SPANS_CTES + """
     SELECT doc_id, min(pos) AS span_start, max(pos) + 8 AS span_end,
            count(*) AS n_windows
     FROM grp GROUP BY doc_id, isl_id
+"""
+
+ORACLES["span_clean"] = _DUP_SPANS_CTES + """
+    , spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + 8 AS e
+      FROM grp GROUP BY doc_id, isl_id
+    ),
+    tokpos AS (
+      SELECT doc_id, t, unnest(range(0, len(t))) AS i FROM toks
+    ),
+    kept AS (
+      SELECT tp.doc_id, tp.i, tp.t[tp.i + 1] AS tok
+      FROM tokpos tp
+      WHERE NOT EXISTS (SELECT 1 FROM spans s
+                        WHERE s.doc_id = tp.doc_id
+                          AND s.s <= tp.i AND tp.i < s.e)
+    ),
+    nt AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT n.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text,
+           n.n_tokens,
+           n.n_tokens - count(k.i) AS n_removed
+    FROM nt n LEFT JOIN kept k USING (doc_id)
+    GROUP BY n.doc_id, n.n_tokens
 """
 
 ORACLES["repetition_stats"] = f"""

@@ -113,3 +113,20 @@ class TestRepeatedSpans:
             ._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" not in plan2.split("AdaptiveSparkPlan")[0] \
             or "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2
+
+    def test_remove_spans_cuts_exact_tokens(self, spark):
+        from dtaidistance_spark.operators.dedup import (remove_spans,
+                                                        repeated_spans)
+
+        docs = self._docs(spark)
+        spans = repeated_spans(docs, k=8, min_count=2)
+        out = {r.doc_id: r for r in remove_spans(docs, spans).collect()}
+        assert out[1].clean_text == "unique1 tail one"
+        assert (out[1].n_tokens, out[1].n_removed) == (13, 10)
+        assert out[2].clean_text == "prefix two other"
+        assert out[3].clean_text == "" and out[3].n_removed == 12
+        # span-free docs pass through with the normalized text intact
+        assert out[4].n_removed == 0
+        assert out[4].clean_text == \
+            "totally different words with no repeats here at all"
+        assert out[5].clean_text == "short doc"
