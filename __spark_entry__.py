@@ -48,12 +48,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_points": DQ.q_latency_points,
         # composite differencing + DDTW derivative over the 1h tier
         "diff_derivative_1h": DQ.q_diff_derivative_1h,
-        "top_users_1d": DQ.q_top_users_1d,
         "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
         # tiered parquet sink (sinks/tiers.py): write partitioned by
         # (tier, day) with dynamic overwrite, read back partition-pruned
         "tier_sink_roundtrip": DQ.q_tier_sink_roundtrip,
-        "sessionize": DQ.q_sessionize,
         # LTTB shape-preserving downsample (r4; 18 chained argmax CTEs)
         "downsample_lttb": DQ.q_downsample_lttb,
         # DTW analytics (dtw_pairs carries full value-level DuckDB oracles
@@ -104,6 +102,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": DQ.q_repetition_stats,
         # deterministic stratified sampling / data mixing (r4)
         "sample_stratified": DQ.q_sample_stratified,
+        # PII detection + redaction (late r5): per-category regexp_count
+        # + fixed regexp_replace chain, Java/RE2-common pattern subset so
+        # the redacted text is engine-portable byte-for-byte
+        "pii_redact": DQ.q_pii_redact,
+        # deterministic concat-and-chunk sequence packing (late r5):
+        # two-phase distributed prefix sum — per-bucket totals, driver
+        # offsets, per-bucket parallel cumsum (never a global-order window)
+        "pack_sequences": DQ.q_pack_sequences,
         # exact repeated-substring spans (late r5): hash-window
         # suffix-array relaxation, gaps-and-islands span merge
         "dup_spans": DQ.q_dup_spans,
@@ -128,9 +134,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (latency_quantiles and retention_7d made room for dup_spans +
         # span_clean late r5: rank-exact p50/p95/p99 with
         # approx_percentile as the documented 100 TB swap-in, and the
-        # 7-day retention query — both 4 rounds hash-green)
+        # 7-day retention query — both 4 rounds hash-green; top_users_1d
+        # and sessionize, each 4 rounds hash-green r1-r4, made room for
+        # pii_redact + pack_sequences)
         "latency_quantiles": DQ.q_latency_quantiles,
         "retention_7d": DQ.q_retention_7d,
+        "top_users_1d": DQ.q_top_users_1d,
+        "sessionize": DQ.q_sessionize,
         "znormal_latency": DQ.q_znormal_latency,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

@@ -227,3 +227,112 @@ def sample_stratified(docs: DataFrame,
     rate = rate.otherwise(default_per_mille) if rate is not None \
         else F.lit(default_per_mille)
     return docs.where(bucket < rate)
+
+
+# PII patterns — deliberately restricted to the regex subset that Java
+# (Spark's regexp_replace) and RE2 (DuckDB/Go/Rust engines) evaluate
+# identically: character classes, bounded repetition, word boundaries;
+# no backreferences, no lookaround.  Order matters (email before ipv4
+# before phone/ssn) and is part of the operator contract so redacted
+# text is engine-portable byte-for-byte.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction — the scrubbing pass every training
+    corpus runs before anything else sees the text (emails, IPv4
+    addresses, US-style phone numbers, SSN-shaped ids).
+
+    Pure JVM column algebra: one ``regexp_count`` per category for the
+    detection counts plus a fixed chain of ``regexp_replace`` calls for
+    the redacted text — no Python, no shuffle, whole-stage-codegen'd,
+    and the (doc_id, text) projection prunes the scan.  At 100 TB this
+    is a map-only pass limited by parquet scan speed.  Patterns are
+    applied in the fixed ``PII_PATTERNS`` order (email -> ipv4 ->
+    phone -> ssn) so overlapping matches resolve identically in every
+    engine; replacement tokens contain no digits or '@', so the pass is
+    idempotent (redact(redact(x)) == redact(x), pinned in tests).
+    """
+    text = F.col(text_col)
+    cols = [F.col("doc_id")]
+    clean = text
+    for name, pat, token in PII_PATTERNS:
+        cols.append(F.regexp_count(text, F.lit(pat)).alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, token)
+    total = None
+    for name, _, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return docs.select(*cols, clean.alias("clean_text")) \
+               .withColumn("n_pii", total.cast("int"))
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 2048,
+                   n_buckets: int = 64,
+                   order_col: str = "doc_id") -> DataFrame:
+    """Deterministic sequence packing — the concat-and-chunk step that
+    turns a curated corpus into fixed-length training sequences: all
+    documents are concatenated in a stable global order (``order_col``)
+    and the token stream is cut into ``seq_len``-token context windows.
+    Emits, per document, its global token offset and the pack (chunk)
+    ids it lands in, so a downstream writer can group by ``first_pack``
+    and materialize the actual windows.
+
+    The global running sum is the scale problem: a naive
+    ``Window.orderBy(order_col)`` collapses the corpus onto ONE
+    partition.  Instead this is the classic two-phase distributed
+    prefix sum: (1) range-bucket the order key and aggregate per-bucket
+    token totals — one tiny shuffle producing ``n_buckets`` rows;
+    (2) compute exclusive bucket offsets on the driver (n_buckets
+    scalars, not data) and broadcast them back; (3) a per-bucket window
+    cumsum, partitioned by bucket, runs fully parallel.  At 100 TB with
+    n_buckets ~ O(cluster cores x 4) no task ever sees more than one
+    bucket's rows and the only global object is the n_buckets-row
+    offset map.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens_col(F.col("text"))
+    base = docs.select(F.col(order_col).alias("_ord"), "doc_id",
+                       F.size(toks).cast("long").alias("n_tokens"))
+
+    lo, hi = base.agg(F.min("_ord"), F.max("_ord")).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    bucket_w = -(-span // n_buckets)  # ceil
+    bucketed = base.withColumn(
+        "_bkt", ((F.col("_ord") - F.lit(int(lo))) / bucket_w)
+        .cast("long"))
+
+    # phase 1: per-bucket totals (tiny: n_buckets rows to the driver)
+    totals = {r["_bkt"]: r["t"] for r in
+              bucketed.groupBy("_bkt").agg(F.sum("n_tokens").alias("t"))
+              .collect()}
+    run, offsets = 0, {}
+    for b in sorted(totals):
+        offsets[b] = run
+        run += totals[b]
+    off_expr = F.lit(0).cast("long")
+    for b, off in offsets.items():
+        off_expr = F.when(F.col("_bkt") == b, F.lit(off)).otherwise(off_expr)
+
+    # phase 2: per-bucket parallel cumsum + broadcast bucket offset
+    w = Window.partitionBy("_bkt").orderBy("_ord")
+    cum = F.sum("n_tokens").over(w)
+    offset = (off_expr + cum - F.col("n_tokens")).alias("global_offset")
+    out = bucketed.select("doc_id", "n_tokens", offset)
+    L = F.lit(int(seq_len))
+    first = F.floor(F.col("global_offset") / L).cast("long")
+    last = F.floor((F.col("global_offset") + F.col("n_tokens") - 1) / L) \
+        .cast("long")
+    return out.select(
+        "doc_id", "n_tokens", "global_offset",
+        first.alias("first_pack"),
+        (F.col("global_offset") % L).cast("long").alias("offset_in_pack"),
+        last.alias("last_pack"),
+        (last - first + 1).cast("int").alias("n_chunks"),
+    )

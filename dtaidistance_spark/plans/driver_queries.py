@@ -3315,3 +3315,123 @@ def _register_generated_oracles():
 
 
 _register_generated_oracles()
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + sequence packing (r5)
+# ---------------------------------------------------------------------------
+
+
+def _pii_docs(spark, sf_dir):
+    """PII-bearing fixture: the synthetic word-soup documents carry no
+    emails/phones/IPs, so the query injects deterministic PII derived
+    from doc_id (same arithmetic in the SQL twin) — the redaction pass
+    then has real work whose counts and rewritten text are checkable."""
+    did = F.col("doc_id")
+    parts = [
+        F.col("text"),
+        F.when(did % 7 == 0, F.concat(
+            F.lit(" contact user"), did.cast("string"),
+            F.lit("@example.com now"))).otherwise(""),
+        F.when(did % 11 == 0, F.concat(
+            F.lit(" call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+        F.when(did % 13 == 0, F.concat(
+            F.lit(" from 10."), (did % 256).cast("string"), F.lit("."),
+            ((did * 7) % 256).cast("string"), F.lit("."),
+            ((did * 13) % 256).cast("string"))).otherwise(""),
+        F.when(did % 17 == 0, F.concat(
+            F.lit(" id 987-65-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+    ]
+    return _docs(spark, sf_dir).withColumn("text", F.concat(*parts))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (emails / IPv4 / phone / SSN-shaped ids): per-category
+    regexp_count + a fixed regexp_replace chain — map-only JVM column
+    algebra, no Python, no shuffle, scan-speed at any corpus size.  The
+    pattern set is restricted to the Java/RE2-common regex subset so the
+    redacted text is engine-portable byte-for-byte (operators/text.py
+    PII_PATTERNS)."""
+    return TX.redact_pii(_pii_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic concat-and-chunk sequence packing into 512-token
+    context windows via the two-phase distributed prefix sum (per-bucket
+    totals -> driver offsets -> per-bucket parallel cumsum): the naive
+    global Window.orderBy would collapse 100 TB onto one partition; this
+    plan's widest exchange is n_buckets-way."""
+    return TX.pack_sequences(_docs(spark, sf_dir), seq_len=512, n_buckets=16)
+
+
+_PII_AUG = """
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+               || CAST(doc_id AS VARCHAR) || '@example.com now'
+               ELSE '' END
+          || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END
+          || CASE WHEN doc_id % 13 = 0 THEN ' from 10.'
+               || CAST(doc_id % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+               || CAST((doc_id * 13) % 256 AS VARCHAR)
+               ELSE '' END
+          || CASE WHEN doc_id % 17 = 0 THEN ' id 987-65-'
+               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS text
+        FROM documents
+"""
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+
+ORACLES["pii_redact"] = f"""
+    WITH aug AS ({_PII_AUG})
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INT)
+             AS n_email,
+           CAST(len(regexp_extract_all(text, '{_PII_IPV4}')) AS INT)
+             AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INT)
+             AS n_phone,
+           CAST(len(regexp_extract_all(text, '{_PII_SSN}')) AS INT)
+             AS n_ssn,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_SSN}', '<SSN>', 'g') AS clean_text,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+              + len(regexp_extract_all(text, '{_PII_IPV4}'))
+              + len(regexp_extract_all(text, '{_PII_PHONE}'))
+              + len(regexp_extract_all(text, '{_PII_SSN}')) AS INT) AS n_pii
+    FROM aug
+"""
+
+ORACLES["pack_sequences"] = """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+               AS global_offset
+      FROM t)
+    SELECT doc_id, n_tokens, global_offset,
+           CAST(floor(global_offset / 512) AS BIGINT) AS first_pack,
+           CAST(global_offset % 512 AS BIGINT) AS offset_in_pack,
+           CAST(floor((global_offset + n_tokens - 1) / 512) AS BIGINT)
+             AS last_pack,
+           CAST(floor((global_offset + n_tokens - 1) / 512)
+                - floor(global_offset / 512) + 1 AS INT) AS n_chunks
+    FROM c
+"""

@@ -1,0 +1,109 @@
+"""PII redaction + sequence-packing operator tests (round 5).
+
+redact_pii: Java/RE2-common regex subset, fixed pattern order, pure
+column algebra.  pack_sequences: two-phase distributed prefix sum —
+parity vs a driver-side cumsum, repartition stability, and the plan pin
+that no global-order (SinglePartition) exchange ever appears.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/reference/src")
+
+from dtaidistance_spark.operators.text import pack_sequences, redact_pii
+
+
+PII_TEXTS = [
+    (0, "reach me at alice.smith+work@mail.example.org thanks"),
+    (1, "server 192.168.1.254 then 10.0.0.7 replied"),
+    (2, "call 555-123-4567 or 555.987.6543 today"),
+    (3, "ssn on file 123-45-6789 end"),
+    (4, "plain text with no sensitive content at all"),
+    (5, "bob@x.io pinged 8.8.8.8 from 555-000-1111 re 987-65-4321"),
+    (6, ""),
+]
+
+
+class TestRedactPii:
+    def test_counts_and_redaction(self, spark):
+        docs = spark.createDataFrame(PII_TEXTS, "doc_id long, text string")
+        got = redact_pii(docs).orderBy("doc_id").toPandas()
+        assert got["n_email"].tolist() == [1, 0, 0, 0, 0, 1, 0]
+        assert got["n_ipv4"].tolist() == [0, 2, 0, 0, 0, 1, 0]
+        assert got["n_phone"].tolist() == [0, 0, 2, 0, 0, 1, 0]
+        assert got["n_ssn"].tolist() == [0, 0, 0, 1, 0, 1, 0]
+        assert got["n_pii"].tolist() == [1, 2, 2, 1, 0, 4, 0]
+        clean = got["clean_text"].tolist()
+        assert clean[0] == "reach me at <EMAIL> thanks"
+        assert clean[1] == "server <IP> then <IP> replied"
+        assert clean[2] == "call <PHONE> or <PHONE> today"
+        assert clean[3] == "ssn on file <SSN> end"
+        assert clean[4] == PII_TEXTS[4][1]
+        assert clean[5] == "<EMAIL> pinged <IP> from <PHONE> re <SSN>"
+
+    def test_idempotent(self, spark):
+        docs = spark.createDataFrame(PII_TEXTS, "doc_id long, text string")
+        once = redact_pii(docs).selectExpr("doc_id",
+                                           "clean_text AS text")
+        twice = redact_pii(once).orderBy("doc_id").toPandas()
+        assert twice["n_pii"].tolist() == [0] * len(PII_TEXTS)
+        first = redact_pii(docs).orderBy("doc_id").toPandas()
+        assert twice["clean_text"].tolist() == first["clean_text"].tolist()
+
+    def test_map_only_plan(self, spark):
+        docs = spark.createDataFrame(PII_TEXTS, "doc_id long, text string")
+        plan = redact_pii(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection, scan-speed
+
+
+class TestPackSequences:
+    @staticmethod
+    def _docs(spark, n=97, seed_mod=7):
+        # texts with known token counts: doc i has (i % seed_mod) + 1
+        # tokens, ids deliberately sparse (i * 3) to exercise range
+        # bucketing over a non-dense key
+        rows = [(i * 3, " ".join(["w"] * ((i % seed_mod) + 1)))
+                for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string"), rows
+
+    def _brute(self, rows, seq_len):
+        out, off = {}, 0
+        for did, text in sorted(rows):
+            n = len(text.split())
+            out[did] = (n, off, off // seq_len, off % seq_len,
+                        (off + n - 1) // seq_len)
+            off += n
+        return out
+
+    def test_parity_vs_driver_cumsum(self, spark):
+        docs, rows = self._docs(spark)
+        for seq_len, n_buckets in [(16, 8), (5, 1), (64, 200)]:
+            got = pack_sequences(docs, seq_len=seq_len,
+                                 n_buckets=n_buckets) \
+                .orderBy("doc_id").toPandas()
+            want = self._brute(rows, seq_len)
+            for r in got.itertuples(index=False):
+                n, off, fp, oip, lp = want[r.doc_id]
+                assert (r.n_tokens, r.global_offset, r.first_pack,
+                        r.offset_in_pack, r.last_pack) == \
+                    (n, off, fp, oip, lp), r
+                assert r.n_chunks == lp - fp + 1
+
+    def test_repartition_stable(self, spark):
+        docs, _ = self._docs(spark, n=60)
+        a = pack_sequences(docs, seq_len=8, n_buckets=4) \
+            .orderBy("doc_id").toPandas()
+        b = pack_sequences(docs.repartition(17), seq_len=8, n_buckets=4) \
+            .orderBy("doc_id").toPandas()
+        assert a.values.tolist() == b.values.tolist()
+
+    def test_no_global_order_exchange(self, spark):
+        """The scale pin: the cumsum window is partitioned by bucket —
+        a SinglePartition exchange (what a global orderBy window emits)
+        must never appear in the physical plan."""
+        docs, _ = self._docs(spark)
+        plan = pack_sequences(docs, seq_len=32, n_buckets=8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+        assert "hashpartitioning(_bkt" in plan
