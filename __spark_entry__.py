@@ -85,7 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stays rows-only below as loco_matches)
         "loco_best_match": DQ.q_loco_best_match,
         "nw_align": DQ.q_nw_align,
-        "edit_distance": DQ.q_edit_distance,
         "media_features": DQ.q_media_features,
         # documents: dedup + text analysis + curation primitives
         "dedup_exact": DQ.q_dedup_exact,
@@ -110,6 +109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-phase distributed prefix sum — per-bucket totals, driver
         # offsets, per-bucket parallel cumsum (never a global-order window)
         "pack_sequences": DQ.q_pack_sequences,
+        # CCNet-style bigram-LM perplexity quality scoring (late r5):
+        # LM = two count-aggs, scoring = keyed equi-joins, no driver model
+        "perplexity": DQ.q_perplexity,
         # exact repeated-substring spans (late r5): hash-window
         # suffix-array relaxation, gaps-and-islands span merge
         "dup_spans": DQ.q_dup_spans,
@@ -134,13 +136,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (latency_quantiles and retention_7d made room for dup_spans +
         # span_clean late r5: rank-exact p50/p95/p99 with
         # approx_percentile as the documented 100 TB swap-in, and the
-        # 7-day retention query — both 4 rounds hash-green; top_users_1d
-        # and sessionize, each 4 rounds hash-green r1-r4, made room for
-        # pii_redact + pack_sequences)
+        # 7-day retention query — both 4 rounds hash-green; top_users_1d,
+        # sessionize and edit_distance, each 4 rounds hash-green r1-r4,
+        # made room for pii_redact + pack_sequences + perplexity)
         "latency_quantiles": DQ.q_latency_quantiles,
         "retention_7d": DQ.q_retention_7d,
         "top_users_1d": DQ.q_top_users_1d,
         "sessionize": DQ.q_sessionize,
+        "edit_distance": DQ.q_edit_distance,
         "znormal_latency": DQ.q_znormal_latency,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

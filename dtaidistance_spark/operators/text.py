@@ -336,3 +336,64 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
         last.alias("last_pack"),
         (last - first + 1).cast("int").alias("n_chunks"),
     )
+
+
+def perplexity_filter(docs: DataFrame, train: DataFrame,
+                      k: float = 0.5) -> DataFrame:
+    """CCNet-style perplexity quality filter (Wenzek et al. 2020,
+    public): train an add-k-smoothed bigram language model on a
+    reference slice, score every document's per-token perplexity, and
+    let the caller cut the tail.  Low-perplexity ≈ fluent prose;
+    boilerplate and word-salad score high.
+
+    Distributed shape: the LM "training" is two count aggregations over
+    the exploded token stream (one shuffle each, map-side partial);
+    scoring is two keyed equi-joins of the corpus bigram stream against
+    the count tables (AQE picks broadcast when the LM is small, sort-
+    merge when it is corpus-sized) plus one per-doc aggregate.  No
+    driver-side model object — the LM stays a DataFrame, so a 100 TB
+    corpus trains and scores without any single node holding the vocab.
+
+    P(w_i | w_{i-1}) = (c2(w_{i-1}, w_i) + k) / (c1(w_{i-1}) + k * V),
+    V = |train vocab| + 1 (unseen); ppl = exp(-mean log P).  Documents
+    with fewer than two tokens have no bigrams and score NULL.
+    """
+    def toks_df(df):
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                                _TOKEN_SEP, " ")
+        return df.select("doc_id", F.split(norm, " ").alias("toks"))
+
+    def bigrams(df):
+        t = toks_df(df)
+        idx = F.sequence(F.lit(0), F.size("toks") - 2)
+        pairs = F.transform(idx, lambda i: F.struct(
+            F.element_at("toks", i + 1).alias("prev"),
+            F.element_at("toks", i + 2).alias("cur")))
+        return t.where(F.size("toks") >= 2) \
+            .select("doc_id", F.explode(pairs).alias("bg")) \
+            .select("doc_id", F.col("bg.prev").alias("prev"),
+                    F.col("bg.cur").alias("cur"))
+
+    uni = toks_df(train).select(F.explode("toks").alias("tok")) \
+        .groupBy("tok").agg(F.count("*").alias("c1"))
+    big = bigrams(train).groupBy("prev", "cur") \
+        .agg(F.count("*").alias("c2"))
+    vocab = uni.count() + 1  # scalar, not data: |V| + 1 for unseen
+
+    scored = (bigrams(docs)
+              .join(big, ["prev", "cur"], "left")
+              .join(uni.withColumnRenamed("tok", "prev"), ["prev"], "left")
+              .withColumn("lp", F.log(
+                  (F.coalesce("c2", F.lit(0)) + F.lit(float(k))) /
+                  (F.coalesce("c1", F.lit(0)) + F.lit(float(k * vocab)))))
+              .groupBy("doc_id")
+              .agg(F.count("*").alias("n_bigrams"),
+                   F.sum("lp").alias("s")))
+    out = docs.select("doc_id").join(scored, ["doc_id"], "left")
+    ppl = F.exp(-F.col("s") / F.col("n_bigrams"))
+    return out.select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("int").alias("n_bigrams"),
+        F.round("s", 6).alias("log_prob"),
+        F.round(ppl, 6).alias("perplexity"),
+    )

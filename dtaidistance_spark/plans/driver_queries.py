@@ -3435,3 +3435,49 @@ ORACLES["pack_sequences"] = """
                 - floor(global_offset / 512) + 1 AS INT) AS n_chunks
     FROM c
 """
+
+
+def q_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity scoring: train the add-k model
+    on the doc_id % 5 != 0 slice, score every document.  LM training is
+    two shuffling count-aggs; scoring is two keyed equi-joins + one
+    per-doc agg — the LM never leaves the cluster (no driver model)."""
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    return TX.perplexity_filter(docs, train, k=0.5)
+
+
+_PPL_TOKS = ("string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', "
+             "'g'), ' ')")
+
+ORACLES["perplexity"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_PPL_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([{{'prev': toks[i], 'cur': toks[i + 1]}}
+                     for i in generate_series(1, len(toks) - 1)]) AS s
+      FROM t WHERE len(toks) >= 2),
+    uni AS (
+      SELECT unnest(toks) AS tok FROM t WHERE doc_id % 5 <> 0),
+    c1 AS (
+      SELECT tok, count(*) AS c1 FROM uni GROUP BY 1),
+    c2 AS (
+      SELECT s.prev AS prev, s.cur AS cur, count(*) AS c2
+      FROM bg WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+    v AS (SELECT count(*) + 1 AS vocab FROM c1),
+    sc AS (
+      SELECT bg.doc_id, count(*) AS n_bigrams,
+             sum(ln((coalesce(c2.c2, 0) + 0.5)
+                    / (coalesce(c1.c1, 0) + 0.5 * v.vocab))) AS s
+      FROM bg
+      LEFT JOIN c2 ON bg.s.prev = c2.prev AND bg.s.cur = c2.cur
+      LEFT JOIN c1 ON bg.s.prev = c1.tok
+      CROSS JOIN v
+      GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS INT) AS n_bigrams,
+           round(sc.s, 6) AS log_prob,
+           round(exp(-sc.s / sc.n_bigrams), 6) AS perplexity
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""

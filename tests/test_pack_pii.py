@@ -107,3 +107,64 @@ class TestPackSequences:
             ._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
         assert "hashpartitioning(_bkt" in plan
+
+
+class TestPerplexityFilter:
+    TEXTS = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the cat"),
+        (2, "zebra quark flux"),          # mostly unseen under train
+        (3, "single"),                    # no bigrams -> NULL scores
+        (4, "the the the the"),
+        (5, "on the mat sat the cat"),
+    ]
+
+    @staticmethod
+    def _brute(texts, train_ids, k=0.5):
+        from collections import Counter
+        import math
+
+        toks = {i: t.lower().split() for i, t in texts}
+        c1, c2 = Counter(), Counter()
+        for i in train_ids:
+            c1.update(toks[i])
+            c2.update(zip(toks[i], toks[i][1:]))
+        V = len(set(w for i in train_ids for w in toks[i])) + 1
+        out = {}
+        for i, _ in texts:
+            bgs = list(zip(toks[i], toks[i][1:]))
+            if not bgs:
+                out[i] = (0, None, None)
+                continue
+            s = sum(math.log((c2[b] + k) / (c1[b[0]] + k * V)) for b in bgs)
+            out[i] = (len(bgs), round(s, 6),
+                      round(math.exp(-s / len(bgs)), 6))
+        return out
+
+    def test_parity_vs_brute_force(self, spark):
+        from dtaidistance_spark.operators.text import perplexity_filter
+
+        docs = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        train_ids = [0, 1, 4]
+        train = docs.where(f"doc_id in ({','.join(map(str, train_ids))})")
+        got = perplexity_filter(docs, train).orderBy("doc_id").toPandas()
+        want = self._brute(self.TEXTS, train_ids)
+        for r in got.itertuples(index=False):
+            n, lp, ppl = want[r.doc_id]
+            assert r.n_bigrams == n
+            if n == 0:
+                assert r.log_prob != r.log_prob  # NaN/NULL
+            else:
+                assert abs(r.log_prob - lp) < 1e-6, (r.doc_id, r.log_prob, lp)
+                assert abs(r.perplexity - ppl) < 1e-4
+
+    def test_fluent_scores_below_salad(self, spark):
+        """Docs drawn from the training distribution must score lower
+        perplexity than unseen-vocab word salad."""
+        from dtaidistance_spark.operators.text import perplexity_filter
+
+        docs = spark.createDataFrame(self.TEXTS, "doc_id long, text string")
+        train = docs.where("doc_id in (0, 1, 4, 5)")
+        got = perplexity_filter(docs, train).toPandas() \
+            .set_index("doc_id")["perplexity"]
+        assert got[0] < got[2] and got[5] < got[2]
