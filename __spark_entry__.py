@@ -91,7 +91,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": DQ.q_token_stats,
         "quality_score": DQ.q_quality_score,
         "lang_id": DQ.q_lang_id,
-        "fingerprint": DQ.q_fingerprint,
         # benchmark decontamination (r4): broadcast benchmark-shingle
         # join, training scan never shuffles
         "decontaminate": DQ.q_decontaminate,
@@ -112,6 +111,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet-style bigram-LM perplexity quality scoring (late r5):
         # LM = two count-aggs, scoring = keyed equi-joins, no driver model
         "perplexity": DQ.q_perplexity,
+        # BPE tokenizer training iteration 0 (late r5): char-pair counts
+        # over the word-type table; the merge loop is pytest-pinned
+        "bpe_pairs": DQ.q_bpe_pairs,
         # exact repeated-substring spans (late r5): hash-window
         # suffix-array relaxation, gaps-and-islands span merge
         "dup_spans": DQ.q_dup_spans,
@@ -137,13 +139,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span_clean late r5: rank-exact p50/p95/p99 with
         # approx_percentile as the documented 100 TB swap-in, and the
         # 7-day retention query — both 4 rounds hash-green; top_users_1d,
-        # sessionize and edit_distance, each 4 rounds hash-green r1-r4,
-        # made room for pii_redact + pack_sequences + perplexity)
+        # sessionize, edit_distance and fingerprint, each 4 rounds
+        # hash-green r1-r4, made room for pii_redact + pack_sequences +
+        # perplexity + bpe_pairs)
         "latency_quantiles": DQ.q_latency_quantiles,
         "retention_7d": DQ.q_retention_7d,
         "top_users_1d": DQ.q_top_users_1d,
         "sessionize": DQ.q_sessionize,
         "edit_distance": DQ.q_edit_distance,
+        "fingerprint": DQ.q_fingerprint,
         "znormal_latency": DQ.q_znormal_latency,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

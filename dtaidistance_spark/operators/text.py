@@ -397,3 +397,108 @@ def perplexity_filter(docs: DataFrame, train: DataFrame,
         F.round("s", 6).alias("log_prob"),
         F.round(ppl, 6).alias("perplexity"),
     )
+
+
+def _word_types(docs: DataFrame) -> DataFrame:
+    """Word-type table (word, freq): the classic BPE reduction — all
+    later work is over distinct word TYPES weighted by frequency, so the
+    expensive corpus scan happens exactly once (one shuffle)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _TOKEN_SEP, " ")
+    return docs.select(F.explode(F.split(norm, " ")).alias("word")) \
+        .where(F.length("word") > 0) \
+        .groupBy("word").agg(F.count("*").alias("freq"))
+
+
+def _sym_pairs(sym_col, freq_col) -> F.Column:
+    """Adjacent symbol pairs of one word, each weighted by word freq."""
+    n = F.size(sym_col)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0)))
+    return F.when(n >= 2, F.transform(
+        idx, lambda i: F.struct(
+            F.element_at(sym_col, i).alias("left"),
+            F.element_at(sym_col, i + 1).alias("right"),
+            freq_col.alias("freq")))).otherwise(F.array())
+
+
+def bpe_pair_counts(docs: DataFrame) -> DataFrame:
+    """Symbol-pair frequencies over the word-type table — iteration 0
+    of BPE tokenizer training (Sennrich et al. 2016, public): each word
+    starts as its character sequence; every adjacent pair counts once
+    per occurrence, weighted by the word's corpus frequency.
+
+    Two shuffles total at any corpus size: the word-type groupBy (the
+    only pass over the raw corpus) and the pair-count groupBy over the
+    exploded TYPE table (vocab-sized, not corpus-sized).
+    """
+    w = _word_types(docs)
+    chars = F.transform(F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.col("word").substr(i, F.lit(1)))
+    syms = w.select(F.col("freq"), chars.alias("syms"))
+    return syms.select(F.explode(_sym_pairs(F.col("syms"),
+                                            F.col("freq"))).alias("p")) \
+        .groupBy(F.col("p.left").alias("left"),
+                 F.col("p.right").alias("right")) \
+        .agg(F.sum("p.freq").alias("cnt"))
+
+
+def learn_bpe(docs: DataFrame, n_merges: int = 10,
+              checkpoint_every: int = 8) -> list:
+    """BPE merge-rule learning as a Spark loop: each iteration counts
+    adjacent symbol pairs over the word-TYPE table, picks the most
+    frequent pair (ties broken lexicographically so the rule list is
+    deterministic and engine-portable), and rewrites every word's
+    symbol array with a greedy left-to-right non-overlapping merge —
+    a pure JVM ``F.aggregate`` fold, no Python in the loop.
+
+    Returns the ordered merge list [(left, right), ...].  Scale shape:
+    the corpus is scanned ONCE (word-type groupBy); every iteration
+    after that runs over the vocab-sized type table (millions of rows
+    at 100 TB, not trillions), one tiny 1-row argmax collect per merge,
+    with ``localCheckpoint`` every ``checkpoint_every`` iterations to
+    keep the transform lineage from stacking n_merges plans deep.
+    """
+    w = _word_types(docs)
+    chars = F.transform(F.sequence(F.lit(1), F.length("word")),
+                        lambda i: F.col("word").substr(i, F.lit(1)))
+    syms = w.select("freq", chars.alias("syms")).persist()
+    merges = []
+    for it in range(n_merges):
+        best = (syms.select(F.explode(_sym_pairs(F.col("syms"),
+                                                 F.col("freq"))).alias("p"))
+                .groupBy("p.left", "p.right")
+                .agg(F.sum("p.freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("left"), F.asc("right"))
+                .limit(1).collect())
+        if not best or best[0]["cnt"] < 2:
+            break
+        a, b = best[0]["left"], best[0]["right"]
+        merges.append((a, b))
+        # greedy left-to-right non-overlapping merge as a JVM fold:
+        # carry (out-array, pending-symbol); flush pending on mismatch
+        merged = F.aggregate(
+            "syms",
+            F.struct(F.array().cast("array<string>").alias("out"),
+                     F.lit(None).cast("string").alias("pend")),
+            lambda acc, s: F.when(
+                acc["pend"].isNull(),
+                F.struct(acc["out"].alias("out"), s.alias("pend"))
+            ).when(
+                (acc["pend"] == a) & (s == b),
+                F.struct(F.concat(acc["out"],
+                                  F.array(F.lit(a + b))).alias("out"),
+                         F.lit(None).cast("string").alias("pend"))
+            ).otherwise(
+                F.struct(F.concat(acc["out"],
+                                  F.array(acc["pend"])).alias("out"),
+                         s.alias("pend"))),
+            lambda acc: F.when(acc["pend"].isNull(), acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(acc["pend"]))),
+        )
+        nxt = syms.select("freq", merged.alias("syms"))
+        if (it + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()
+        nxt = nxt.persist()
+        syms.unpersist()
+        syms = nxt
+    syms.unpersist()
+    return merges

@@ -3481,3 +3481,30 @@ ORACLES["perplexity"] = f"""
            round(exp(-sc.s / sc.n_bigrams), 6) AS perplexity
     FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer training, iteration 0: adjacent character-pair
+    frequencies over the word-TYPE table (Sennrich et al. 2016).  Two
+    shuffles at any corpus size — the word-type groupBy (the only pass
+    over the raw corpus) and the pair groupBy over the vocab-sized type
+    table.  The full merge loop (operators/text.py::learn_bpe) is
+    pytest-pinned against the classic pure-Python algorithm."""
+    return TX.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+ORACLES["bpe_pairs"] = f"""
+    WITH w AS (
+      SELECT unnest({_PPL_TOKS}) AS word FROM documents),
+    wf AS (
+      SELECT word, count(*) AS freq
+      FROM w WHERE length(word) > 0 GROUP BY 1),
+    p AS (
+      SELECT freq,
+             unnest([{{'l': word[i], 'r': word[i + 1]}}
+                     for i in generate_series(1, length(word) - 1)]) AS s
+      FROM wf WHERE length(word) >= 2)
+    SELECT s.l AS "left", s.r AS "right",
+           CAST(sum(freq) AS BIGINT) AS cnt
+    FROM p GROUP BY 1, 2
+"""

@@ -168,3 +168,68 @@ class TestPerplexityFilter:
         got = perplexity_filter(docs, train).toPandas() \
             .set_index("doc_id")["perplexity"]
         assert got[0] < got[2] and got[5] < got[2]
+
+
+class TestBpe:
+    CORPUS = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new"),
+        (2, "low new low new wider wide"),
+    ]
+
+    @staticmethod
+    def _ref_bpe(texts, n_merges):
+        """Classic BPE learner (Sennrich et al. 2016): count pairs over
+        word types, merge the most frequent (lexicographic tie-break),
+        greedy left-to-right non-overlapping rewrite."""
+        from collections import Counter
+
+        words = Counter(w for _, t in texts for w in t.lower().split())
+        vocab = {w: list(w) for w in words}
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, f in words.items():
+                s = vocab[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += f
+            if not pairs or max(pairs.values()) < 2:
+                break
+            bc = max(pairs.values())
+            a, b = sorted(p for p, c in pairs.items() if c == bc)[0]
+            merges.append((a, b))
+            for w in vocab:
+                s, out, i = vocab[w], [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                vocab[w] = out
+        return merges
+
+    def test_pair_counts_match_brute(self, spark):
+        from collections import Counter
+
+        from dtaidistance_spark.operators.text import bpe_pair_counts
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        got = {(r.left, r.right): r.cnt
+               for r in bpe_pair_counts(docs).collect()}
+        want = Counter()
+        for _, t in self.CORPUS:
+            for w in t.lower().split():
+                for i in range(len(w) - 1):
+                    want[(w[i], w[i + 1])] += 1
+        assert got == dict(want)
+
+    def test_merge_list_matches_reference_algorithm(self, spark):
+        from dtaidistance_spark.operators.text import learn_bpe
+
+        docs = spark.createDataFrame(self.CORPUS, "doc_id long, text string")
+        # checkpoint_every=2 also exercises the lineage-cut path
+        got = learn_bpe(docs, n_merges=8, checkpoint_every=2)
+        assert got == self._ref_bpe(self.CORPUS, 8)
+        assert len(got) >= 5  # the fixture supports at least 5 merges
