@@ -90,7 +90,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": DQ.q_dedup_exact,
         "token_stats": DQ.q_token_stats,
         "quality_score": DQ.q_quality_score,
-        "lang_id": DQ.q_lang_id,
         # benchmark decontamination (r4): broadcast benchmark-shingle
         # join, training scan never shuffles
         "decontaminate": DQ.q_decontaminate,
@@ -114,6 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # BPE tokenizer training iteration 0 (late r5): char-pair counts
         # over the word-type table; the merge loop is pytest-pinned
         "bpe_pairs": DQ.q_bpe_pairs,
+        # per-doc top-3 TF-IDF keywords (late r5): keyed exchanges only,
+        # rounded-score tie-break so the ordering is engine-portable
+        "tfidf_topk": DQ.q_tfidf_topk,
         # exact repeated-substring spans (late r5): hash-window
         # suffix-array relaxation, gaps-and-islands span merge
         "dup_spans": DQ.q_dup_spans,
@@ -139,15 +141,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # span_clean late r5: rank-exact p50/p95/p99 with
         # approx_percentile as the documented 100 TB swap-in, and the
         # 7-day retention query — both 4 rounds hash-green; top_users_1d,
-        # sessionize, edit_distance and fingerprint, each 4 rounds
-        # hash-green r1-r4, made room for pii_redact + pack_sequences +
-        # perplexity + bpe_pairs)
+        # sessionize, edit_distance, fingerprint and lang_id, each 4
+        # rounds hash-green r1-r4, made room for pii_redact +
+        # pack_sequences + perplexity + bpe_pairs + tfidf_topk)
         "latency_quantiles": DQ.q_latency_quantiles,
         "retention_7d": DQ.q_retention_7d,
         "top_users_1d": DQ.q_top_users_1d,
         "sessionize": DQ.q_sessionize,
         "edit_distance": DQ.q_edit_distance,
         "fingerprint": DQ.q_fingerprint,
+        "lang_id": DQ.q_lang_id,
         "znormal_latency": DQ.q_znormal_latency,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

@@ -502,3 +502,95 @@ def learn_bpe(docs: DataFrame, n_merges: int = 10,
         syms = nxt
     syms.unpersist()
     return merges
+
+
+def bpe_encode(docs: DataFrame, merges: list) -> DataFrame:
+    """Apply learned BPE merges — the encode half of the tokenizer:
+    each word is split to characters, then the lowest-rank applicable
+    merge is applied (greedy left-to-right within a rank) until no
+    learned pair remains.  Semantically identical to replaying the
+    merge list in training order.
+
+    One Arrow ``mapInPandas`` pass with the rank table broadcast inside
+    the closure (a tokenizer merge table is KBs-to-MBs — never corpus
+    data) and a per-batch word cache, so each distinct word in a batch
+    is encoded once.  Map-only: no shuffle at any corpus size.  Emits
+    per-doc BPE token count and the encoded sequence; the whitespace
+    token count rides along so the subword/word ratio (fertility) is
+    one division away.
+    """
+    import pandas as pd
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    out_schema = ("doc_id long, n_words int, n_bpe_tokens int, "
+                  "bpe_tokens array<string>")
+
+    def _encode_word(word, cache):
+        if word in cache:
+            return cache[word]
+        syms = list(word)
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            a, b = syms[bi], syms[bi + 1]
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def _batches(it):
+        for pdf in it:
+            cache = {}
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = (text or "").lower().strip().split()
+                toks = []
+                for w in words:
+                    toks.extend(_encode_word(w, cache))
+                rows.append((doc_id, len(words), len(toks), toks))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_words", "n_bpe_tokens", "bpe_tokens"])
+
+    return docs.select("doc_id", "text").mapInPandas(_batches, out_schema)
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k keywords by smoothed TF-IDF
+    (idf = ln((N + 1) / (df + 1)) + 1) with a deterministic
+    (score desc, term asc) tie-break.
+
+    Plan: one explode + (doc, term) count (shuffle 1), a term-level
+    document-frequency aggregate over the distinct (doc, term) pairs
+    (shuffle 2, term-space sized), a keyed equi-join back (AQE
+    broadcasts a small vocabulary), and a per-doc window top-k — every
+    exchange is keyed, nothing global.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _TOKEN_SEP, " ")
+    toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term")) \
+        .where(F.length("term") > 0)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # scalar, not data
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    scored = tf.join(df_, ["term"]) \
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return scored.withColumn("rank", F.row_number().over(w)) \
+        .where(F.col("rank") <= k) \
+        .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "tfidf",
+                F.col("rank").cast("int").alias("rank"))

@@ -3508,3 +3508,34 @@ ORACLES["bpe_pairs"] = f"""
            CAST(sum(freq) AS BIGINT) AS cnt
     FROM p GROUP BY 1, 2
 """
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-3 keywords by smoothed TF-IDF, deterministic
+    (score desc, term asc) tie-break over the ROUNDED score so the
+    ordering is engine-portable.  Keyed exchanges only: (doc,term)
+    count, term-space df agg, equi-join, per-doc window top-k."""
+    return TX.tfidf_topk(_docs(spark, sf_dir), k=3)
+
+
+ORACLES["tfidf_topk"] = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_PPL_TOKS}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents),
+    sc AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1)) + 1), 6)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM sc)
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+"""

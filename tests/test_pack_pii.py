@@ -233,3 +233,86 @@ class TestBpe:
         got = learn_bpe(docs, n_merges=8, checkpoint_every=2)
         assert got == self._ref_bpe(self.CORPUS, 8)
         assert len(got) >= 5  # the fixture supports at least 5 merges
+
+
+class TestBpeEncode:
+    def test_encode_matches_reference_apply(self, spark):
+        from dtaidistance_spark.operators.text import bpe_encode, learn_bpe
+
+        corpus = TestBpe.CORPUS
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        merges = learn_bpe(docs, n_merges=6)
+        got = bpe_encode(docs, merges).orderBy("doc_id").toPandas()
+
+        def ref_apply(word):
+            ranks = {tuple(m): i for i, m in enumerate(merges)}
+            s = list(word)
+            while True:
+                cands = [(ranks[(s[i], s[i + 1])], i)
+                         for i in range(len(s) - 1)
+                         if (s[i], s[i + 1]) in ranks]
+                if not cands:
+                    return s
+                r, _ = min(cands)
+                a, b = merges[r]
+                out, i = [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                s = out
+
+        for (doc_id, text), row in zip(corpus, got.itertuples(index=False)):
+            want = [t for w in text.lower().split() for t in ref_apply(w)]
+            assert list(row.bpe_tokens) == want, (doc_id, row.bpe_tokens)
+            assert row.n_bpe_tokens == len(want)
+            assert row.n_words == len(text.split())
+
+    def test_roundtrip_and_compression(self, spark):
+        """Concatenated BPE tokens reproduce each word exactly, and the
+        learned merges strictly shrink the token stream."""
+        from dtaidistance_spark.operators.text import bpe_encode, learn_bpe
+
+        docs = spark.createDataFrame(TestBpe.CORPUS,
+                                     "doc_id long, text string")
+        merges = learn_bpe(docs, n_merges=8)
+        got = bpe_encode(docs, merges).toPandas()
+        for (_, text), toks in zip(TestBpe.CORPUS, got["bpe_tokens"]):
+            assert "".join(toks) == "".join(text.lower().split())
+        n_chars = sum(len(w) for _, t in TestBpe.CORPUS
+                      for w in t.split())
+        assert got["n_bpe_tokens"].sum() < n_chars
+
+
+class TestTfidfTopk:
+    def test_matches_brute_force(self, spark):
+        import math
+        from collections import Counter
+
+        from dtaidistance_spark.operators.text import tfidf_topk
+
+        texts = [
+            (0, "apple banana apple cherry"),
+            (1, "banana cherry cherry date"),
+            (2, "apple apple apple egg"),
+            (3, "fig fig grape egg date"),
+        ]
+        docs = spark.createDataFrame(texts, "doc_id long, text string")
+        got = tfidf_topk(docs, k=2).orderBy("doc_id", "rank").toPandas()
+
+        tf = {i: Counter(t.split()) for i, t in texts}
+        df = Counter(w for c in tf.values() for w in c)
+        n = len(texts)
+        want = {}
+        for i, c in tf.items():
+            scored = sorted(
+                ((round(f * (math.log((n + 1) / (df[w] + 1)) + 1), 6), w)
+                 for w, f in c.items()),
+                key=lambda t: (-t[0], t[1]))
+            want[i] = scored[:2]
+        for r in got.itertuples(index=False):
+            s, w = want[r.doc_id][r.rank - 1]
+            assert (r.term, round(r.tfidf, 6)) == (w, s), r
