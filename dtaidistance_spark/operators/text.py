@@ -1,12 +1,18 @@
 """Text-analysis operators over the ``documents`` table — the
-training-data-pipeline layer (language ID, quality scoring, token
-counting, fingerprinting).  Everything except ``repetition_stats`` is
-built-in ``pyspark.sql.functions`` column algebra (JVM-side,
-whole-stage-codegen), so the same expressions run unchanged over 100 TB
-of documents with filters and projections pushed to the parquet scan.
-``repetition_stats`` is the one deliberate exception: a shuffle-free
-Arrow ``mapInPandas`` pass, because within-row n-gram counting via
-interpreted HOF lambdas measured ~1000x slower (see its docstring).
+training-data-pipeline layer: language ID, quality scoring, token
+counting, fingerprinting, deterministic split/sampling, Gopher
+repetition filters, PII redaction, sequence packing, CCNet perplexity
+scoring, BPE tokenizer training/encoding, and TF-IDF keywords.
+
+Default execution model: built-in ``pyspark.sql.functions`` column
+algebra (JVM-side, whole-stage-codegen), so the same expressions run
+unchanged over 100 TB of documents with filters and projections pushed
+to the parquet scan.  Two deliberate exceptions use a shuffle-free
+Arrow ``mapInPandas`` pass instead — ``repetition_stats`` (within-row
+n-gram hash-counting; the interpreted HOF formulation measured ~1000x
+slower, see its docstring) and ``bpe_encode`` (rank-priority merge
+application with a per-batch word cache) — both map-only plans with no
+exchange at any scale.
 """
 
 from __future__ import annotations
