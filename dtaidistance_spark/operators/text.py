@@ -308,6 +308,14 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
                        F.size(toks).cast("long").alias("n_tokens"))
 
     lo, hi = base.agg(F.min("_ord"), F.max("_ord")).first()
+    if lo is None:  # empty corpus: keep the output schema, zero rows
+        return base.select(
+            "doc_id", "n_tokens",
+            F.lit(None).cast("long").alias("global_offset"),
+            F.lit(None).cast("long").alias("first_pack"),
+            F.lit(None).cast("long").alias("offset_in_pack"),
+            F.lit(None).cast("long").alias("last_pack"),
+            F.lit(None).cast("int").alias("n_chunks"))
     span = max(int(hi) - int(lo) + 1, 1)
     bucket_w = -(-span // n_buckets)  # ceil
     bucketed = base.withColumn(

@@ -108,6 +108,14 @@ class TestPackSequences:
         assert "SinglePartition" not in plan
         assert "hashpartitioning(_bkt" in plan
 
+    def test_empty_corpus_keeps_schema(self, spark):
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        out = pack_sequences(docs, seq_len=8, n_buckets=4)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id", "n_tokens", "global_offset", "first_pack",
+            "offset_in_pack", "last_pack", "n_chunks"]
+
 
 class TestPerplexityFilter:
     TEXTS = [
