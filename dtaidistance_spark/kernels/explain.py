@@ -100,8 +100,12 @@ def _max_change_in_path(sf: np.ndarray, st: np.ndarray,
     explainpair.py:846; numpy int division keeps the reference's
     inf/nan semantics on degenerate segments)."""
     p0, p1 = points[i0], points[i1]
-    s_tf = (p1[1] - p0[1]) / (p1[0] - p0[0])   # vertical-projection slope
-    s_ft = (p1[0] - p0[0]) / (p1[1] - p0[1])   # horizontal-projection slope
+    # degenerate (vertical/horizontal) segments have one undefined
+    # projection: skip that projection instead of computing an infinite
+    # slope (int(inf) would raise; the non-degenerate math is unchanged)
+    d_f, d_t = float(p1[0] - p0[0]), float(p1[1] - p0[1])
+    s_tf = d_t / d_f if d_f else None   # vertical-projection slope
+    s_ft = d_f / d_t if d_t else None   # horizontal-projection slope
     i_f, i_t = p0[0], p0[1]
     max_i_lf = len(sf) - 1
     max_i_lt = len(st) - 1
@@ -110,12 +114,15 @@ def _max_change_in_path(sf: np.ndarray, st: np.ndarray,
     for idx in range(i0 + 1, i1):
         i_of, i_ot = points[idx]
         c_o = _inner(sf[i_of], st[i_ot])
-        i_lf = min(int(s_tf * (i_ot - i_t) + i_f), max_i_lf)
-        diff = _inner(sf[i_lf], st[i_ot]) - c_o
-        if not only_from:
+        diff = None
+        if s_tf is not None:
+            i_lf = min(int(s_tf * (i_ot - i_t) + i_f), max_i_lf)
+            diff = _inner(sf[i_lf], st[i_ot]) - c_o
+        if not only_from and s_ft is not None:
             i_lt = min(int(s_ft * (i_of - i_f) + i_t), max_i_lt)
-            diff = max(diff, _inner(sf[i_of], st[i_lt]) - c_o)
-        if diff > diff_max:
+            d2 = _inner(sf[i_of], st[i_lt]) - c_o
+            diff = d2 if diff is None else max(diff, d2)
+        if diff is not None and diff > diff_max:
             diff_max = diff
             idx_max = idx
     return diff_max, idx_max
@@ -247,10 +254,14 @@ def rdp_epsilon(points: np.ndarray, epsilon: float):
     # mutating `result` (pops shift later indices) — the reference does
     # exactly this, so replicate it rather than re-deriving per step
     new_points = points[result]
-    if new_points[-2, 0] == new_points[-1, 0]:
+    # guard the degenerate tails the reference never hits in its own
+    # tests: with only the two endpoints kept there is no [-3] to read
+    # (a purely vertical 2-point result stays untouched), and a shift
+    # below index 0 would wrap to the path's LAST point
+    if (len(new_points) >= 3 and new_points[-2, 0] == new_points[-1, 0]):
         if new_points[-3, 0] == new_points[-2, 0] - 1:
             result.pop(-2)
-        else:
+        elif result[-2] > 0:
             result[-2] = result[-2] - 1
     for i in np.arange(len(result) - 2, 0, -1):
         if new_points[i, 0] == new_points[i - 1, 0]:

@@ -38,7 +38,11 @@ def box_cpu_s() -> dict:
     with open("/proc/stat") as f:
         v = [int(x) for x in f.readline().split()[1:]]
     steal = v[7] if len(v) > 7 else 0
-    return {"busy": (sum(v) - v[3] - v[4] - steal) / _HZ,
+    # guest/guest_nice (fields 9/10) are already folded into user/nice
+    # by the kernel — summing them too would double-count and misread a
+    # clean window as neighbor-stormed
+    guest = (v[8] if len(v) > 8 else 0) + (v[9] if len(v) > 9 else 0)
+    return {"busy": (sum(v) - v[3] - v[4] - steal - guest) / _HZ,
             "steal": steal / _HZ,
             "iowait": v[4] / _HZ,
             "idle": v[3] / _HZ}

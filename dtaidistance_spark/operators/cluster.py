@@ -364,8 +364,9 @@ def kmeans_dtw(spark, series_df: DataFrame, k: int, max_it: int = 10,
             centers = kmeans_par_centers(spark, series_df, k, st, seed=seed)
         else:
             centers = kmeanspp_centers(spark, series_df, k, st, seed=seed)
-        while len(centers) < k:  # degenerate corpus: pad with copies
-            centers.append(centers[len(centers) % max(1, len(centers))])
+        n_found = max(1, len(centers))
+        while len(centers) < k:  # degenerate corpus: pad by cycling
+            centers.append(centers[len(centers) % n_found])
     else:
         sample = series_df.orderBy("i").limit(max(4 * k, 64)).toPandas()
         rng = np.random.default_rng(seed)

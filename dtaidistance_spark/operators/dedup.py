@@ -21,7 +21,10 @@ _TOKEN_SEP = "\\s+"
 
 
 def _norm_text():
-    return F.regexp_replace(F.lower(F.trim(F.col("text"))), _TOKEN_SEP, " ")
+    # single shared definition (operators/text.py) so batch dedup,
+    # streaming dedup and every oracle twin agree on normalization
+    from .text import norm_text_col
+    return norm_text_col()
 
 
 def _shingles(k: int = 3) -> F.Column:
@@ -451,7 +454,14 @@ def remove_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
     """
     sp = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("sp"))
-    toks = F.split(_norm_text(), " ")
+    # NULL text would propagate NULL token counts (clean_text becomes ''
+    # via concat_ws while n_tokens/n_removed go NULL — silently dropped
+    # by downstream filters); coalesce pins the zero-stats row instead,
+    # same guard repetition_stats adopted in r4
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("text"),
+                                                      F.lit("")))),
+                            _TOKEN_SEP, " ")
+    toks = F.split(norm, " ")
     zipped = F.arrays_zip(toks.alias("tok"),
                           F.sequence(F.lit(0), F.size(toks) - 1).alias("i"))
     in_span = lambda s: F.exists(  # noqa: E731

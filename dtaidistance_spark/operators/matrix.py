@@ -284,12 +284,17 @@ def _chunk_pair_tagged(src: DataFrame, chunk_size: int, triu: bool, blk,
     (no extra jobs); block restriction keeps fixed-size chunks (its
     pruning arithmetic indexes chunks by ``id // chunk_size``)."""
     len_col = F.size(data_cols[0])
-    ragged = os.environ.get("DTW_COST_GUIDED", "1") == "1" and blk is None \
-        and src.agg((F.min(len_col) != F.max(len_col)).alias("r")) \
-               .collect()[0]["r"]
+    probe = None
+    if os.environ.get("DTW_COST_GUIDED", "1") == "1" and blk is None:
+        # ONE combined aggregate decides raggedness AND feeds the
+        # histogram bounds — previously this was two extra full scans
+        probe = src.agg(
+            (F.min(len_col) != F.max(len_col)).alias("r"),
+            F.min("i"), F.max("i"), F.sum(len_col),
+            F.count("*")).collect()[0]
+    ragged = bool(probe and probe["r"])
     if ragged:
-        imin, imax, tot, n_rows = src.agg(
-            F.min("i"), F.max("i"), F.sum(len_col), F.count("*")).collect()[0]
+        _, imin, imax, tot, n_rows = probe
         n_chunks = max(1, -(-int(n_rows) // chunk_size))
         nb = min(max(n_chunks * 64, 256), 65536)
         span = int(imax) - int(imin) + 1

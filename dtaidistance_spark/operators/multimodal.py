@@ -195,19 +195,29 @@ def decode_features(media: DataFrame, n_features: int = 16,
             for p in pdf["payload"]:
                 p = bytes(p)
                 fmt = sniff_format(p)
-                if fmt == "wav":
-                    feats.append(_audio_features(p, n_features).tolist())
-                elif fmt == "avi":
-                    feats.append(_video_features(p, n_features).tolist())
-                elif fmt != "unknown":
-                    feats.append(_raster_features(p, n_features).tolist())
-                elif fake:
+                try:
+                    if fmt == "wav":
+                        feats.append(_audio_features(p, n_features).tolist())
+                    elif fmt == "avi":
+                        feats.append(_video_features(p, n_features).tolist())
+                    elif fmt != "unknown":
+                        feats.append(_raster_features(p, n_features)
+                                     .tolist())
+                    elif fake:
+                        feats.append(_fake_decode(p, n_features).tolist())
+                    else:
+                        raise NotImplementedError(
+                            "real decoding of media beyond PPM/BMP/PNG/"
+                            "JPEG/GIF/WAV/AVI requires Pillow/ffmpeg/"
+                            "soundfile, not available in this environment")
+                except (ValueError, NotImplementedError):
+                    # corrupt-but-sniffable payloads (truncated stream,
+                    # codec variant the decoder rejects): with fake=True
+                    # degrade to the deterministic stub instead of
+                    # failing the whole task; fake=False keeps the raise
+                    if not fake:
+                        raise
                     feats.append(_fake_decode(p, n_features).tolist())
-                else:
-                    raise NotImplementedError(
-                        "real decoding of media beyond PPM/BMP/PNG/JPEG/"
-                        "WAV/AVI requires Pillow/ffmpeg/soundfile, not "
-                        "available in this environment")
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "kind": pdf["kind"],
                                 "features": feats})
@@ -228,12 +238,20 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 6,
                 if row.kind != "image":
                     continue
                 p = bytes(row.payload)
-                if sniff_format(p) != "unknown":
-                    rgb = decode_raster(p)
-                    img = rgb.mean(axis=2) / 255.0  # gray in [0, 1)
-                elif not fake:
-                    raise NotImplementedError("real image decode unavailable")
-                else:
+                try:
+                    if sniff_format(p) != "unknown":
+                        rgb = decode_raster(p)
+                        img = rgb.mean(axis=2) / 255.0  # gray in [0, 1)
+                    elif not fake:
+                        raise NotImplementedError(
+                            "real image decode unavailable")
+                    else:
+                        img = _fake_decode(
+                            p, row.width * row.height).reshape(
+                            row.height, row.width)
+                except (ValueError, NotImplementedError):
+                    if not fake:
+                        raise
                     img = _fake_decode(p, row.width * row.height).reshape(
                         row.height, row.width)
                 fy, fx = img.shape[0] // out_h, img.shape[1] // out_w

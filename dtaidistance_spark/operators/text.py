@@ -36,6 +36,15 @@ def tokens_col(text_col) -> F.Column:
     return F.split(F.trim(text_col), _TOKEN_SEP)
 
 
+def norm_text_col() -> F.Column:
+    """THE normalized-text expression (lower, trim, whitespace
+    collapse) shared by fingerprinting, dedup (operators/dedup.py
+    ``_norm_text`` and streaming/dedup_stream.py import this), the
+    bigram LM, BPE and TF-IDF — one definition so batch, streaming and
+    the DuckDB oracle twins cannot drift on what "same text" means."""
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), _TOKEN_SEP, " ")
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens + a BPE-ish subword estimate
     (≈ ceil(chars/4), the common ~4-chars-per-token heuristic)."""
@@ -104,7 +113,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic document fingerprints: md5 of the normalized text
     (exact-dup key) and a min-hash-style shingle fingerprint (min md5
     over 3-token shingles) — a 1-permutation MinHash."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _TOKEN_SEP, " ")
+    norm = norm_text_col()
     toks = F.split(norm, " ")
     n = F.size(toks)
     sh_idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
@@ -334,8 +343,13 @@ def pack_sequences(docs: DataFrame, seq_len: int = 2048,
     for b, off in offsets.items():
         off_expr = F.when(F.col("_bkt") == b, F.lit(off)).otherwise(off_expr)
 
-    # phase 2: per-bucket parallel cumsum + broadcast bucket offset
-    w = Window.partitionBy("_bkt").orderBy("_ord")
+    # phase 2: per-bucket parallel cumsum + broadcast bucket offset.
+    # doc_id joins the ordering and the frame is ROWS (not the default
+    # RANGE): with duplicate order_col values, RANGE would give peer
+    # rows the SAME cumulative sum — overlapping token ranges, silent
+    # pack corruption.
+    w = Window.partitionBy("_bkt").orderBy("_ord", "doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = F.sum("n_tokens").over(w)
     offset = (off_expr + cum - F.col("n_tokens")).alias("global_offset")
     out = bucketed.select("doc_id", "n_tokens", offset)
@@ -373,8 +387,7 @@ def perplexity_filter(docs: DataFrame, train: DataFrame,
     with fewer than two tokens have no bigrams and score NULL.
     """
     def toks_df(df):
-        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))),
-                                _TOKEN_SEP, " ")
+        norm = norm_text_col()
         return df.select("doc_id", F.split(norm, " ").alias("toks"))
 
     def bigrams(df):
@@ -417,7 +430,7 @@ def _word_types(docs: DataFrame) -> DataFrame:
     """Word-type table (word, freq): the classic BPE reduction — all
     later work is over distinct word TYPES weighted by frequency, so the
     expensive corpus scan happens exactly once (one shuffle)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _TOKEN_SEP, " ")
+    norm = norm_text_col()
     return docs.select(F.explode(F.split(norm, " ")).alias("word")) \
         .where(F.length("word") > 0) \
         .groupBy("word").agg(F.count("*").alias("freq"))
@@ -593,7 +606,7 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _TOKEN_SEP, " ")
+    norm = norm_text_col()
     toks = docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term")) \
         .where(F.length("term") > 0)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

@@ -22,7 +22,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_TOKEN_SEP = "\\s+"
 
 
 def stream_exact_dedup(stream: DataFrame, ts_col: str = "ts",
@@ -34,8 +33,9 @@ def stream_exact_dedup(stream: DataFrame, ts_col: str = "ts",
     means); state per fingerprint is dropped once the watermark moves
     ``watermark`` past its event time.
     """
-    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
-                                _TOKEN_SEP, " "))
+    from ..operators.text import norm_text_col
+
+    fp = F.md5(norm_text_col())
     return (stream
             .withColumn("fp", fp)
             .withWatermark(ts_col, watermark)

@@ -199,6 +199,21 @@ def _match_fn(query_list: List[float], threshold: float, penalty_sq: float,
     return fn
 
 
+def parse_interval_ms(interval: str) -> int:
+    """'<n> <unit>[s]' → milliseconds, accepting the same unit
+    vocabulary as Spark interval strings (millisecond/second/minute/
+    hour/day/week); anything else raises a clear ValueError instead of
+    an opaque KeyError at plan-build time."""
+    unit_ms = {"millisecond": 1, "second": 1_000, "minute": 60_000,
+               "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
+    parts = interval.strip().lower().split()
+    if len(parts) != 2 or parts[1].rstrip("s") not in unit_ms:
+        units = "|".join(sorted(unit_ms))
+        raise ValueError(f"interval must be '<n> <{units}>[s]' "
+                         f"(got {interval!r})")
+    return int(parts[0]) * unit_ms[parts[1].rstrip("s")]
+
+
 def stream_subsequence_match(stream, query, threshold: float,
                              penalty: float = 0.1,
                              watermark: str = "1 hour",
@@ -213,11 +228,7 @@ def stream_subsequence_match(stream, query, threshold: float,
     (squared before entering the DP, kernels/dtw.py:135)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    unit_ms = {"minute": 60_000, "minutes": 60_000,
-               "hour": 3_600_000, "hours": 3_600_000,
-               "second": 1_000, "seconds": 1_000}
-    num, unit = timeout_gap.split()
-    gap_ms = int(num) * unit_ms[unit]
+    gap_ms = parse_interval_ms(timeout_gap)
     penalty_sq = 0.0 if not penalty else float(penalty) ** 2
     return (stream
             .withWatermark("ts", watermark)

@@ -324,3 +324,73 @@ class TestTfidfTopk:
         for r in got.itertuples(index=False):
             s, w = want[r.doc_id][r.rank - 1]
             assert (r.term, round(r.tfidf, 6)) == (w, s), r
+
+
+class TestReviewFixes:
+    """Regression pins for the r5 self-review findings."""
+
+    def test_pack_sequences_duplicate_order_key(self, spark):
+        # duplicate order values: the ROWS frame + doc_id tiebreak must
+        # still assign disjoint token ranges covering the whole stream
+        rows = [(i, i // 3, " ".join(["w"] * (1 + i % 4)))
+                for i in range(30)]  # ord repeats 3x
+        docs = spark.createDataFrame(rows, "doc_id long, ord long, text string")
+        got = pack_sequences(docs, seq_len=7, n_buckets=4,
+                             order_col="ord").orderBy("doc_id").toPandas()
+        spans = sorted((r.global_offset, r.global_offset + r.n_tokens)
+                       for r in got.itertuples(index=False))
+        pos = 0
+        for a, b in spans:
+            assert a == pos, spans  # disjoint AND gap-free
+            pos = b
+        assert pos == sum(1 + i % 4 for i in range(30))
+
+    def test_pathdiff_degenerate_segment_no_crash(self):
+        import numpy as np
+
+        from dtaidistance_spark.kernels.explain import _max_change_in_path
+
+        sf = np.arange(6, dtype=np.float64)
+        st = np.arange(6, dtype=np.float64) * 2
+        # purely vertical run: from-coordinate constant across segment
+        pts = np.array([[2, 0], [2, 1], [2, 2], [2, 3]])
+        diff, idx = _max_change_in_path(sf, st, pts, 0, 3)
+        assert np.isfinite(diff) and 0 <= idx <= 3
+        # purely horizontal run
+        pts = np.array([[0, 2], [1, 2], [2, 2], [3, 2]])
+        diff, idx = _max_change_in_path(sf, st, pts, 0, 3)
+        assert np.isfinite(diff) and 0 <= idx <= 3
+
+    def test_rdp_two_point_vertical_no_crash(self):
+        import numpy as np
+
+        from dtaidistance_spark.kernels.explain import rdp_epsilon
+
+        pts, kept = rdp_epsilon(np.array([[0, 0], [0, 3]]), epsilon=100.0)
+        assert kept == [0, 1] and pts.shape == (2, 2)
+
+    def test_interval_parser(self):
+        import pytest as _pytest
+
+        from dtaidistance_spark.streaming.match_stream import \
+            parse_interval_ms
+
+        assert parse_interval_ms("1 day") == 86_400_000
+        assert parse_interval_ms("90 seconds") == 90_000
+        with _pytest.raises(ValueError, match="interval must be"):
+            parse_interval_ms("90s")
+
+    def test_decode_features_corrupt_payload_fake_fallback(self, spark):
+        from dtaidistance_spark.operators.multimodal import decode_features
+
+        # valid PNG magic, garbage body: sniffable but undecodable
+        bad = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+        media = spark.createDataFrame(
+            [(0, "image", bytearray(bad), 4, 4, 0, 0.0, 0)],
+            "media_id long, kind string, payload binary, width int, "
+            "height int, sample_rate int, duration_s double, n_frames int")
+        out = decode_features(media, n_features=4, fake=True).collect()
+        assert len(out) == 1 and len(out[0]["features"]) == 4
+        import pytest as _pytest
+        with _pytest.raises(Exception):
+            decode_features(media, n_features=4, fake=False).collect()
