@@ -1141,3 +1141,71 @@ class TestGifCodec:
         payload[idx + 9] |= 0x40  # set the interlace flag
         with pytest.raises(NotImplementedError):
             decode_gif(bytes(payload))
+
+
+class TestCodecProperties:
+    """Property-based roundtrip fuzzing (hypothesis) for the raster
+    codecs — arbitrary shapes, palettes and pixel patterns, beyond the
+    hand-picked fixtures above."""
+
+    def test_gif_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dtaidistance_spark.kernels.media import decode_gif, encode_gif
+
+        @settings(max_examples=40, deadline=None)
+        @given(st.integers(1, 24), st.integers(1, 24),
+               st.integers(1, 255), st.integers(0, 2**31 - 1))
+        def prop(h, w, n_colors, seed):
+            rng = np.random.default_rng(seed)
+            palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+            idx = rng.integers(0, n_colors, (h, w))
+            img = palette[idx]
+            assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+        prop()
+
+    def test_png_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dtaidistance_spark.kernels.media import decode_png, encode_png
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.integers(1, 24), st.integers(1, 24),
+               st.integers(0, 2**31 - 1),
+               st.sampled_from([None, 0, 1, 2, 3, 4]))
+        def prop(h, w, seed, filter_type):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(
+                decode_png(encode_png(img, filter_type=filter_type)), img)
+
+        prop()
+
+    def test_bmp_ppm_wav_roundtrip_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from dtaidistance_spark.kernels.media import (decode_bmp,
+                                                      decode_ppm,
+                                                      decode_wav,
+                                                      encode_bmp,
+                                                      encode_ppm,
+                                                      encode_wav)
+
+        @settings(max_examples=30, deadline=None)
+        @given(st.integers(1, 16), st.integers(1, 16),
+               st.integers(0, 2**31 - 1))
+        def prop(h, w, seed):
+            rng = np.random.default_rng(seed)
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+            assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+            pcm = rng.integers(-2**15, 2**15, h * w + 1,
+                               dtype=np.int64).astype(np.int16)
+            out, rate = decode_wav(encode_wav(pcm, 8000))
+            assert rate == 8000 and np.array_equal(out, pcm)
+
+        prop()
