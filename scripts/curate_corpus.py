@@ -8,15 +8,21 @@ spark-submit — the documents-side sibling of run_pipeline.py.
 Chains the engine's training-data operators into one checkpointed
 pipeline over a documents corpus:
 
-    1 quality   quality_score + Gopher repetition filters, threshold cut
-    2 exact     exact-dup collapse (one representative per normalized text)
-    3 spans     repeated-substring coverage cut (Lee et al.-style
+    1 pii       PII scrub: emails/IPs/phones/ids redacted BEFORE anything
+                else reads the text (counts kept as columns)
+    2 quality   quality_score + Gopher repetition filters, threshold cut
+    3 exact     exact-dup collapse (one representative per normalized text)
+    4 spans     repeated-substring coverage cut (Lee et al.-style
                 hash-window spans: drop docs mostly made of text that
                 repeats anywhere in the corpus)
-    4 neardup   MinHash-LSH pairs -> connected components -> dedup_apply
-    5 decontam  drop docs sharing >= min-overlap k-shingles with the eval set
-    6 split     deterministic md5-bucket train/val/test assignment
-    7 mix       stratified per-language sampling of the train split
+    5 neardup   MinHash-LSH pairs -> connected components -> dedup_apply
+    6 decontam  drop docs sharing >= min-overlap k-shingles with the eval set
+    7 ppl       CCNet-style bigram-LM perplexity cut (LM trained on the
+                surviving corpus itself; high-ppl tail dropped)
+    8 split     deterministic md5-bucket train/val/test assignment
+    9 mix       stratified per-language sampling of the train split
+   10 pack      deterministic concat-and-chunk sequence packing of the
+                train mix (two-phase distributed prefix sum)
 
 Every stage goes through operators/checkpoint.run_stage: parquet data +
 a JSON manifest with per-partition lineage (rows per partition + an
@@ -61,7 +67,8 @@ def curate(spark: SparkSession, args) -> dict:
         connected_components, dedup_apply, decontaminate, exact_dedup,
         minhash_lsh_pairs, repeated_spans)
     from dtaidistance_spark.operators.text import (
-        assign_split, quality_score, repetition_stats, sample_stratified)
+        assign_split, pack_sequences, perplexity_filter, quality_score,
+        redact_pii, repetition_stats, sample_stratified)
 
     wd = args.workdir
     docs = spark.read.parquet(args.input)
@@ -79,8 +86,19 @@ def curate(spark: SparkSession, args) -> dict:
 
     metrics: dict = {"input": args.input, "stages": {}}
 
-    # 1 quality: engine-native features, threshold cut
-    fp1 = _fp("quality", args.quality_min, args.top_bigram_max,
+    # 1 PII scrub FIRST: nothing downstream (including the eval slice
+    # used for decontamination) ever sees unredacted text; the counts
+    # ride along as columns.  "pii-v1" versions the pattern set.
+    fp0 = _fp("pii", "pii-v1")
+    def pii_fn():
+        red = redact_pii(docs).select(
+            "doc_id", F.col("clean_text").alias("text"), "n_pii")
+        return docs.drop("text").join(red, "doc_id")
+    docs_scrubbed, metrics["stages"]["pii"] = stage("pii", fp0, pii_fn)
+    docs = docs_scrubbed
+
+    # 2 quality: engine-native features, threshold cut
+    fp1 = _fp("quality", fp0, args.quality_min, args.top_bigram_max,
               args.dup_token_max)
     def q_fn():
         feats = quality_score(docs).select(
@@ -145,8 +163,19 @@ def curate(spark: SparkSession, args) -> dict:
         return train.join(flagged, "doc_id", "left_anti")
     cur, metrics["stages"]["decontam"] = stage("decontam", fp4, d_fn)
 
-    # 6 deterministic split
-    fp5 = _fp("split", fp4, args.split_salt)
+    # 7 perplexity cut: add-k bigram LM trained on the surviving
+    # corpus itself (CCNet-style); docs in the high-perplexity tail are
+    # dropped, sub-2-token docs (NULL score) pass through
+    fp4b = _fp("ppl", fp4, args.ppl_max)
+    def ppl_fn():
+        scored = perplexity_filter(cur, cur)
+        keep = scored.where(F.col("perplexity").isNull()
+                            | (F.col("perplexity") <= args.ppl_max))             .select("doc_id")
+        return cur.join(keep, "doc_id", "semi")
+    cur, metrics["stages"]["ppl"] = stage("ppl", fp4b, ppl_fn)
+
+    # 8 deterministic split
+    fp5 = _fp("split", fp4b, args.split_salt)
     def s_fn():
         return assign_split(cur, salt=args.split_salt)
     cur, metrics["stages"]["split"] = stage("split", fp5, s_fn)
@@ -163,11 +192,23 @@ def curate(spark: SparkSession, args) -> dict:
         return mixed.unionByName(rest)
     final, metrics["stages"]["mix"] = stage("mix", fp6, m_fn)
 
+    # 10 sequence packing of the train mix: assign every train doc its
+    # global token offset and context-window ids (val/test pass through
+    # with NULL pack columns — they are never packed into train windows)
+    fp7 = _fp("pack", fp6, args.pack_seq_len)
+    def p_fn():
+        train = final.where(F.col("split") == "train")
+        packed = pack_sequences(train, seq_len=args.pack_seq_len,
+                                n_buckets=64)             .select("doc_id", "global_offset", "first_pack",
+                    "offset_in_pack", "last_pack", "n_chunks")
+        return final.join(packed, "doc_id", "left")
+    final, metrics["stages"]["pack"] = stage("pack", fp7, p_fn)
+
     metrics["final"] = {
         r["split"]: r["n"]
         for r in final.groupBy("split").agg(F.count("*").alias("n")).collect()
     }
-    metrics["final_checksum"] = read_manifest(wd, "mix")["checksum"]
+    metrics["final_checksum"] = read_manifest(wd, "pack")["checksum"]
     return metrics
 
 
@@ -190,6 +231,8 @@ def main(argv=None) -> dict:
     ap.add_argument("--mix-rates", default="en=800,de=400,fr=200,es=100,zh=50")
     ap.add_argument("--mix-default", type=int, default=0)
     ap.add_argument("--mix-salt", default="mix-v1")
+    ap.add_argument("--ppl-max", type=float, default=34.0)
+    ap.add_argument("--pack-seq-len", type=int, default=512)
     args = ap.parse_args(argv)
 
     spark = SparkSession.getActiveSession()

@@ -30,14 +30,15 @@ class TestCurationPipeline:
         wd = tmp_path / "curate"
         m1 = _run(spark, wd)
         s = m1["stages"]
-        order = ["quality", "exact", "spans", "neardup", "decontam",
-                 "split"]
+        order = ["pii", "quality", "exact", "spans", "neardup",
+                 "decontam", "ppl", "split"]
         rows = [s[name]["rows"] for name in order]
         assert rows == sorted(rows, reverse=True)  # each stage only drops
         assert s["mix"]["rows"] <= s["split"]["rows"]
+        assert s["pack"]["rows"] == s["mix"]["rows"]  # pack adds columns
         assert not any(st["resumed"] for st in s.values())
         assert set(m1["final"]) == {"train", "val", "test"}
-        assert sum(m1["final"].values()) == s["mix"]["rows"]
+        assert sum(m1["final"].values()) == s["pack"]["rows"]
 
         # second run: every stage resumes from its manifest, output
         # checksum identical (per-partition lineage proves same data)
@@ -53,10 +54,12 @@ class TestCurationPipeline:
         # 4-6 must recompute (fingerprint chaining)
         m = _run(spark, wd, extra=("--min-overlap", "2"))
         s = m["stages"]
-        assert s["quality"]["resumed"] and s["exact"]["resumed"] \
+        assert s["pii"]["resumed"] and s["quality"]["resumed"] \
+            and s["exact"]["resumed"] \
             and s["spans"]["resumed"] and s["neardup"]["resumed"]
-        assert not s["decontam"]["resumed"] and not s["split"]["resumed"] \
-            and not s["mix"]["resumed"]
+        assert not s["decontam"]["resumed"] and not s["ppl"]["resumed"] \
+            and not s["split"]["resumed"] \
+            and not s["mix"]["resumed"] and not s["pack"]["resumed"]
         # stricter overlap cut can only drop more docs
         assert s["decontam"]["rows"] <= s["neardup"]["rows"]
 
