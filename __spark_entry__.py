@@ -89,7 +89,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documents: dedup + text analysis + curation primitives
         "dedup_exact": DQ.q_dedup_exact,
         "token_stats": DQ.q_token_stats,
-        "quality_score": DQ.q_quality_score,
+        # distributed quality-classifier training (late r5): full-batch
+        # logistic GD, one aggregate per iteration, replayed in SQL as
+        # chained CTEs — gradient descent itself is hash-checked
+        "quality_lr": DQ.q_quality_lr,
         # benchmark decontamination (r4): broadcast benchmark-shingle
         # join, training scan never shuffles
         "decontaminate": DQ.q_decontaminate,
@@ -143,7 +146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 7-day retention query — both 4 rounds hash-green; top_users_1d,
         # sessionize, edit_distance, fingerprint and lang_id, each 4
         # rounds hash-green r1-r4, made room for pii_redact +
-        # pack_sequences + perplexity + bpe_pairs + tfidf_topk)
+        # pack_sequences + perplexity + bpe_pairs + tfidf_topk;
+        # quality_score made room for quality_lr, which nests the same
+        # feature formulas inside its GD replay)
         "latency_quantiles": DQ.q_latency_quantiles,
         "retention_7d": DQ.q_retention_7d,
         "top_users_1d": DQ.q_top_users_1d,
@@ -151,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance": DQ.q_edit_distance,
         "fingerprint": DQ.q_fingerprint,
         "lang_id": DQ.q_lang_id,
+        "quality_score": DQ.q_quality_score,
         "znormal_latency": DQ.q_znormal_latency,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

@@ -621,3 +621,62 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
         .select("doc_id", "term", F.col("tf").cast("long").alias("tf"),
                 F.col("df").cast("long").alias("df"), "tfidf",
                 F.col("rank").cast("int").alias("rank"))
+
+
+QUALITY_LR_FEATURES = ("punct_ratio", "stop_ratio", "mean_word_len",
+                       "log_len")
+
+
+def _quality_features(docs: DataFrame) -> DataFrame:
+    """Feature projection for the quality classifier: the quality_score
+    heuristics plus log-length, all pure column algebra."""
+    q = quality_score(docs)
+    lens = docs.select("doc_id", F.log(F.greatest(F.length("text"),
+                                                  F.lit(1)).cast("double"))
+                       .alias("log_len"))
+    return q.join(lens, "doc_id").select(
+        "doc_id", "punct_ratio", "stop_ratio", "mean_word_len", "log_len")
+
+
+def train_quality_classifier(docs: DataFrame, label_col,
+                             n_iter: int = 3, lr: float = 1.0):
+    """Train a logistic-regression quality classifier with full-batch
+    gradient descent where EVERY iteration is one Spark aggregate — the
+    fastText-style "train a quality filter on weak labels" step of
+    large-corpus pipelines (GPT-3 appendix A, public), sized so the
+    model is a handful of floats and the data never leaves the cluster.
+
+    Per iteration: grad_j = sum_i (sigmoid(w.x_i) - y_i) x_ij — one
+    map-side-combined aggregate over the feature projection (no
+    shuffle beyond the 1-row reduce); the driver holds only w (d+1
+    floats).  Deterministic given the input (full-batch, no sampling),
+    so the whole optimization replays in SQL as chained CTEs — the
+    driver oracle hash-checks distributed GD end-to-end.
+
+    Returns (weights, scored): weights = [bias, *feature_ws] after
+    ``n_iter`` steps; scored = (doc_id, y, score) with the final
+    per-doc sigmoid.
+    """
+    feats = _quality_features(docs).join(
+        docs.select("doc_id", F.when(label_col, 1.0).otherwise(0.0)
+                    .alias("y")), "doc_id")
+    cols = list(QUALITY_LR_FEATURES)
+    w = [0.0] * (len(cols) + 1)
+    n = feats.count()  # scalar for the 1/n step scale
+    for _ in range(n_iter):
+        z = F.lit(w[0])
+        for j, c in enumerate(cols):
+            z = z + F.lit(w[j + 1]) * F.col(c)
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y")
+        aggs = [F.sum(resid).alias("g0")]
+        aggs += [F.sum(resid * F.col(c)).alias(f"g{j + 1}")
+                 for j, c in enumerate(cols)]
+        g = feats.agg(*aggs).first()
+        w = [w[k] - lr * float(g[f"g{k}"]) / n for k in range(len(w))]
+    z = F.lit(w[0])
+    for j, c in enumerate(cols):
+        z = z + F.lit(w[j + 1]) * F.col(c)
+    scored = feats.select(
+        "doc_id", F.col("y").cast("int").alias("y"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("score"))
+    return w, scored

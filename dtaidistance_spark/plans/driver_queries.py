@@ -3539,3 +3539,63 @@ ORACLES["tfidf_topk"] = f"""
            tfidf, CAST(rank AS INT) AS rank
     FROM r WHERE rank <= 3
 """
+
+
+def q_quality_lr(spark, sf_dir):
+    """Distributed quality-classifier training (full-batch logistic
+    GD, 3 iterations, lr=1): every iteration is ONE map-side-combined
+    aggregate; the driver holds 5 floats.  Weak label: lang == 'en'.
+    The oracle replays the whole optimization as chained CTEs, so
+    distributed gradient descent itself is hash-checked."""
+    docs = _docs(spark, sf_dir)
+    _, scored = TX.train_quality_classifier(
+        docs, F.col("lang") == "en", n_iter=3, lr=1.0)
+    return scored
+
+
+def _quality_lr_oracle(n_iter: int = 3, lr: float = 1.0) -> str:
+    feats = """
+    f AS (
+      SELECT doc_id,
+             round(length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))
+                   / greatest(length(text), 1), 6) AS x1,
+             round(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       t -> list_contains(['the','and','of','to','a'],
+                                          lower(t))))
+                   / greatest(len(regexp_split_to_array(trim(text), '\\s+')),
+                              1), 6) AS x2,
+             round(length(regexp_replace(text, '\\s+', '', 'g'))
+                   / greatest(len(regexp_split_to_array(trim(text), '\\s+')),
+                              1), 6) AS x3,
+             ln(CAST(greatest(length(text), 1) AS DOUBLE)) AS x4,
+             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      FROM documents),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)"""
+    its = []
+    for k in range(n_iter):
+        z = f"(w{k}.b + w{k}.w1*x1 + w{k}.w2*x2 + w{k}.w3*x3 + w{k}.w4*x4)"
+        its.append(f"""
+    g{k} AS (
+      SELECT sum(1.0/(1.0+exp(-{z})) - y) AS g0,
+             sum((1.0/(1.0+exp(-{z})) - y)*x1) AS g1,
+             sum((1.0/(1.0+exp(-{z})) - y)*x2) AS g2,
+             sum((1.0/(1.0+exp(-{z})) - y)*x3) AS g3,
+             sum((1.0/(1.0+exp(-{z})) - y)*x4) AS g4
+      FROM f, w{k}),
+    w{k + 1} AS (
+      SELECT w{k}.b - {lr}*g{k}.g0/n.n AS b,
+             w{k}.w1 - {lr}*g{k}.g1/n.n AS w1,
+             w{k}.w2 - {lr}*g{k}.g2/n.n AS w2,
+             w{k}.w3 - {lr}*g{k}.g3/n.n AS w3,
+             w{k}.w4 - {lr}*g{k}.g4/n.n AS w4
+      FROM w{k}, g{k}, n)""")
+    zf = (f"(w{n_iter}.b + w{n_iter}.w1*x1 + w{n_iter}.w2*x2 "
+          f"+ w{n_iter}.w3*x3 + w{n_iter}.w4*x4)")
+    return (f"WITH {feats},{','.join(its)}\n"
+            f"    SELECT doc_id, CAST(y AS INT) AS y,\n"
+            f"           round(1.0/(1.0+exp(-{zf})), 6) AS score\n"
+            f"    FROM f, w{n_iter}")
+
+
+ORACLES["quality_lr"] = _quality_lr_oracle(3, 1.0)

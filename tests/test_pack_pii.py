@@ -394,3 +394,48 @@ class TestReviewFixes:
         import pytest as _pytest
         with _pytest.raises(Exception):
             decode_features(media, n_features=4, fake=False).collect()
+
+
+class TestQualityClassifier:
+    def test_matches_numpy_gd_and_learns(self, spark):
+        import numpy as np
+
+        from dtaidistance_spark.operators.text import (
+            _quality_features, train_quality_classifier)
+        from pyspark.sql import functions as F
+
+        texts = []
+        # class 1: prose-like (stopwords, few punct); class 0: noisy
+        for i in range(40):
+            texts.append((i, "the quick fox and the lazy dog of town "
+                          + "word" + str(i), "en"))
+        for i in range(40, 80):
+            texts.append((i, "!!! ??? ;;; ,,, (((" + "x" * (i % 7) + ")))",
+                          "xx"))
+        docs = spark.createDataFrame(texts, "doc_id long, text string, "
+                                     "lang string")
+        w, scored = train_quality_classifier(
+            docs, F.col("lang") == "en", n_iter=3, lr=1.0)
+
+        # numpy replay of the same full-batch GD over the same features
+        fx = _quality_features(docs).join(
+            docs.select("doc_id", F.when(F.col("lang") == "en", 1.0)
+                        .otherwise(0.0).alias("y")), "doc_id") \
+            .orderBy("doc_id").toPandas()
+        X = np.column_stack([np.ones(len(fx)),
+                             fx[["punct_ratio", "stop_ratio",
+                                 "mean_word_len", "log_len"]].values])
+        y = fx["y"].values
+        wv = np.zeros(5)
+        for _ in range(3):
+            s = 1.0 / (1.0 + np.exp(-(X @ wv)))
+            wv = wv - 1.0 * (X.T @ (s - y)) / len(y)
+        assert np.allclose(w, wv, atol=1e-9), (w, wv)
+
+        # the classifier separates the two classes after 3 steps
+        out = scored.toPandas().set_index("doc_id")
+        pos = out[out["y"] == 1]["score"].mean()
+        neg = out[out["y"] == 0]["score"].mean()
+        # after only 3 full-batch steps the magnitudes are small but
+        # the ordering must already separate the classes decisively
+        assert pos > 2 * neg, (pos, neg)
