@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": DQ.q_rollup_1d_cascade,
         "gap_fill_1h": DQ.q_gap_fill_1h,
         "latency_points": DQ.q_latency_points,
+        # as-of join (r5): events enriched with the latest completed
+        # hourly aggregate — union+running-window plan, DuckDB native
+        # ASOF JOIN as the oracle
+        "asof_join": DQ.q_asof_join,
         # composite differencing + DDTW derivative over the 1h tier
         "diff_derivative_1h": DQ.q_diff_derivative_1h,
         "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
@@ -87,8 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nw_align": DQ.q_nw_align,
         "media_features": DQ.q_media_features,
         # documents: dedup + text analysis + curation primitives
-        "dedup_exact": DQ.q_dedup_exact,
-        "token_stats": DQ.q_token_stats,
+        # (dedup_exact and token_stats — 4 rounds hash-green each —
+        # rotated below the fold r5 to make room for asof_join +
+        # semdedup; both stay oracled + sweep-verified)
         # distributed quality-classifier training (late r5): full-batch
         # logistic GD, one aggregate per iteration, replayed in SQL as
         # chained CTEs — gradient descent itself is hash-checked
@@ -130,7 +135,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": DQ.q_simhash,
         "simhash_pairs": DQ.q_simhash_pairs,
         "dedup_clusters": DQ.q_dedup_clusters,
-        # embeddings: similarity search
+        # embeddings: similarity search + semantic dedup
+        # SemDeDup (r5): coarse-cluster + within-cluster cosine dedup
+        # with a dominance keep-rule, full SQL replay over the inlined
+        # deterministic IVF centroids
+        "semdedup": DQ.q_semdedup,
         "embedding_neardup": DQ.q_embedding_neardup,
         "embedding_neardup_lsh": DQ.q_embedding_neardup_lsh,
         "ann_brute_topk": DQ.q_ann_brute_topk,
@@ -151,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feature formulas inside its GD replay)
         "latency_quantiles": DQ.q_latency_quantiles,
         "retention_7d": DQ.q_retention_7d,
+        "dedup_exact": DQ.q_dedup_exact,
+        "token_stats": DQ.q_token_stats,
         "top_users_1d": DQ.q_top_users_1d,
         "sessionize": DQ.q_sessionize,
         "edit_distance": DQ.q_edit_distance,

@@ -1,0 +1,132 @@
+"""Distributed as-of join — attach to each left row the most recent
+right row at-or-before its timestamp (per key), the classic timeseries
+enrichment join ("join every event to the latest completed rollup").
+
+The reference's query layer has no join operator at all (it is a
+distance library); this is part of the relational surface SURVEY §2.8
+adds around the north-rule tiers.  kdb/pandas ``merge_asof`` and DuckDB
+``ASOF JOIN`` define the public semantics we match (backward,
+inclusive); DuckDB's is the driver oracle.
+
+Execution model — the union+window trick, NOT a range join:
+
+  * a naive formulation (``l JOIN r ON l.key = r.key AND r.ts <= l.ts``
+    + max-per-left) explodes to |matches| rows before the argmax and is
+    quadratic per key;
+  * instead, union both sides into one stream tagged ``__side`` (right
+    rows first at equal ts so the join is inclusive), hash-partition by
+    key, sort by (ts, side) inside each partition, and carry the right
+    columns forward with ``last(col, ignorenulls=True)`` over an
+    unbounded-preceding running window.  Left rows then hold exactly
+    the most recent right values; filter ``__side = 1``.
+
+  Cost at 100 TB: ONE hash exchange on the key for each input + one
+  sort-based window — no row explosion, no per-key quadratic term, and
+  the window is streaming (running frame), so nothing materializes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+__all__ = ["asof_join"]
+
+
+def asof_join(left: DataFrame, right: DataFrame,
+              on: Union[str, Sequence[str]],
+              left_ts: str = "ts", right_ts: str = "ts",
+              direction: str = "backward",
+              tolerance: Optional[Column] = None,
+              how: str = "inner",
+              suffix: str = "_r") -> DataFrame:
+    """As-of join ``left`` with ``right`` on ``on`` keys.
+
+    direction="backward": most recent right row with
+    ``r[right_ts] <= l[left_ts]`` (inclusive; pandas/DuckDB default).
+    direction="forward": earliest right row with ``r[right_ts] >=
+    l[left_ts]``.
+
+    ``tolerance``: optional max allowed ``abs(l.ts - r.ts)`` as a
+    Column interval/expression — matches farther away are nulled (and
+    dropped under ``how="inner"``).
+
+    ``how``: "inner" drops left rows with no match, "left" keeps them
+    with null right columns.
+
+    Right rows must be unique per (key, right_ts); among equal
+    timestamps the carried row is unspecified (same caveat as
+    ``pandas.merge_asof``).  Right value columns that collide with a
+    left column name are suffixed with ``suffix``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how}")
+
+    rvals = [c for c in right.columns if c not in keys and c != right_ts]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rvals}
+    matched_ts = right_ts + suffix if right_ts in left.columns else right_ts
+
+    # one unioned stream: right rows carry their values, left rows nulls
+    lcols = [c for c in left.columns if c not in keys and c != left_ts]
+    l_side = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"), F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+          for c in rvals],
+    )
+    r_side = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"), F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in lcols],
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__r_{c}") for c in rvals],
+    )
+    both = l_side.unionByName(r_side)
+
+    # backward: ascending ts, right (side 0) before left at equal ts so
+    # an equal-timestamp right row is visible — inclusive semantics.
+    # forward: descending ts, same side order.
+    ts_ord = F.col("__ts").asc() if direction == "backward" \
+        else F.col("__ts").desc()
+    w = (W.partitionBy(*keys).orderBy(ts_ord, F.col("__side").asc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+
+    filled = both.select(
+        *keys, "__ts", "__side",
+        *[F.col(f"__l_{c}") for c in lcols],
+        F.last("__rts", ignorenulls=True).over(w).alias("__m_ts"),
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+          for c in rvals],
+    ).where(F.col("__side") == 1)
+
+    if tolerance is not None:
+        gap = (F.col("__ts") - F.col("__m_ts")) if direction == "backward" \
+            else (F.col("__m_ts") - F.col("__ts"))
+        ok = F.col("__m_ts").isNotNull() & (gap <= tolerance)
+        filled = filled.select(
+            *keys, "__ts",
+            *[F.col(f"__l_{c}") for c in lcols],
+            F.when(ok, F.col("__m_ts")).alias("__m_ts"),
+            *[F.when(ok, F.col(f"__m_{c}")).alias(f"__m_{c}")
+              for c in rvals],
+        )
+
+    out = filled.select(
+        *keys,
+        F.col("__ts").alias(left_ts),
+        *[F.col(f"__l_{c}").alias(c) for c in lcols],
+        F.col("__m_ts").alias(matched_ts),
+        *[F.col(f"__m_{c}").alias(out_names[c]) for c in rvals],
+    )
+    if how == "inner":
+        out = out.where(F.col(matched_ts).isNotNull())
+    return out

@@ -477,3 +477,80 @@ def remove_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
                 .alias("clean_text"),
                 F.size(toks).alias("n_tokens"),
                 (F.size(toks) - F.size(kept)).alias("n_removed")))
+
+
+def semdedup(emb: DataFrame, centroids, tau: float = 0.2) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with a coarse
+    quantizer, then drop near-duplicates *within* each cluster — the
+    clustering bounds the pairwise stage to intra-cluster candidates,
+    which is the whole reason the method scales where brute cosine
+    (embedding_neardup_pairs) cannot.
+
+    ``centroids`` is the deterministic coarse quantizer from
+    ``operators/ann.py::train_ivf_centroids`` (md5-seeded, so the same
+    centers are reproducible across engines and inlineable into a SQL
+    twin).  Assignment reuses the IVF expression tree — per-centroid
+    cosine as JVM column algebra, ranked score DESC / cid DESC —
+    identical tie semantics to ``ann.ivf_assign``.
+
+    Drop rule (deterministic version of the paper's keep-one-per-group):
+    a row is dropped iff some same-cluster row with pairwise cosine >=
+    ``tau`` dominates it — higher cosine-to-centroid, ties broken by
+    lower vec_id.  Exactly one member of every mutually-similar group
+    survives, and the rule needs only one intra-cluster equi-join (one
+    shuffle on cid) + a distinct + a left join: no iteration, no
+    connected components.
+
+    Returns one row per input: (vec_id, cid, centroid_cos, keep).
+    """
+    from .ann import IVF_EXPR_MAX_CENTROIDS
+
+    if len(centroids) > IVF_EXPR_MAX_CENTROIDS:
+        raise ValueError(
+            f"semdedup expression path caps at {IVF_EXPR_MAX_CENTROIDS} "
+            "centroids; use ann._nearest_cids_udf-style assignment beyond")
+    dots = []
+    for ci, c in enumerate(centroids):
+        plane = F.array(*[F.lit(float(x)) for x in c])
+        dot = F.aggregate(F.zip_with("embedding", plane, lambda x, y: x * y),
+                          F.lit(0.0), lambda acc, v: acc + v)
+        norm = F.sqrt(F.aggregate(F.transform("embedding", lambda x: x * x),
+                                  F.lit(0.0), lambda a, v: a + v))
+        dots.append(F.struct((dot / norm).alias("score"),
+                             F.lit(ci).alias("cid")))
+    best = F.reverse(F.array_sort(F.array(*dots)))[0]
+    assigned = emb.select(
+        "vec_id", "embedding",
+        best["cid"].alias("cid"),
+        F.round(best["score"], 6).alias("centroid_cos"),
+    ).persist()
+
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("embedding").alias("va"),
+                        F.col("cid"), F.col("centroid_cos").alias("ca"))
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("embedding").alias("vb"),
+                        F.col("cid"), F.col("centroid_cos").alias("cb"))
+    pair_cos = F.round(
+        F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, v: acc + v)
+        / (F.sqrt(F.aggregate(F.transform("va", lambda x: x * x),
+                              F.lit(0.0), lambda p, v: p + v))
+           * F.sqrt(F.aggregate(F.transform("vb", lambda x: x * x),
+                                F.lit(0.0), lambda p, v: p + v))), 6)
+    dominated = (
+        a.join(b, "cid")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(pair_cos >= F.lit(tau))
+        .where((F.col("ca") > F.col("cb"))
+               | ((F.col("ca") == F.col("cb"))
+                  & (F.col("id_a") < F.col("id_b"))))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (assigned.join(dominated, "vec_id", "left")
+            .select("vec_id", "cid", "centroid_cos",
+                    F.coalesce(~F.col("__dropped"), F.lit(True))
+                    .alias("keep")))

@@ -158,6 +158,29 @@ def q_gap_fill_1h(spark, sf_dir):
                          F.round("sum", 6).alias("sum_val"), "gap")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.py): every raw event enriched with the
+    latest COMPLETED hourly per-user aggregate — each hour's summary
+    becomes available at hour_ts + 1h, so an event at 10:30 joins the
+    09:00 hour (and skips back across hours the user was silent).
+    Union+running-window plan: one hash exchange per input on user_id,
+    no range-join row explosion.  Oracle: DuckDB's native ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.round(F.avg("value"), 6).alias("hour_avg"),
+             F.count("*").alias("hour_n"))
+        .withColumn("avail_ts",
+                    F.col("hour_ts") + F.expr("INTERVAL 1 HOUR")))
+    left = ev.select("event_id", "user_id", "ts", "value")
+    right = hourly.select("user_id", "avail_ts", "hour_ts",
+                          "hour_avg", "hour_n")
+    return asof_join(left, right, on="user_id",
+                     left_ts="ts", right_ts="avail_ts", how="inner")
+
+
 def q_latency_points(spark, sf_dir):
     pts = event_points(spark, sf_dir)
     w = W.partitionBy("series_id").orderBy("seq")
@@ -1110,6 +1133,18 @@ def q_embedding_neardup_lsh(spark, sf_dir):
                                     threshold=0.2, n_planes=4)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (operators/dedup.py::semdedup): coarse-quantizer
+    clustering (the deterministic md5-seeded IVF centroids ann_ivf_topk
+    already oracles) + within-cluster cosine dedup with a dominance
+    keep-rule — one intra-cluster equi-join, no n² stage.  The SQL twin
+    replays assignment (score DESC / cid DESC rank over inlined centroid
+    literals), the intra-cluster pair filter, and the dominance rule."""
+    emb = _emb(spark, sf_dir)
+    cents = ANN.train_ivf_centroids(emb, n_centroids=8)
+    return DD.semdedup(emb, cents, tau=0.2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup clusters: shingle-Jaccard pairs → transitive closure →
     (doc_id, cluster_id = min reachable doc id)."""
@@ -1248,6 +1283,20 @@ ORACLES: dict[str, str] = {
     # same oracle SQL proves the tiered layout is lossless
     "tier_sink_roundtrip": _rollup_sql("hour"),
     "rollup_1d_cascade": _rollup_sql("day"),
+    # DuckDB's native ASOF JOIN is the semantic oracle for the
+    # union+running-window plan in operators/asof.py
+    "asof_join": """
+        WITH hourly AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+                 round(avg(value), 6) AS hour_avg,
+                 count(*) AS hour_n,
+                 date_trunc('hour', ts) + INTERVAL 1 HOUR AS avail_ts
+          FROM events GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, e.ts, e.value,
+               h.avail_ts, h.hour_ts, h.hour_avg, h.hour_n
+        FROM events e ASOF JOIN hourly h
+          ON e.user_id = h.user_id AND e.ts >= h.avail_ts
+    """,
     "gap_fill_1h": f"""
         WITH pts AS ({_PTS_SQL}),
         agg AS (
@@ -3028,8 +3077,37 @@ def _register_generated_oracles():
         FROM cand
         QUALIFY rank <= 5
         """
+
+        # SemDeDup rides the same inlined centroids: rn=1 assignment,
+        # intra-cluster pair filter at tau=0.2, dominance keep-rule
+        # (higher centroid_cos wins, ties to the lower vec_id)
+        ORACLES["semdedup"] = f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(cid, cv) AS (VALUES {cent_rows}),
+        scored AS (
+          SELECT e.vec_id, e.v, c.cid, {_dot} / {_nrm} AS score
+          FROM e CROSS JOIN cents c),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY score DESC, cid DESC) AS rn
+          FROM scored),
+        assigned AS (
+          SELECT vec_id, v, cid, round(score, 6) AS centroid_cos
+          FROM ranked WHERE rn = 1),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM assigned a JOIN assigned b
+            ON a.cid = b.cid AND a.vec_id != b.vec_id
+          WHERE round({_cos_sql('a.v', 'b.v')}, 6) >= 0.2
+            AND (a.centroid_cos > b.centroid_cos
+                 OR (a.centroid_cos = b.centroid_cos
+                     AND a.vec_id < b.vec_id)))
+        SELECT s.vec_id, s.cid, s.centroid_cos,
+               d.vec_id IS NULL AS keep
+        FROM assigned s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+        """
     except Exception:
-        pass  # testdata absent → ann_ivf_topk stays rows-only
+        pass  # testdata absent → ann_ivf_topk + semdedup stay rows-only
 
     # connected components of the ngram-jaccard dup graph
     ngram = ORACLES["ngram_jaccard"]

@@ -1,0 +1,111 @@
+"""As-of join (operators/asof.py) — semantics vs hand-computed rows and
+pandas.merge_asof, plus the no-explosion plan pin."""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from dtaidistance_spark.operators.asof import asof_join
+
+
+def _ts(h, m=0):
+    return dt.datetime(2026, 1, 1, h, m)
+
+
+@pytest.fixture()
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(9, 30), 10.0),   # before any right row for key 1
+         (1, _ts(10, 0), 11.0),   # equal-ts: inclusive match
+         (1, _ts(12, 45), 12.0),  # skips back over the 11:00 gap
+         (2, _ts(10, 5), 20.0),   # key with one right row
+         (3, _ts(10, 0), 30.0)],  # key absent from right
+        "k long, ts timestamp, lv double")
+    right = spark.createDataFrame(
+        [(1, _ts(10, 0), 100.0),
+         (1, _ts(12, 0), 120.0),
+         (2, _ts(10, 0), 200.0)],
+        "k long, ts timestamp, rv double")
+    return left, right
+
+
+class TestAsofJoin:
+    def test_backward_inner(self, spark, frames):
+        left, right = frames
+        got = (asof_join(left, right, on="k", how="inner")
+               .orderBy("k", "ts").toPandas())
+        # key 1 @9:30 has no match and is dropped; @10:00 matches the
+        # equal-ts row; @12:45 matches 12:00; key 3 dropped
+        assert [(r.k, r.lv, r.rv) for r in got.itertuples()] == [
+            (1, 11.0, 100.0), (1, 12.0, 120.0), (2, 20.0, 200.0)]
+        assert got["ts_r"].tolist() == [_ts(10), _ts(12), _ts(10)]
+
+    def test_backward_left_keeps_unmatched(self, spark, frames):
+        left, right = frames
+        got = (asof_join(left, right, on="k", how="left")
+               .orderBy("k", "ts").toPandas())
+        assert len(got) == 5
+        unmatched = got[got["rv"].isna()]
+        assert sorted(zip(unmatched["k"], unmatched["lv"])) == \
+            [(1, 10.0), (3, 30.0)]
+
+    def test_forward(self, spark, frames):
+        left, right = frames
+        got = (asof_join(left, right, on="k", direction="forward",
+                         how="inner").orderBy("k", "ts").toPandas())
+        # @9:30 -> 10:00 (earliest >=), @10:00 -> equal-ts inclusive,
+        # @12:45 -> none; key 2 @10:05 -> none; key 3 none
+        assert [(r.k, r.lv, r.rv) for r in got.itertuples()] == [
+            (1, 10.0, 100.0), (1, 11.0, 100.0)]
+
+    def test_tolerance(self, spark, frames):
+        from pyspark.sql import functions as F
+
+        left, right = frames
+        got = (asof_join(left, right, on="k",
+                         tolerance=F.expr("INTERVAL 1 HOUR"), how="inner")
+               .orderBy("k", "ts").toPandas())
+        # the 12:45 -> 12:00 gap (45 min) passes; 10:00 equal-ts (0) and
+        # 10:05 -> 10:00 (5 min) pass; nothing farther than 1 h exists
+        assert len(got) == 3
+        got0 = (asof_join(left, right, on="k",
+                          tolerance=F.expr("INTERVAL 10 MINUTES"),
+                          how="inner").toPandas())
+        assert len(got0) == 2  # 12:45 match nulled -> dropped
+
+    def test_matches_pandas_merge_asof(self, spark, rng):
+        # randomized cross-check on a bigger frame
+        n_l, n_r = 400, 150
+        lp = pd.DataFrame({
+            "k": rng.integers(0, 5, n_l),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, n_l), unit="s"),
+            "lv": rng.normal(size=n_l)})
+        rp = pd.DataFrame({
+            "k": rng.integers(0, 5, n_r),
+            "ts": pd.to_datetime(rng.integers(0, 10_000, n_r), unit="s"),
+            "rv": rng.normal(size=n_r)})
+        rp = rp.drop_duplicates(["k", "ts"])  # unique (key, ts) contract
+        want = pd.merge_asof(
+            lp.sort_values("ts"), rp.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+            suffixes=("", "_r")).dropna(subset=["rv"])
+        got = (asof_join(spark.createDataFrame(lp),
+                         spark.createDataFrame(rp), on="k", how="inner")
+               .toPandas())
+        a = got.sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+        b = want.sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        pd.testing.assert_series_equal(a["rv"], b["rv"], check_names=False)
+
+    def test_plan_no_join_single_exchange(self, spark, frames):
+        # the union+window plan must contain NO join operator (no range
+        # explosion to collapse) and exactly one hash exchange (the
+        # window's partitionBy) above the two scans
+        left, right = frames
+        plan = (asof_join(left, right, on="k")._jdf.queryExecution()
+                .executedPlan().toString())
+        for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                    "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in plan
+        assert plan.count("Exchange hashpartitioning") == 1
