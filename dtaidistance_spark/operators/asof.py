@@ -48,7 +48,9 @@ def asof_join(left: DataFrame, right: DataFrame,
     direction="backward": most recent right row with
     ``r[right_ts] <= l[left_ts]`` (inclusive; pandas/DuckDB default).
     direction="forward": earliest right row with ``r[right_ts] >=
-    l[left_ts]``.
+    l[left_ts]``.  direction="nearest": whichever of the two is closer
+    in time (ties to the backward row, matching pandas) — computed as
+    both running fills over ONE union and ONE exchange (two sorts).
 
     ``tolerance``: optional max allowed ``abs(l.ts - r.ts)`` as a
     Column interval/expression — matches farther away are nulled (and
@@ -63,8 +65,9 @@ def asof_join(left: DataFrame, right: DataFrame,
     left column name are suffixed with ``suffix``.
     """
     keys = [on] if isinstance(on, str) else list(on)
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}")
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left: {how}")
 
@@ -94,23 +97,52 @@ def asof_join(left: DataFrame, right: DataFrame,
 
     # backward: ascending ts, right (side 0) before left at equal ts so
     # an equal-timestamp right row is visible — inclusive semantics.
-    # forward: descending ts, same side order.
-    ts_ord = F.col("__ts").asc() if direction == "backward" \
-        else F.col("__ts").desc()
-    w = (W.partitionBy(*keys).orderBy(ts_ord, F.col("__side").asc())
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    # forward: descending ts, same side order.  nearest: both fills
+    # share the one hash partitioning (two sorts), then pick per row.
+    def running(asc: bool):
+        ts_ord = F.col("__ts").asc() if asc else F.col("__ts").desc()
+        return (W.partitionBy(*keys)
+                .orderBy(ts_ord, F.col("__side").asc())
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
 
-    filled = both.select(
-        *keys, "__ts", "__side",
-        *[F.col(f"__l_{c}") for c in lcols],
-        F.last("__rts", ignorenulls=True).over(w).alias("__m_ts"),
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-          for c in rvals],
-    ).where(F.col("__side") == 1)
+    if direction == "nearest":
+        wb, wf = running(True), running(False)
+        fill = lambda c, w: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        stage = both.select(
+            *keys, "__ts", "__side",
+            *[F.col(f"__l_{c}") for c in lcols],
+            fill("__rts", wb).alias("__b_ts"),
+            fill("__rts", wf).alias("__f_ts"),
+            *[fill(f"__r_{c}", wb).alias(f"__b_{c}") for c in rvals],
+            *[fill(f"__r_{c}", wf).alias(f"__f_{c}") for c in rvals],
+        ).where(F.col("__side") == 1)
+        useb = F.col("__f_ts").isNull() | (
+            F.col("__b_ts").isNotNull()
+            & ((F.col("__ts") - F.col("__b_ts"))
+               <= (F.col("__f_ts") - F.col("__ts"))))
+        pick = lambda b, f: F.when(useb, F.col(b)).otherwise(F.col(f))  # noqa: E731
+        filled = stage.select(
+            *keys, "__ts",
+            *[F.col(f"__l_{c}") for c in lcols],
+            pick("__b_ts", "__f_ts").alias("__m_ts"),
+            *[pick(f"__b_{c}", f"__f_{c}").alias(f"__m_{c}")
+              for c in rvals],
+        )
+    else:
+        w = running(direction == "backward")
+        filled = both.select(
+            *keys, "__ts", "__side",
+            *[F.col(f"__l_{c}") for c in lcols],
+            F.last("__rts", ignorenulls=True).over(w).alias("__m_ts"),
+            *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+              for c in rvals],
+        ).where(F.col("__side") == 1)
 
     if tolerance is not None:
-        gap = (F.col("__ts") - F.col("__m_ts")) if direction == "backward" \
-            else (F.col("__m_ts") - F.col("__ts"))
+        # |l.ts - matched ts|, valid for every direction
+        gap = F.when(F.col("__ts") >= F.col("__m_ts"),
+                     F.col("__ts") - F.col("__m_ts")) \
+               .otherwise(F.col("__m_ts") - F.col("__ts"))
         ok = F.col("__m_ts").isNotNull() & (gap <= tolerance)
         filled = filled.select(
             *keys, "__ts",

@@ -141,3 +141,65 @@ class TestAsofStream:
                 .orderBy("k", "ts").toPandas())
         assert got[want.columns].equals(want)
         assert len(got) == 3
+
+
+class TestAsofNearest:
+    def test_nearest_hand_rows(self, spark, frames):
+        left, right = frames
+        got = (asof_join(left, right, on="k", direction="nearest",
+                         how="inner").orderBy("k", "ts").toPandas())
+        # 9:30 -> 10:00 (only forward exists, gap 30m); 10:00 -> exact;
+        # 12:45 -> 12:00 (backward 45m beats nothing forward);
+        # 2@10:05 -> 10:00; 3 -> no match dropped
+        assert [(r.k, r.lv, r.rv) for r in got.itertuples()] == [
+            (1, 10.0, 100.0), (1, 11.0, 100.0), (1, 12.0, 120.0),
+            (2, 20.0, 200.0)]
+
+    def test_nearest_tie_prefers_backward(self, spark):
+        left = spark.createDataFrame([(1, 10, 0.0)], "k long, ts long, lv double")
+        right = spark.createDataFrame([(1, 8, 1.0), (1, 12, 2.0)],
+                                      "k long, ts long, rv double")
+        got = asof_join(left, right, on="k", direction="nearest").toPandas()
+        assert got["rv"].tolist() == [1.0]  # equidistant -> backward
+
+    def test_nearest_matches_pandas(self, spark, rng):
+        # right ts on multiples of 10, left ts ≡ 3 (mod 10): backward and
+        # forward gaps are never equal, so no tie-rule dependence
+        n_l, n_r = 300, 120
+        lp = pd.DataFrame({
+            "k": rng.integers(0, 4, n_l),
+            "ts": pd.to_datetime(rng.integers(0, 1000, n_l) * 10 + 3,
+                                 unit="s"),
+            "lv": rng.normal(size=n_l)})
+        rp = pd.DataFrame({
+            "k": rng.integers(0, 4, n_r),
+            "ts": pd.to_datetime(rng.integers(0, 1000, n_r) * 10,
+                                 unit="s"),
+            "rv": rng.normal(size=n_r)}).drop_duplicates(["k", "ts"])
+        want = pd.merge_asof(
+            lp.sort_values("ts"), rp.sort_values("ts"),
+            on="ts", by="k", direction="nearest",
+            suffixes=("", "_r")).dropna(subset=["rv"])
+        got = (asof_join(spark.createDataFrame(lp),
+                         spark.createDataFrame(rp), on="k",
+                         direction="nearest", how="inner").toPandas())
+        a = got.sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+        b = want.sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+        assert len(a) == len(b)
+        pd.testing.assert_series_equal(a["rv"], b["rv"], check_names=False)
+
+    def test_nearest_tolerance_and_plan(self, spark, frames):
+        from pyspark.sql import functions as F
+
+        left, right = frames
+        got = (asof_join(left, right, on="k", direction="nearest",
+                         tolerance=F.expr("INTERVAL 10 MINUTES"),
+                         how="inner").toPandas())
+        # only the exact 10:00 match and 2@10:05 survive a 10-min gap cap
+        assert sorted(got["lv"]) == [11.0, 20.0]
+        plan = (asof_join(left, right, on="k", direction="nearest")
+                ._jdf.queryExecution().executedPlan().toString())
+        for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                    "CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert bad not in plan
+        assert plan.count("Exchange hashpartitioning") == 1  # shared
