@@ -505,6 +505,7 @@ def semdedup(emb: DataFrame, centroids, tau: float = 0.2) -> DataFrame:
     Returns one row per input: (vec_id, cid, centroid_cos, keep).
     """
     from .ann import IVF_EXPR_MAX_CENTROIDS
+    from ..resources import track_persist
 
     if len(centroids) > IVF_EXPR_MAX_CENTROIDS:
         raise ValueError(
@@ -520,11 +521,14 @@ def semdedup(emb: DataFrame, centroids, tau: float = 0.2) -> DataFrame:
         dots.append(F.struct((dot / norm).alias("score"),
                              F.lit(ci).alias("cid")))
     best = F.reverse(F.array_sort(F.array(*dots)))[0]
-    assigned = emb.select(
+    # registered with the session resource registry (resources.py
+    # contract): the returned plan is lazy, so the cache must outlive
+    # this call — harnesses release it via release_all() post-execution
+    assigned = track_persist(emb.select(
         "vec_id", "embedding",
         best["cid"].alias("cid"),
         F.round(best["score"], 6).alias("centroid_cos"),
-    ).persist()
+    ).persist())
 
     a = assigned.select(F.col("vec_id").alias("id_a"),
                         F.col("embedding").alias("va"),

@@ -657,9 +657,15 @@ def train_quality_classifier(docs: DataFrame, label_col,
     ``n_iter`` steps; scored = (doc_id, y, score) with the final
     per-doc sigmoid.
     """
-    feats = _quality_features(docs).join(
+    from ..resources import track_persist
+
+    # persisted through the GD loop: every iteration re-aggregates the
+    # same feature projection (n_iter + 2 passes otherwise), and the
+    # returned `scored` plan reads it lazily — registry-tracked so
+    # harnesses can release it after execution (resources.py contract)
+    feats = track_persist(_quality_features(docs).join(
         docs.select("doc_id", F.when(label_col, 1.0).otherwise(0.0)
-                    .alias("y")), "doc_id")
+                    .alias("y")), "doc_id").persist())
     cols = list(QUALITY_LR_FEATURES)
     w = [0.0] * (len(cols) + 1)
     n = feats.count()  # scalar for the 1/n step scale
