@@ -46,6 +46,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1d_cascade": DQ.q_rollup_1d_cascade,
         "gap_fill_1h": DQ.q_gap_fill_1h,
         "latency_points": DQ.q_latency_points,
+        # reset-aware counter rollup + trapezoidal time-weighted average
+        # (late r5, functions/timeagg.py): the two TimescaleDB
+        # continuous-aggregate families the tier rollups don't cover;
+        # simhash (a strict sub-computation of in-window simhash_pairs)
+        # and dtw_ndim_daily_pairs (3 rounds hash-green; the DP-CTE
+        # family keeps five in-window entries) rotate below the fold
+        "counter_rate_1h": DQ.q_counter_rate_1h,
+        "time_weighted_avg_1h": DQ.q_time_weighted_avg_1h,
         # as-of join (r5): events enriched with the latest completed
         # hourly aggregate — union+running-window plan, DuckDB native
         # ASOF JOIN as the oracle
@@ -77,7 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmeans E-step with fixed centers (the M-step twin is dba_update;
         # the full kmeans++-seeded loop stays rows-only below)
         "kmeans_assign_step": DQ.q_kmeans_assign_step,
-        "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "subsequence_topk": DQ.q_subsequence_topk,
         "linkage_tree": DQ.q_linkage_tree,
         "subsequence_matches": DQ.q_subsequence_matches,
@@ -132,7 +139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_clean": DQ.q_span_clean,
         "ngram_jaccard": DQ.q_ngram_jaccard,
         "minhash_lsh": DQ.q_minhash_lsh,
-        "simhash": DQ.q_simhash,
         "simhash_pairs": DQ.q_simhash_pairs,
         "dedup_clusters": DQ.q_dedup_clusters,
         # embeddings: similarity search + semantic dedup
@@ -159,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_score made room for quality_lr, which nests the same
         # feature formulas inside its GD replay)
         "latency_quantiles": DQ.q_latency_quantiles,
+        "simhash": DQ.q_simhash,
+        "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "retention_7d": DQ.q_retention_7d,
         "dedup_exact": DQ.q_dedup_exact,
         "token_stats": DQ.q_token_stats,

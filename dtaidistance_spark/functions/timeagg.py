@@ -1,0 +1,170 @@
+"""Counter and time-weighted aggregates over point series — the two
+north-rule continuous-aggregate families the tier rollups don't cover:
+
+* ``counter_delta`` / ``counter_rate`` — reset-aware monotone-counter
+  deltas (the public TimescaleDB ``counter_agg`` / Prometheus
+  ``increase`` contract): a counter that wraps or restarts contributes
+  its post-reset value, never a negative delta.
+* ``time_weighted_avg`` — trapezoidal time-weighted average per bucket
+  (the public TimescaleDB ``time_weighted_average`` contract with the
+  'linear' interpolation method), for irregularly sampled series where
+  a plain ``avg`` over-weights bursts.
+
+Both are pure JVM column algebra (window lag + hash aggregation): one
+hash exchange on the series key for the per-series window, then a
+map-side-partial aggregation onto (series, bucket).  No Python in the
+plan, so both run at scan speed at 100 TB; the per-series window is the
+same shape as the latency ingest and inherits the same skew remedy
+(`operators/ingest._latency_lag_salted`) if a single series ever
+dominates a partition.
+
+The reference library has no notion of timestamps (SURVEY.md §1.1:
+position IS the time axis), so these operators are engine-native
+additions on the rollup layer, not reference ports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+
+def _epoch_us(col):
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
+def counter_delta(
+    points: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Per-sample reset-aware counter delta.
+
+    ``delta = value - prev_value`` when the counter grew, else
+    ``value`` (the counter reset/wrapped and restarted from zero, so
+    only the post-reset growth is observable — the TimescaleDB
+    ``counter_agg`` / Prometheus reset rule).  The first sample of each
+    series has a NULL delta.
+
+    ``order_cols`` breaks ties after ``ts_col`` (e.g. an event id) so
+    the per-series order — and therefore every delta — is stable under
+    any physical layout.
+    """
+    w = W.partitionBy(series_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(value_col).over(w)
+    delta = (
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .when(F.col(value_col) >= prev, F.col(value_col) - prev)
+        .otherwise(F.col(value_col))
+    )
+    return points.withColumn("delta", delta)
+
+
+def counter_rate(
+    points: DataFrame,
+    every: str = "1h",
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Per-(series, bucket) counter increase and per-second rate.
+
+    ``idelta`` sums the reset-aware deltas of the samples that land in
+    the bucket (each delta is attributed to the bucket of its *right*
+    endpoint, so bucket sums partition the total increase exactly);
+    ``rate_per_s`` divides by the observed in-bucket span
+    ``(max ts − min ts)`` and is NULL for single-sample buckets.
+    Output: ``series_id, bucket_ts, n, idelta, rate_per_s``.
+    """
+    trunc = _TRUNC[every]
+    d = counter_delta(points, series_col, ts_col, value_col, order_cols)
+    span_s = (F.max(_epoch_us(ts_col)) - F.min(_epoch_us(ts_col))) / F.lit(1e6)
+    return (
+        d.groupBy(
+            F.col(series_col).alias("series_id"),
+            F.date_trunc(trunc, ts_col).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(value_col).alias("n"),
+            F.round(F.sum("delta"), 6).alias("idelta"),
+            span_s.alias("_span_s"),
+        )
+        .select(
+            "series_id",
+            "bucket_ts",
+            "n",
+            "idelta",
+            F.when(
+                F.col("_span_s") > 0,
+                F.round(F.col("idelta") / F.col("_span_s"), 6),
+            ).alias("rate_per_s"),
+        )
+    )
+
+
+def time_weighted_avg(
+    points: DataFrame,
+    every: str = "1h",
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Per-(series, bucket) trapezoidal time-weighted average.
+
+    Every consecutive in-bucket sample pair contributes
+    ``(v_prev + v) / 2 · Δt``; the weighted sum is divided by the
+    observed in-bucket span ``(max ts − min ts)``.  Pairs that straddle
+    a bucket boundary are excluded (bucket-local interpolation only),
+    so a bucket needs ≥ 2 samples to produce a value — single-sample
+    buckets emit NULL ``twa`` (n is still reported).
+    Output: ``series_id, bucket_ts, n, twa``.
+    """
+    trunc = _TRUNC[every]
+    w = W.partitionBy(series_col).orderBy(ts_col, *order_cols)
+    prev_v = F.lag(value_col).over(w)
+    prev_us = F.lag(_epoch_us(ts_col)).over(w)
+    bucket = F.date_trunc(trunc, ts_col)
+    same_bucket = F.date_trunc(trunc, F.lag(ts_col).over(w)) == bucket
+    # per-pair trapezoid weight in value·seconds; identical one-row IEEE
+    # arithmetic on both engines, order-robust after round(…, 6)
+    wpart = F.when(
+        prev_v.isNotNull() & same_bucket,
+        (prev_v + F.col(value_col))
+        / F.lit(2.0)
+        * ((_epoch_us(ts_col) - prev_us) / F.lit(1e6)),
+    )
+    span_s = (F.max(_epoch_us(ts_col)) - F.min(_epoch_us(ts_col))) / F.lit(1e6)
+    return (
+        points.select(
+            F.col(series_col).alias("series_id"),
+            bucket.alias("bucket_ts"),
+            F.col(ts_col).alias("_ts"),
+            wpart.alias("_w"),
+        )
+        .groupBy("series_id", "bucket_ts")
+        .agg(
+            F.count("_ts").alias("n"),
+            F.round(F.sum("_w"), 6).alias("_wsum"),
+            (
+                (F.max(F.unix_micros(F.col("_ts").cast("timestamp")))
+                 - F.min(F.unix_micros(F.col("_ts").cast("timestamp"))))
+                / F.lit(1e6)
+            ).alias("_span_s"),
+        )
+        .select(
+            "series_id",
+            "bucket_ts",
+            "n",
+            F.when(
+                F.col("_span_s") > 0,
+                F.round(F.col("_wsum") / F.col("_span_s"), 6),
+            ).alias("twa"),
+        )
+    )

@@ -228,6 +228,47 @@ def q_latency_quantiles(spark, sf_dir):
                  F.max("n").cast("long").alias("n")))
 
 
+def q_counter_rate_1h(spark, sf_dir):
+    """Reset-aware counter rollup (functions/timeagg.py::counter_rate —
+    the public TimescaleDB counter_agg / Prometheus increase contract)
+    over a deterministic wrapped counter: the per-user cumulative event
+    value in integer cents, wrapped at 100 000 (a 32-bit-style counter
+    wrap synthesized from events, so both engines see identical integer
+    inputs and every delta/sum is exact).  Pure JVM window + hash-agg
+    plan — one exchange for the per-series lag, map-side partials for
+    the bucket sums."""
+    from ..functions.timeagg import counter_rate
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    counter = (
+        ev.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .withColumn("cum", F.sum("cents").over(w))
+        .select(
+            F.concat(F.lit("user"), F.col("user_id").cast("string")
+                     ).alias("series_id"),
+            "ts", "event_id",
+            (F.col("cum") % 100000).cast("double").alias("value")))
+    return counter_rate(counter, "1h", order_cols=("event_id",))
+
+
+def q_time_weighted_avg_1h(spark, sf_dir):
+    """Trapezoidal time-weighted hourly average (functions/timeagg.py::
+    time_weighted_avg — the public TimescaleDB time_weighted_average
+    'linear' contract) over the raw per-user event values: burst-robust
+    where the plain avg tier over-weights dense minutes.  Same plan
+    shape as the latency ingest: one per-series window exchange, then
+    map-side-partial bucket aggregation."""
+    from ..functions.timeagg import time_weighted_avg
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        "ts", "event_id", "value")
+    return time_weighted_avg(pts, "1h", order_cols=("event_id",))
+
+
 def q_znormal_latency(spark, sf_dir):
     lat = q_latency_points(spark, sf_dir).withColumnRenamed("latency_s", "value")
     z = PP.znormal(lat)
@@ -1346,6 +1387,51 @@ ORACLES: dict[str, str] = {
                               THEN lat_us END) / 1e6, 6) AS p99,
                CAST(max(n) AS BIGINT) AS n
         FROM r GROUP BY 1, 2
+    """,
+    "counter_rate_1h": """
+        WITH c AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id, ts, event_id,
+                 CAST((sum(CAST(round(value * 100, 0) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                      % 100000 AS DOUBLE) AS value
+          FROM events),
+        d AS (
+          SELECT series_id, ts,
+                 CASE WHEN lag(value) OVER w IS NULL THEN NULL
+                      WHEN value >= lag(value) OVER w
+                        THEN value - lag(value) OVER w
+                      ELSE value END AS delta
+          FROM c WINDOW w AS (PARTITION BY series_id ORDER BY ts, event_id))
+        SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+               count(ts) AS n, round(sum(delta), 6) AS idelta,
+               CASE WHEN (max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6 > 0
+                    THEN round(round(sum(delta), 6)
+                               / ((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6),
+                               6)
+               END AS rate_per_s
+        FROM d GROUP BY 1, 2
+    """,
+    "time_weighted_avg_1h": """
+        WITH pts AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 ts, event_id, value
+          FROM events),
+        p AS (
+          SELECT series_id, date_trunc('hour', ts) AS bucket_ts, ts,
+                 CASE WHEN lag(value) OVER w IS NOT NULL
+                       AND date_trunc('hour', lag(ts) OVER w)
+                           = date_trunc('hour', ts)
+                      THEN (lag(value) OVER w + value) / 2.0
+                           * ((epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1e6)
+                 END AS w_part
+          FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY ts, event_id))
+        SELECT series_id, bucket_ts, count(ts) AS n,
+               CASE WHEN (max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6 > 0
+                    THEN round(round(sum(w_part), 6)
+                               / ((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6),
+                               6)
+               END AS twa
+        FROM p GROUP BY 1, 2
     """,
     "znormal_latency": f"""
         WITH pts AS ({_PTS_SQL}),

@@ -1,0 +1,180 @@
+"""Counter / time-weighted aggregates (functions/timeagg.py).
+
+Hand-computed fixtures for the reset rule and the trapezoid, a
+brute-force pandas parity sweep over a randomized irregular corpus, and
+the JVM-only / no-SinglePartition plan pins the module docstring claims.
+"""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.functions.timeagg import (
+    counter_delta,
+    counter_rate,
+    time_weighted_avg,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "series_id string, ts timestamp, value double")
+
+
+PY_EVAL_NODES = ("BatchEvalPython", "ArrowEvalPython")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestCounterDelta:
+    def test_reset_rule_hand_fixture(self, spark):
+        # monotone growth 0→5→12, reset to 3, growth to 7:
+        # deltas NULL, 5, 7, 3 (post-reset value), 4
+        rows = [("a", _ts(i * 10), v) for i, v in
+                enumerate([0.0, 5.0, 12.0, 3.0, 7.0])]
+        out = (counter_delta(_df(spark, rows))
+               .orderBy("ts").select("delta").collect())
+        assert [r.delta for r in out] == [None, 5.0, 7.0, 3.0, 4.0]
+
+    def test_first_sample_per_series_is_null(self, spark):
+        rows = [("a", _ts(0), 1.0), ("b", _ts(0), 9.0), ("b", _ts(5), 11.0)]
+        out = {(r.series_id, r.ts): r.delta
+               for r in counter_delta(_df(spark, rows)).collect()}
+        assert out[("a", _ts(0))] is None
+        assert out[("b", _ts(0))] is None
+        assert out[("b", _ts(5))] == 2.0
+
+
+class TestCounterRate:
+    def test_hand_fixture_buckets(self, spark):
+        # one series, two hourly buckets; the 3600s sample's delta (8)
+        # lands in the second bucket (right-endpoint attribution)
+        rows = [("a", _ts(0), 10.0), ("a", _ts(600), 16.0),
+                ("a", _ts(1800), 2.0),          # reset: delta = 2
+                ("a", _ts(3600), 10.0), ("a", _ts(3900), 13.0)]
+        out = {r.bucket_ts: r for r in
+               counter_rate(_df(spark, rows), "1h").collect()}
+        b0, b1 = _ts(0), _ts(3600)
+        assert out[b0].n == 3 and out[b0].idelta == 8.0
+        assert out[b0].rate_per_s == round(8.0 / 1800.0, 6)
+        assert out[b1].n == 2 and out[b1].idelta == 11.0  # 8 + 3
+        assert out[b1].rate_per_s == round(11.0 / 300.0, 6)
+
+    def test_single_sample_bucket_null_rate(self, spark):
+        rows = [("a", _ts(0), 5.0)]
+        r = counter_rate(_df(spark, rows), "1h").collect()[0]
+        assert r.n == 1 and r.idelta is None and r.rate_per_s is None
+
+
+class TestTimeWeightedAvg:
+    def test_trapezoid_hand_fixture(self, spark):
+        # t=0,10,30 v=2,4,8: wsum = 3*10 + 6*20 = 150, span 30 → 5.0
+        rows = [("a", _ts(0), 2.0), ("a", _ts(10), 4.0), ("a", _ts(30), 8.0)]
+        r = time_weighted_avg(_df(spark, rows), "1h").collect()[0]
+        assert r.n == 3 and r.twa == 5.0
+
+    def test_cross_bucket_pair_excluded(self, spark):
+        # second bucket holds 2 samples but the straddling pair is
+        # excluded: only (3600, 3700) contributes there
+        rows = [("a", _ts(3000), 2.0), ("a", _ts(3590), 4.0),
+                ("a", _ts(3600), 6.0), ("a", _ts(3700), 10.0)]
+        out = {r.bucket_ts: r for r in
+               time_weighted_avg(_df(spark, rows), "1h").collect()}
+        assert out[_ts(0)].twa == pytest.approx(3.0)       # (2+4)/2
+        assert out[_ts(3600)].twa == pytest.approx(8.0)    # (6+10)/2
+        assert out[_ts(3600)].n == 2
+
+    def test_single_sample_bucket_null(self, spark):
+        rows = [("a", _ts(0), 7.0)]
+        r = time_weighted_avg(_df(spark, rows), "1h").collect()[0]
+        assert r.n == 1 and r.twa is None
+
+    def test_burst_insensitivity(self, spark):
+        # 59 min at 1.0 then a 10-sample burst at 100.0 in the last
+        # minute: plain avg is pulled to ~15, TWA stays near 1
+        rows = [("a", _ts(i * 60), 1.0) for i in range(60)]
+        rows += [("a", _ts(3540 + i + 1), 100.0) for i in range(10)]
+        r = time_weighted_avg(_df(spark, rows), "1d").collect()[0]
+        plain = (60 * 1.0 + 10 * 100.0) / 70
+        assert r.twa < 2.0 and plain > 10.0
+
+
+class TestBruteForceParity:
+    def _corpus(self, rng, n_series=6, n=400):
+        rows = []
+        for s in range(n_series):
+            t = np.cumsum(rng.integers(1, 900, size=n))
+            vals = np.round(rng.random(size=n) * 100, 2)
+            rows += [(f"s{s}", _ts(int(ti)), float(v))
+                     for ti, v in zip(t, vals)]
+        return rows
+
+    def test_counter_rate_parity(self, spark, rng):
+        rows = self._corpus(rng)
+        got = {(r.series_id, r.bucket_ts): r for r in
+               counter_rate(_df(spark, rows), "1h").collect()}
+        pdf = pd.DataFrame(rows, columns=["sid", "ts", "v"])
+        for sid, g in pdf.groupby("sid"):
+            g = g.sort_values("ts").reset_index(drop=True)
+            prev = g.v.shift(1)
+            delta = np.where(g.v >= prev, g.v - prev, g.v)
+            delta[0] = np.nan
+            g["delta"] = delta
+            g["bucket"] = g.ts.dt.floor("h")
+            for b, gb in g.groupby("bucket"):
+                r = got[(sid, b.to_pydatetime())]
+                assert r.n == len(gb)
+                want = gb.delta.sum(min_count=1)
+                if np.isnan(want):
+                    assert r.idelta is None
+                else:
+                    assert r.idelta == pytest.approx(want, abs=1e-6)
+                span = (gb.ts.max() - gb.ts.min()).total_seconds()
+                if span > 0:
+                    assert r.rate_per_s == pytest.approx(
+                        round(round(want, 6) / span, 6), abs=2e-6)
+                else:
+                    assert r.rate_per_s is None
+
+    def test_twa_parity(self, spark, rng):
+        rows = self._corpus(rng)
+        got = {(r.series_id, r.bucket_ts): r for r in
+               time_weighted_avg(_df(spark, rows), "1h").collect()}
+        pdf = pd.DataFrame(rows, columns=["sid", "ts", "v"])
+        for sid, g in pdf.groupby("sid"):
+            g = g.sort_values("ts").reset_index(drop=True)
+            g["bucket"] = g.ts.dt.floor("h")
+            for b, gb in g.groupby("bucket"):
+                r = got[(sid, b.to_pydatetime())]
+                assert r.n == len(gb)
+                span = (gb.ts.max() - gb.ts.min()).total_seconds()
+                if span <= 0:
+                    assert r.twa is None
+                    continue
+                v = gb.v.to_numpy()
+                t = gb.ts.astype("int64").to_numpy() / 1e9
+                wsum = float(np.sum((v[1:] + v[:-1]) / 2 * np.diff(t)))
+                assert r.twa == pytest.approx(
+                    round(round(wsum, 6) / span, 6), abs=2e-6)
+
+
+class TestPlans:
+    def test_jvm_only_no_single_partition(self, spark):
+        rows = [("a", _ts(i), float(i)) for i in range(10)]
+        for out in (counter_rate(_df(spark, rows), "1h"),
+                    time_weighted_avg(_df(spark, rows), "1h")):
+            plan = _plan(out)
+            for node in PY_EVAL_NODES:
+                assert node not in plan, plan
+            assert "SinglePartition" not in plan, plan
