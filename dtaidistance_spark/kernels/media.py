@@ -3,9 +3,10 @@
 Real decoders for the raster/audio formats decodable from public specs
 with only the standard library — binary PPM (P6, netpbm spec), 24-bit
 uncompressed BMP (BITMAPINFOHEADER, BI_RGB), mono PCM16 RIFF/WAVE,
-**PNG** (r5: 8-bit truecolor, non-interlaced: stdlib ``zlib`` inflate +
+**PNG** (r5: 8-bit truecolor: stdlib ``zlib`` inflate +
 the five scanline unfilters None/Sub/Up/Average/Paeth from the public
-PNG spec §9), and **baseline JPEG** (r5: ITU-T T.81 sequential DCT —
+PNG spec §9; Adam7 interlace — seven independently filtered subsampled
+passes, spec §8.2 — decodes too), and **baseline JPEG** (r5: ITU-T T.81 sequential DCT —
 canonical Huffman entropy decode per Annex F, dequantize + de-zigzag +
 exact float IDCT per A.3.3, chroma replication upsample, JFIF
 YCbCr→RGB; grayscale and 3-component frames with any integer-ratio
@@ -20,7 +21,7 @@ per-component AC scans, restart markers, between-scan table
 definition.  **GIF** (late r5) decodes too: GIF89a/87a descriptor
 walk, global/local palettes, extension skipping, and real
 variable-width dictionary LZW (grow-to-12-bits, CLEAR reset) for
-single-frame images; interlace raises.  Lossless/arithmetic/12-bit
+single-frame images, including the four-pass interlaced row order.  Lossless/arithmetic/12-bit
 JPEG and MP3/non-MJPEG video remain behind the honest
 ``NotImplementedError`` codec boundary (they need external codecs).
 
@@ -174,9 +175,15 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # PNG (public spec, ISO/IEC 15948): signature + chunked stream (length,
 # type, data, CRC32); pixel data = zlib-compressed scanlines, each
 # prefixed by a filter-type byte (0 None, 1 Sub, 2 Up, 3 Average,
-# 4 Paeth — spec §9).  Scope: 8-bit truecolor (color type 2), no
-# interlace, no palette/alpha — the common case; anything else raises.
+# 4 Paeth — spec §9).  Scope: 8-bit truecolor (color type 2), both
+# non-interlaced and Adam7-interlaced (spec §8.2: seven subsampled
+# passes, each filtered as an independent sub-image); palette/alpha/
+# 16-bit raise.
 # ---------------------------------------------------------------------------
+
+# Adam7 pass grid (x_start, y_start, x_step, y_step), spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _png_chunk(ctype: bytes, data: bytes) -> bytes:
@@ -192,21 +199,18 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(img: np.ndarray, filter_type=None) -> bytes:
-    """(h, w, 3) uint8 RGB → PNG bytes.  ``filter_type`` fixes one
-    filter for every scanline; default cycles row % 5 through all five
-    so decoders exercise every unfilter path."""
-    img = np.asarray(img, dtype=np.uint8)
-    h, w, ch = img.shape
-    if ch != 3:
-        raise ValueError("encode_png supports RGB (3 channels)")
+def _png_filter_pass(img2d: np.ndarray, filter_type) -> bytearray:
+    """Filter one (sub-)image of raw scanlines (h, stride) int16 into
+    the PNG scanline stream (filter byte + filtered bytes per row).
+    The previous-row state starts at zero: each interlace pass is an
+    independent sub-image per spec §8.2."""
+    h, stride = img2d.shape
     bpp = 3
-    raw = img.reshape(h, w * bpp).astype(np.int16)
-    prev = np.zeros(w * bpp, dtype=np.int16)
+    prev = np.zeros(stride, dtype=np.int16)
     out = bytearray()
     for y in range(h):
         f = (y % 5) if filter_type is None else int(filter_type)
-        line = raw[y]
+        line = img2d[y]
         left = np.concatenate([np.zeros(bpp, dtype=np.int16),
                                line[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, dtype=np.int16),
@@ -226,7 +230,34 @@ def encode_png(img: np.ndarray, filter_type=None) -> bytes:
         out.append(f)
         out += (filt % 256).astype(np.uint8).tobytes()
         prev = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return out
+
+
+def encode_png(img: np.ndarray, filter_type=None,
+               interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB → PNG bytes.  ``filter_type`` fixes one
+    filter for every scanline; default cycles row % 5 through all five
+    so decoders exercise every unfilter path.  ``interlace=True`` emits
+    Adam7: the seven pass sub-images filtered independently and
+    concatenated into one zlib stream (spec §8.2)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    if ch != 3:
+        raise ValueError("encode_png supports RGB (3 channels)")
+    bpp = 3
+    out = bytearray()
+    if interlace:
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue  # empty pass contributes no scanlines
+            out += _png_filter_pass(
+                sub.reshape(ph, pw * bpp).astype(np.int16), filter_type)
+    else:
+        out += _png_filter_pass(
+            img.reshape(h, w * bpp).astype(np.int16), filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
             + _png_chunk(b"IEND", b""))
@@ -261,17 +292,49 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype_i, comp, filt_m, interlace = ihdr
     if depth != 8 or ctype_i != 2 or comp != 0 or filt_m != 0 \
-            or interlace != 0:
+            or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit truecolor non-interlaced PNG is decoded "
+            "only 8-bit truecolor PNG is decoded "
             f"natively (depth={depth}, color={ctype_i}, "
             f"interlace={interlace}); palette/alpha/16-bit need Pillow")
     bpp = 3
-    stride = w * bpp
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    raw = raw.reshape(h, stride + 1)
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        return _png_unfilter_pass(
+            raw.reshape(h, stride + 1), bpp).reshape(h, w, bpp)
+    # Adam7: seven independently-filtered sub-images, scattered back
+    # onto the (y0::dy, x0::dx) grids (spec §8.2)
+    out = np.empty((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for (x0, y0, dx, dy) in _ADAM7:
+        ph = len(range(y0, h, dy))
+        pw = len(range(x0, w, dx))
+        if ph == 0 or pw == 0:
+            continue
+        stride = pw * bpp
+        n = ph * (stride + 1)
+        if pos + n > len(raw):
+            raise ValueError("PNG interlaced pixel data length mismatch")
+        sub = _png_unfilter_pass(
+            raw[pos:pos + n].reshape(ph, stride + 1), bpp)
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        pos += n
+    if pos != len(raw):
+        raise ValueError("PNG interlaced pixel data length mismatch")
+    return out
+
+
+def _png_unfilter_pass(raw: np.ndarray, bpp: int) -> np.ndarray:
+    """Undo the per-scanline filters of one (sub-)image: ``raw`` is
+    (h, stride+1) uint8 with the filter byte in column 0; returns the
+    reconstructed (h, stride) uint8 rows.  Sub/Average/Paeth carry an
+    in-row prefix dependency, so those rows reconstruct
+    pixel-group-sequentially; None/Up rows are fully vectorized."""
+    h, stride1 = raw.shape
+    stride = stride1 - 1
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -301,7 +364,7 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {f} on row {y}")
         out[y] = rec.astype(np.uint8)
         prev = rec
-    return out.reshape(h, w, bpp)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1496,9 +1559,8 @@ def decode_avi(payload: bytes):
 # GIF (public spec, GIF89a/87a): logical screen descriptor + color
 # table(s) + image blocks whose pixel indices are LZW-compressed with
 # variable-width codes (start min_code_size+1 bits, grow to 12, CLEAR
-# resets).  Scope: non-interlaced single-frame decode with global or
-# local palette; extensions are skipped; interlace raises — the honest
-# boundary, matching the PNG/JPEG scope notes above.
+# resets).  Scope: single-frame decode with global or local palette,
+# sequential or interlaced row order; extensions are skipped.
 # ---------------------------------------------------------------------------
 
 
@@ -1595,9 +1657,18 @@ def _gif_lzw_decode(data: bytes, mcs: int, n_expected: int) -> np.ndarray:
     return out
 
 
-def encode_gif(img: np.ndarray) -> bytes:
+def _gif_interlace_rows(h: int) -> list:
+    """GIF interlace row transmission order (spec appendix E): pass 1
+    every 8th row from 0, pass 2 every 8th from 4, pass 3 every 4th
+    from 2, pass 4 every 2nd from 1."""
+    return [*range(0, h, 8), *range(4, h, 8),
+            *range(2, h, 4), *range(1, h, 2)]
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 with ≤256 distinct colors → single-frame GIF89a
-    (global palette, real LZW)."""
+    (global palette, real LZW).  ``interlace=True`` transmits rows in
+    the four-pass interlace order and sets the descriptor flag."""
     img = np.asarray(img, dtype=np.uint8)
     h, w, _ = img.shape
     flat = img.reshape(-1, 3)
@@ -1609,11 +1680,14 @@ def encode_gif(img: np.ndarray) -> bytes:
     pal = np.zeros((1 << pbits, 3), dtype=np.uint8)
     pal[:len(palette)] = palette
     mcs = max(2, pbits)
+    if interlace:
+        indices = indices.reshape(h, w)[_gif_interlace_rows(h)].ravel()
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", w, h)
     out += bytes([0x80 | ((pbits - 1) & 0x07), 0, 0])  # GCT flag + size
     out += pal.tobytes()
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes([0x40 if interlace else 0x00]))
     out.append(mcs)
     lzw = _gif_lzw_encode(indices.astype(np.int64), mcs)
     for i in range(0, len(lzw), 255):
@@ -1626,7 +1700,7 @@ def encode_gif(img: np.ndarray) -> bytes:
 
 def decode_gif(payload: bytes) -> np.ndarray:
     """Single-frame GIF → (h, w, 3) uint8 RGB (first image block of an
-    animated stream; interlaced images raise NotImplementedError)."""
+    animated stream; interlaced rows are reordered back)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     sw, sh = struct.unpack("<HH", payload[6:10])
@@ -1654,8 +1728,6 @@ def decode_gif(payload: bytes) -> np.ndarray:
         left, top, w, h = struct.unpack("<HHHH", payload[pos:pos + 8])
         ipacked = payload[pos + 8]
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("interlaced GIF not supported")
         pal = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -1672,6 +1744,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             lzw += payload[pos + 1:pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        idx = _gif_lzw_decode(bytes(lzw), mcs, w * h)
-        return pal[idx].reshape(h, w, 3)
+        idx = _gif_lzw_decode(bytes(lzw), mcs, w * h).reshape(h, w)
+        if ipacked & 0x40:  # interlaced: rows arrive in pass order
+            deinterlaced = np.empty_like(idx)
+            deinterlaced[_gif_interlace_rows(h)] = idx
+            idx = deinterlaced
+        return pal[idx.ravel()].reshape(h, w, 3)
     raise ValueError(f"GIF stream has no image block ({sw}x{sh} screen)")

@@ -411,6 +411,54 @@ class TestMediaCodecs:
                  + np.arange(3)[None, None, :] * 47) % 256).astype(np.uint8)
         assert (decode_png(encode_png(grad)) == grad).all()
 
+    def test_png_adam7_roundtrip_and_parity(self):
+        from dtaidistance_spark.kernels.media import decode_png, encode_png
+
+        rng = np.random.default_rng(29)
+        # shapes straddling the 8x8 Adam7 grid: sub-8 (some passes
+        # empty), exact multiples, and ragged remainders
+        for (h, w) in [(1, 1), (3, 5), (8, 8), (9, 13), (16, 17), (2, 33)]:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            for f in (None, 0, 1, 2, 3, 4):
+                p = encode_png(img, filter_type=f, interlace=True)
+                assert (decode_png(p) == img).all(), (h, w, f)
+            # interlaced and sequential streams decode identically
+            assert (decode_png(encode_png(img, interlace=True))
+                    == decode_png(encode_png(img))).all()
+
+    def test_png_adam7_known_bytes(self):
+        """Spec golden for the Adam7 pass order, independent of the
+        encoder: an 8x8 gradient's seven pass sub-images are extracted
+        with the spec's (x0, y0, dx, dy) grids IN THE TEST, each
+        scanline emitted with filter 0, concatenated, deflated — the
+        decoder must scatter them back to the original image."""
+        import struct
+        import zlib
+
+        from dtaidistance_spark.kernels.media import decode_png
+
+        img = ((np.arange(8)[:, None, None] * 31
+                + np.arange(8)[None, :, None] * 7
+                + np.arange(3)[None, None, :] * 3) % 256).astype(np.uint8)
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        scan = bytearray()
+        for (x0, y0, dx, dy) in passes:
+            sub = img[y0::dy, x0::dx]
+            for row in sub:
+                scan += b"\x00" + row.tobytes()
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        payload = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 2,
+                                                0, 0, 1))
+                   + chunk(b"IDAT", zlib.compress(bytes(scan)))
+                   + chunk(b"IEND", b""))
+        assert (decode_png(payload) == img).all()
+
     def test_png_known_bytes(self):
         """Byte-level golden: a 2x2 PNG laid out by hand from the spec —
         guards against a matched encoder/decoder bug pair.  Row 0 uses
@@ -1132,15 +1180,36 @@ class TestGifCodec:
         assert np.array_equal(decode_gif(payload), img)
         assert np.array_equal(decode_raster(payload), img)
 
-    def test_interlace_is_honest_boundary(self):
+    def test_interlace_roundtrip_and_parity(self):
         from dtaidistance_spark.kernels.media import decode_gif, encode_gif
 
-        img = np.zeros((2, 2, 3), dtype=np.uint8)
-        payload = bytearray(encode_gif(img))
+        rng = np.random.default_rng(31)
+        # heights exercising all four passes, partial passes, and h < 8
+        for (h, w) in [(1, 4), (3, 4), (8, 5), (13, 7), (29, 3)]:
+            img = (rng.integers(0, 6, (h, w, 3)) * 51).astype(np.uint8)
+            p = encode_gif(img, interlace=True)
+            assert np.array_equal(decode_gif(p), img), (h, w)
+            assert np.array_equal(decode_gif(p),
+                                  decode_gif(encode_gif(img)))
+
+    def test_interlace_spec_row_order(self):
+        """Spec pin independent of the encoder's interlace path: rows
+        transmitted in the appendix-E pass order (every 8th from 0,
+        every 8th from 4, every 4th from 2, every 2nd from 1) are what
+        a flagged image block carries — so encoding the row-permuted
+        image SEQUENTIALLY and then setting the interlace flag must
+        decode back to the original."""
+        from dtaidistance_spark.kernels.media import decode_gif, encode_gif
+
+        h, w = 13, 3
+        img = (np.arange(h * w * 3).reshape(h, w, 3) % 6 * 51
+               ).astype(np.uint8)
+        order = ([y for y in range(0, h, 8)] + [y for y in range(4, h, 8)]
+                 + [y for y in range(2, h, 4)] + [y for y in range(1, h, 2)])
+        payload = bytearray(encode_gif(img[order]))
         idx = payload.index(0x2C, 13)
         payload[idx + 9] |= 0x40  # set the interlace flag
-        with pytest.raises(NotImplementedError):
-            decode_gif(bytes(payload))
+        assert np.array_equal(decode_gif(bytes(payload)), img)
 
 
 class TestCodecProperties:
@@ -1156,13 +1225,15 @@ class TestCodecProperties:
 
         @settings(max_examples=40, deadline=None)
         @given(st.integers(1, 24), st.integers(1, 24),
-               st.integers(1, 255), st.integers(0, 2**31 - 1))
-        def prop(h, w, n_colors, seed):
+               st.integers(1, 255), st.integers(0, 2**31 - 1),
+               st.booleans())
+        def prop(h, w, n_colors, seed, interlace):
             rng = np.random.default_rng(seed)
             palette = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
             idx = rng.integers(0, n_colors, (h, w))
             img = palette[idx]
-            assert np.array_equal(decode_gif(encode_gif(img)), img)
+            assert np.array_equal(
+                decode_gif(encode_gif(img, interlace=interlace)), img)
 
         prop()
 
@@ -1175,12 +1246,14 @@ class TestCodecProperties:
         @settings(max_examples=30, deadline=None)
         @given(st.integers(1, 24), st.integers(1, 24),
                st.integers(0, 2**31 - 1),
-               st.sampled_from([None, 0, 1, 2, 3, 4]))
-        def prop(h, w, seed, filter_type):
+               st.sampled_from([None, 0, 1, 2, 3, 4]),
+               st.booleans())
+        def prop(h, w, seed, filter_type, interlace):
             rng = np.random.default_rng(seed)
             img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             assert np.array_equal(
-                decode_png(encode_png(img, filter_type=filter_type)), img)
+                decode_png(encode_png(img, filter_type=filter_type,
+                                      interlace=interlace)), img)
 
         prop()
 
