@@ -3,10 +3,11 @@
 Real decoders for the raster/audio formats decodable from public specs
 with only the standard library — binary PPM (P6, netpbm spec), 24-bit
 uncompressed BMP (BITMAPINFOHEADER, BI_RGB), mono PCM16 RIFF/WAVE,
-**PNG** (r5: 8-bit truecolor: stdlib ``zlib`` inflate +
-the five scanline unfilters None/Sub/Up/Average/Paeth from the public
-PNG spec §9; Adam7 interlace — seven independently filtered subsampled
-passes, spec §8.2 — decodes too), and **baseline JPEG** (r5: ITU-T T.81 sequential DCT —
+**PNG** (r5: all five 8-bit color types — truecolor,
+grayscale, palette/PLTE, gray+alpha and RGBA (alpha dropped) — stdlib
+``zlib`` inflate + the five scanline unfilters None/Sub/Up/Average/
+Paeth from the public PNG spec §9; Adam7 interlace — seven
+independently filtered subsampled passes, spec §8.2 — decodes too), and **baseline JPEG** (r5: ITU-T T.81 sequential DCT —
 canonical Huffman entropy decode per Annex F, dequantize + de-zigzag +
 exact float IDCT per A.3.3, chroma replication upsample, JFIF
 YCbCr→RGB; grayscale and 3-component frames with any integer-ratio
@@ -263,16 +264,26 @@ def encode_png(img: np.ndarray, filter_type=None,
             + _png_chunk(b"IEND", b""))
 
 
+# channels per 8-bit color type: 0 grayscale, 2 truecolor, 3 palette
+# indices, 4 gray+alpha, 6 RGBA (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (h, w, 3) uint8 RGB.  Pure stdlib-zlib + numpy:
     walks the chunk stream (CRC-checked), inflates the concatenated
     IDAT data, and undoes the per-scanline filters.  Sub/Average/Paeth
     carry an in-row prefix dependency, so those rows reconstruct
-    pixel-group-sequentially; None/Up rows are fully vectorized."""
+    pixel-group-sequentially; None/Up rows are fully vectorized.
+    All five 8-bit color types decode: grayscale and gray+alpha expand
+    to RGB, palette indices look up PLTE, RGBA drops the alpha channel
+    (no compositing — the feature path consumes opaque pixels);
+    16-bit depth needs Pillow and raises."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -283,6 +294,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -291,40 +306,56 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype_i, comp, filt_m, interlace = ihdr
-    if depth != 8 or ctype_i != 2 or comp != 0 or filt_m != 0 \
-            or interlace not in (0, 1):
+    if depth != 8 or ctype_i not in _PNG_CHANNELS or comp != 0 \
+            or filt_m != 0 or interlace not in (0, 1):
         raise NotImplementedError(
-            "only 8-bit truecolor PNG is decoded "
+            "only 8-bit PNG color types 0/2/3/4/6 are decoded "
             f"natively (depth={depth}, color={ctype_i}, "
-            f"interlace={interlace}); palette/alpha/16-bit need Pillow")
-    bpp = 3
+            f"interlace={interlace}); 16-bit needs Pillow")
+    if ctype_i == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    bpp = _PNG_CHANNELS[ctype_i]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 0:
         stride = w * bpp
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel data length mismatch")
-        return _png_unfilter_pass(
+        out = _png_unfilter_pass(
             raw.reshape(h, stride + 1), bpp).reshape(h, w, bpp)
-    # Adam7: seven independently-filtered sub-images, scattered back
-    # onto the (y0::dy, x0::dx) grids (spec §8.2)
-    out = np.empty((h, w, bpp), dtype=np.uint8)
-    pos = 0
-    for (x0, y0, dx, dy) in _ADAM7:
-        ph = len(range(y0, h, dy))
-        pw = len(range(x0, w, dx))
-        if ph == 0 or pw == 0:
-            continue
-        stride = pw * bpp
-        n = ph * (stride + 1)
-        if pos + n > len(raw):
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the (y0::dy, x0::dx) grids (spec §8.2)
+        out = np.empty((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            ph = len(range(y0, h, dy))
+            pw = len(range(x0, w, dx))
+            if ph == 0 or pw == 0:
+                continue
+            stride = pw * bpp
+            n = ph * (stride + 1)
+            if pos + n > len(raw):
+                raise ValueError(
+                    "PNG interlaced pixel data length mismatch")
+            sub = _png_unfilter_pass(
+                raw[pos:pos + n].reshape(ph, stride + 1), bpp)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            pos += n
+        if pos != len(raw):
             raise ValueError("PNG interlaced pixel data length mismatch")
-        sub = _png_unfilter_pass(
-            raw[pos:pos + n].reshape(ph, stride + 1), bpp)
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
-        pos += n
-    if pos != len(raw):
-        raise ValueError("PNG interlaced pixel data length mismatch")
-    return out
+    if ctype_i == 2:
+        return out
+    if ctype_i == 0:  # grayscale → replicate
+        return np.repeat(out, 3, axis=2)
+    if ctype_i == 4:  # gray+alpha → replicate gray, drop alpha
+        return np.repeat(out[..., :1], 3, axis=2)
+    if ctype_i == 6:  # RGBA → drop alpha
+        return np.ascontiguousarray(out[..., :3])
+    # palette: index lookup (out-of-range indices are corrupt data)
+    idx = out.reshape(h, w)
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("PNG palette index out of range")
+    return plte[idx]
 
 
 def _png_unfilter_pass(raw: np.ndarray, bpp: int) -> np.ndarray:

@@ -495,7 +495,7 @@ class TestMediaCodecs:
         p[40] ^= 0xFF  # corrupt a byte inside IDAT -> CRC mismatch
         with _pytest.raises(ValueError):
             decode_png(bytes(p))
-        # grayscale (color type 0) stays behind the codec boundary
+        # 16-bit depth stays behind the codec boundary
         import struct
         import zlib
 
@@ -503,13 +503,65 @@ class TestMediaCodecs:
             return (struct.pack(">I", len(d)) + t + d
                     + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
 
-        gray = (b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0,
+        deep = (b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0,
                                              0, 0, 0))
-                + chunk(b"IDAT", zlib.compress(b"\x00\x07"))
+                + chunk(b"IDAT", zlib.compress(b"\x00\x07\x07"))
                 + chunk(b"IEND", b""))
         with _pytest.raises(NotImplementedError):
-            decode_png(gray)
+            decode_png(deep)
+
+    def test_png_color_types(self):
+        """All five 8-bit color types, hand-laid from the spec with
+        filter-0 scanlines: grayscale replicates, gray+alpha and RGBA
+        drop alpha, palette looks up PLTE — sequential AND an Adam7
+        palette case (2x2 spans passes 1, 6 and 7 of the spec grid)."""
+        import struct
+        import zlib
+
+        from dtaidistance_spark.kernels.media import decode_png
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        def png(w, h, ct, scan, extra=b"", interlace=0):
+            return (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct,
+                                                 0, 0, interlace))
+                    + extra
+                    + chunk(b"IDAT", zlib.compress(scan))
+                    + chunk(b"IEND", b""))
+
+        # grayscale 2x1: pixels 7, 200
+        got = decode_png(png(2, 1, 0, b"\x00\x07\xc8"))
+        assert (got == np.array([[[7] * 3, [200] * 3]],
+                                dtype=np.uint8)).all()
+        # gray+alpha 1x2 (alpha dropped): gray 9 a 255, gray 30 a 0
+        got = decode_png(png(1, 2, 4, b"\x00\x09\xff\x00\x1e\x00"))
+        assert (got == np.array([[[9] * 3], [[30] * 3]],
+                                dtype=np.uint8)).all()
+        # RGBA 2x1 (alpha dropped)
+        got = decode_png(png(2, 1, 6,
+                             b"\x00" + bytes([1, 2, 3, 80, 4, 5, 6, 0])))
+        assert (got == np.array([[[1, 2, 3], [4, 5, 6]]],
+                                dtype=np.uint8)).all()
+        # palette 2x1: indices 1, 0 over a 2-entry PLTE
+        plte = chunk(b"PLTE", bytes([10, 20, 30, 200, 210, 220]))
+        got = decode_png(png(2, 1, 3, b"\x00\x01\x00", extra=plte))
+        assert (got == np.array([[[200, 210, 220], [10, 20, 30]]],
+                                dtype=np.uint8)).all()
+        # palette + Adam7: a 2x2 image spans passes 1, 6, 7 — pixel
+        # (0,0) pass 1, (0,1) pass 6, row 1 pass 7; scanline stream is
+        # the passes' filter-0 rows in order: [idx 0], [idx 1], [idx 1, 0]
+        scan = b"\x00\x00" + b"\x00\x01" + b"\x00\x01\x00"
+        got = decode_png(png(2, 2, 3, scan, extra=plte, interlace=1))
+        want = np.array([[[10, 20, 30], [200, 210, 220]],
+                         [[200, 210, 220], [10, 20, 30]]], dtype=np.uint8)
+        assert (got == want).all()
+        # palette index out of range -> corrupt data
+        with pytest.raises(ValueError):
+            decode_png(png(2, 1, 3, b"\x00\x05\x00", extra=plte))
 
     def test_decode_features_uses_real_pixels(self, spark):
         """Feature values must equal the strip means of the known
