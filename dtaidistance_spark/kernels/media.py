@@ -2,7 +2,11 @@
 
 Real decoders for the raster/audio formats decodable from public specs
 with only the standard library — binary PPM (P6, netpbm spec), 24-bit
-uncompressed BMP (BITMAPINFOHEADER, BI_RGB), mono PCM16 RIFF/WAVE,
+uncompressed BMP (BITMAPINFOHEADER, BI_RGB), RIFF/WAVE audio —
+PCM16, unsigned PCM8, multi-channel downmix, and **IMA ADPCM**
+(format 0x11, the public IMA/DVI 4-bit compressed codec: block state
+headers + bit-serial step reconstruction, so compressed audio decodes
+natively too) —,
 **PNG** (r5: all five 8-bit color types — truecolor,
 grayscale, palette/PLTE, gray+alpha and RGBA (alpha dropped) — stdlib
 ``zlib`` inflate + the five scanline unfilters None/Sub/Up/Average/
@@ -98,33 +102,145 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     return hdr + pcm
 
 
+# IMA/DVI ADPCM tables (public IMA "Recommended Practices for
+# Enhancing Digital Audio Compatibility", rev 3.00; also RFC 3551 §4.5.1)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int64)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8,
+                       -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_step(predictor: int, index: int, nibble: int):
+    """One IMA ADPCM state transition → (new predictor, new index).
+    The reconstruction formula diff = (step·code + step/2) / 4 is
+    evaluated bit-serially (step>>3 + conditional step>>2/>>1/step) as
+    the spec prescribes — integer-exact, so encoder and decoder stay in
+    lockstep."""
+    step = int(_IMA_STEPS[index])
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    predictor = predictor - diff if nibble & 8 else predictor + diff
+    predictor = max(-32768, min(32767, predictor))
+    index = max(0, min(88, index + int(_IMA_INDEX[nibble])))
+    return predictor, index
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 16000,
+                     block_align: int = 256) -> bytes:
+    """Mono int16 → IMA ADPCM RIFF/WAVE (format tag 0x11): 4 bits per
+    sample in ``block_align``-byte blocks, each led by a 4-byte state
+    header (int16 predictor = the block's first output sample, step
+    index, reserved).  The encoder quantizes against the decoder's own
+    reconstruction so drift never accumulates."""
+    s = np.asarray(samples, dtype=np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    index = 0
+    out = bytearray()
+    for b0 in range(0, len(s), spb):
+        blk = s[b0:b0 + spb]
+        predictor = int(blk[0])
+        out += struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for x in map(int, blk[1:]):
+            step = int(_IMA_STEPS[index])
+            delta = x - predictor
+            code = 8 if delta < 0 else 0
+            delta = abs(delta)
+            if delta >= step:
+                code |= 4
+                delta -= step
+            if delta >= step >> 1:
+                code |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                code |= 1
+            predictor, index = _ima_step(predictor, index, code)
+            nibbles.append(code)
+        nibbles += [0] * ((spb - 1) - len(nibbles))  # pad final block
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    n_blocks = (len(s) + spb - 1) // spb
+    byte_rate = sample_rate * block_align // spb
+    hdr = (b"RIFF" + struct.pack("<I", 52 + len(out)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHHHH", 20, 0x11, 1, sample_rate,
+                                   byte_rate, block_align, 4, 2, spb)
+           + b"fact" + struct.pack("<II", 4, n_blocks * spb)
+           + b"data" + struct.pack("<I", len(out)))
+    return hdr + bytes(out)
+
+
+def _decode_ima_blocks(data: bytes, block_align: int) -> np.ndarray:
+    spb = (block_align - 4) * 2 + 1
+    out = []
+    for b0 in range(0, len(data), block_align):
+        blk = data[b0:b0 + block_align]
+        if len(blk) < 4:
+            raise ValueError("truncated IMA ADPCM block")
+        predictor, index, _ = struct.unpack_from("<hBB", blk, 0)
+        if index > 88:
+            raise ValueError("corrupt IMA ADPCM step index")
+        samples = [predictor]
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                predictor, index = _ima_step(predictor, index, nib)
+                samples.append(predictor)
+        out += samples[:spb]
+    return np.asarray(out, dtype=np.int16)
+
+
 def decode_wav(payload: bytes):
-    """RIFF/WAVE bytes → (int16 sample array, sample_rate).  Walks the
-    chunk list (a spec-conformant file may carry LIST/fact chunks
-    before ``data``); mono PCM16 only — anything else stays behind the
-    NotImplementedError codec boundary."""
+    """RIFF/WAVE bytes → (mono int16 sample array, sample_rate).  Walks
+    the chunk list (a spec-conformant file may carry LIST/fact chunks
+    before ``data``).  Decodes PCM16, unsigned PCM8 (rescaled to
+    int16), and IMA ADPCM (format 0x11, mono); multi-channel PCM
+    downmixes by the floor-mean of each frame.  Other encodings (MP3,
+    a-law/µ-law, float) stay behind the NotImplementedError codec
+    boundary."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
-    sample_rate = None
+    fmt = None
     data = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
-            fmt, ch, sample_rate, _, _, bits = struct.unpack(
-                "<HHIIHH", body[:16])
-            if fmt != 1 or ch != 1 or bits != 16:
-                raise NotImplementedError(
-                    "only mono PCM16 WAVE is decoded natively; other "
-                    "encodings need soundfile/ffmpeg")
+            fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if sample_rate is None or data is None:
+    if fmt is None or data is None:
         raise ValueError("WAVE payload missing fmt or data chunk")
-    return np.frombuffer(data, dtype="<i2"), sample_rate
+    tag, ch, sample_rate, _rate, block_align, bits = fmt
+    if tag == 1 and bits == 16:
+        samples = np.frombuffer(
+            data[:len(data) // (2 * ch) * 2 * ch], dtype="<i2")
+    elif tag == 1 and bits == 8:  # unsigned 8-bit PCM → int16
+        samples = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+                    - 128) << 8)
+    elif tag == 0x11 and bits == 4 and ch == 1:
+        return _decode_ima_blocks(data, block_align), sample_rate
+    else:
+        raise NotImplementedError(
+            f"WAVE format tag={tag} bits={bits} ch={ch} is not decoded "
+            "natively; MP3/a-law/float need soundfile/ffmpeg")
+    if ch > 1:  # deterministic downmix: per-frame floor-mean
+        frames = samples.reshape(-1, ch).astype(np.int32)
+        samples = (frames.sum(axis=1) // ch).astype(np.int16)
+    return samples.astype(np.int16, copy=False), sample_rate
 
 
 # ---------------------------------------------------------------------------

@@ -601,6 +601,85 @@ class TestMediaCodecs:
         got2, rate2 = decode_wav(padded)
         assert rate2 == 8000 and (got2 == s).all()
 
+    def test_wav_pcm8_and_stereo_downmix(self):
+        import struct as _struct
+
+        from dtaidistance_spark.kernels.media import decode_wav
+
+        def wav(fmt_body, data):
+            return (b"RIFF" + _struct.pack("<I", 20 + len(fmt_body)
+                                           + len(data)) + b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(fmt_body))
+                    + fmt_body
+                    + b"data" + _struct.pack("<I", len(data)) + data)
+
+        # unsigned 8-bit PCM: 128 -> 0, 0 -> -32768, 255 -> 32512
+        p = wav(_struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8),
+                bytes([128, 0, 255]))
+        got, rate = decode_wav(p)
+        assert rate == 8000 and got.tolist() == [0, -32768, 32512]
+        # stereo PCM16: per-frame floor-mean downmix
+        frames = np.array([[100, 200], [-5, -6], [7, -8]], dtype="<i2")
+        p = wav(_struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16),
+                frames.tobytes())
+        got, _ = decode_wav(p)
+        assert got.tolist() == [150, -6, -1]  # floor division
+
+    def test_wav_ima_adpcm(self):
+        """IMA ADPCM (format 0x11): hand-replayed state machine golden
+        + encoder/decoder lockstep on real signals."""
+        import struct as _struct
+
+        from dtaidistance_spark.kernels.media import (
+            _IMA_INDEX, _IMA_STEPS, decode_wav, encode_wav_adpcm,
+            sniff_format)
+
+        # independent spec transcription for the golden
+        def ref_step(pred, idx, nib):
+            step = int(_IMA_STEPS[idx])
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(_IMA_INDEX[nib])))
+            return pred, idx
+
+        # hand-assembled 1-block mono stream: predictor 100, index 5,
+        # nibbles 3, 12 (one byte, low first)
+        blk = _struct.pack("<hBB", 100, 5, 0) + bytes([3 | (12 << 4)])
+        spb = (len(blk) - 4) * 2 + 1
+        hdr = (b"RIFF" + _struct.pack("<I", 52 + len(blk)) + b"WAVE"
+               + b"fmt " + _struct.pack("<IHHIIHHHH", 20, 0x11, 1, 8000,
+                                        8000 * len(blk) // spb,
+                                        len(blk), 4, 2, spb)
+               + b"fact" + _struct.pack("<II", 4, spb)
+               + b"data" + _struct.pack("<I", len(blk)))
+        got, rate = decode_wav(hdr + blk)
+        want = [100]
+        pred, idx = 100, 5
+        for nib in (3, 12):
+            pred, idx = ref_step(pred, idx, nib)
+            want.append(pred)
+        assert rate == 8000 and got.tolist() == want
+
+        # encoder → decoder on a sine: lossy but must track closely
+        t = np.arange(2000)
+        sig = (8000 * np.sin(2 * np.pi * t / 50)).astype(np.int16)
+        payload = encode_wav_adpcm(sig, 16000, block_align=64)
+        assert sniff_format(payload) == "wav"
+        dec, rate = decode_wav(payload)
+        assert rate == 16000 and len(dec) >= len(sig)
+        err = dec[:len(sig)].astype(np.float64) - sig
+        rms_sig = np.sqrt(np.mean(sig.astype(np.float64) ** 2))
+        assert np.sqrt(np.mean(err ** 2)) < 0.05 * rms_sig
+        # 4-bit stream really is ~4x smaller than the PCM16 bytes
+        assert len(payload) < 0.35 * (2 * len(sig))
+
     def test_audio_features_are_real_rms(self, spark):
         """Audio feature values must equal the frame RMS of the known
         synthetic sample formula — i.e. the WAVE bytes were parsed."""
