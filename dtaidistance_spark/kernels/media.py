@@ -6,7 +6,7 @@ uncompressed BMP (BITMAPINFOHEADER, BI_RGB), RIFF/WAVE audio —
 PCM16, unsigned PCM8, multi-channel downmix, and **IMA ADPCM**
 (format 0x11, the public IMA/DVI 4-bit compressed codec: block state
 headers + bit-serial step reconstruction, so compressed audio decodes
-natively too) —,
+natively too), ITU-T G.711 a-law/µ-law expansion, and IEEE-float —,
 **PNG** (r5: all five 8-bit color types — truecolor,
 grayscale, palette/PLTE, gray+alpha and RGBA (alpha dropped) — stdlib
 ``zlib`` inflate + the five scanline unfilters None/Sub/Up/Average/
@@ -200,6 +200,38 @@ def _decode_ima_blocks(data: bytes, block_align: int) -> np.ndarray:
     return np.asarray(out, dtype=np.int16)
 
 
+def _g711_tables():
+    """Expansion tables for the two ITU-T G.711 companding laws,
+    derived from the standard's segment/mantissa layout (both are
+    algorithmically defined, no tabulated constants needed).
+
+    µ-law: byte = ~(sign | exponent<<4 | mantissa); linear =
+    ((mantissa<<3 | 0x84) << exponent) - 0x84, sign-applied.
+    A-law: byte = toggled with 0x55; segment 0 is linear
+    (2·mantissa+1)<<3, segments 1-7 are ((mantissa|0x10)·2+1)<<segment+2.
+    """
+    codes = np.arange(256, dtype=np.int64)
+    # µ-law
+    u = ~codes & 0xFF
+    sign = np.where(u & 0x80, -1, 1)
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    ulaw = sign * (((mant << 3) | 0x84) << exp) - sign * 0x84
+    # A-law (after the 0x55 toggle, bit 7 SET means positive)
+    a = codes ^ 0x55
+    sign_a = np.where(a & 0x80, 1, -1)
+    seg = (a >> 4) & 0x07
+    mant_a = a & 0x0F
+    low = (mant_a * 2 + 1) << 3                      # segment 0
+    high = ((mant_a + 16) * 2 + 1) << (seg + 2)      # segments 1-7
+    alaw = sign_a * np.where(seg == 0, low, high)
+    return (alaw.astype(np.int16), np.clip(
+        ulaw, -32768, 32767).astype(np.int16))
+
+
+_ALAW_TABLE, _ULAW_TABLE = _g711_tables()
+
+
 def decode_wav(payload: bytes):
     """RIFF/WAVE bytes → (mono int16 sample array, sample_rate).  Walks
     the chunk list (a spec-conformant file may carry LIST/fact chunks
@@ -231,12 +263,20 @@ def decode_wav(payload: bytes):
     elif tag == 1 and bits == 8:  # unsigned 8-bit PCM → int16
         samples = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16)
                     - 128) << 8)
+    elif tag == 3 and bits == 32:  # IEEE float [-1, 1] → int16
+        f = np.frombuffer(data[:len(data) // 4 * 4], dtype="<f4")
+        samples = np.clip(np.trunc(f.astype(np.float64) * 32767.0),
+                          -32768, 32767).astype(np.int16)
+    elif tag == 6 and bits == 8:  # ITU-T G.711 A-law
+        samples = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+    elif tag == 7 and bits == 8:  # ITU-T G.711 µ-law
+        samples = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
     elif tag == 0x11 and bits == 4 and ch == 1:
         return _decode_ima_blocks(data, block_align), sample_rate
     else:
         raise NotImplementedError(
             f"WAVE format tag={tag} bits={bits} ch={ch} is not decoded "
-            "natively; MP3/a-law/float need soundfile/ffmpeg")
+            "natively; MP3 needs soundfile/ffmpeg")
     if ch > 1:  # deterministic downmix: per-frame floor-mean
         frames = samples.reshape(-1, ch).astype(np.int32)
         samples = (frames.sum(axis=1) // ch).astype(np.int16)

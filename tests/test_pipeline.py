@@ -625,6 +625,29 @@ class TestMediaCodecs:
         got, _ = decode_wav(p)
         assert got.tolist() == [150, -6, -1]  # floor division
 
+    def test_wav_g711_and_float(self):
+        """G.711 a-law/µ-law expansion (ITU reference points: µ 0xFF→0,
+        0x00→-32124; A 0xD5→+8, 0xAA→+32256) and IEEE-float WAVE."""
+        import struct as _struct
+
+        from dtaidistance_spark.kernels.media import decode_wav
+
+        def wav(tag, bits, data, ba=1):
+            body = _struct.pack("<HHIIHH", tag, 1, 8000, 8000 * ba,
+                                ba, bits)
+            return (b"RIFF" + _struct.pack("<I", 20 + len(body)
+                                           + len(data)) + b"WAVE"
+                    + b"fmt " + _struct.pack("<I", len(body)) + body
+                    + b"data" + _struct.pack("<I", len(data)) + data)
+
+        got, _ = decode_wav(wav(7, 8, bytes([0xFF, 0x00, 0x80, 0x7F])))
+        assert got.tolist() == [0, -32124, 32124, 0]
+        got, _ = decode_wav(wav(6, 8, bytes([0xD5, 0x55, 0xAA, 0x2A])))
+        assert got.tolist() == [8, -8, 32256, -32256]
+        f = np.array([0.0, 0.5, -1.0, 2.0], dtype="<f4")  # 2.0 clips
+        got, _ = decode_wav(wav(3, 32, f.tobytes(), ba=4))
+        assert got.tolist() == [0, 16383, -32767, 32767]
+
     def test_wav_ima_adpcm(self):
         """IMA ADPCM (format 0x11): hand-replayed state machine golden
         + encoder/decoder lockstep on real signals."""
