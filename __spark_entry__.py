@@ -54,6 +54,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family keeps five in-window entries) rotate below the fold
         "counter_rate_1h": DQ.q_counter_rate_1h,
         "time_weighted_avg_1h": DQ.q_time_weighted_avg_1h,
+        # time-in-state daily rollup (late r5): the TimescaleDB
+        # state_agg contract over event_type; msm_pairs (3 rounds
+        # hash-green) rotates below the fold to make room
+        "state_durations_1d": DQ.q_state_durations_1d,
         # as-of join (r5): events enriched with the latest completed
         # hourly aggregate — union+running-window plan, DuckDB native
         # ASOF JOIN as the oracle
@@ -71,7 +75,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the long-series matrices below are rows-only)
         "dtw_pairs": DQ.q_dtw_pairs,
         "bounds_pairs": DQ.q_bounds_pairs,
-        "msm_pairs": DQ.q_msm_pairs,
         "dtw_path_pairs": DQ.q_dtw_path_pairs,
         # composite of warp / warping_amount / distance_from_path — one
         # optimal path per pair feeds all three heads (and one shared
@@ -165,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_score made room for quality_lr, which nests the same
         # feature formulas inside its GD replay)
         "latency_quantiles": DQ.q_latency_quantiles,
+        "msm_pairs": DQ.q_msm_pairs,
         "simhash": DQ.q_simhash,
         "dtw_ndim_daily_pairs": DQ.q_dtw_ndim_daily_pairs,
         "retention_7d": DQ.q_retention_7d,

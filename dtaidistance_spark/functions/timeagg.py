@@ -108,6 +108,77 @@ def counter_rate(
     )
 
 
+_BUCKET_US = {"1m": 60_000_000, "1h": 3_600_000_000,
+              "1d": 86_400_000_000}
+
+
+def state_durations(
+    points: DataFrame,
+    every: str = "1d",
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    state_col: str = "state",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Per-(series, bucket, state) time-in-state — the public
+    TimescaleDB ``state_agg``/``duration_in`` contract: each sample
+    opens its state until the series' next sample, and the interval is
+    attributed exactly to every bucket it overlaps, so per-bucket
+    durations partition the total observed span (the series' last
+    sample closes nothing and contributes none).
+    Output: ``series_id, bucket_ts, state, n, dur_s`` where ``n``
+    counts the intervals overlapping the bucket.
+
+    Plan: one per-series window exchange for ``lead``, a bounded
+    ``sequence``+``explode`` over the buckets each interval spans (one
+    extra row per spanned bucket — at observability state-change rates
+    the expansion is ~1), then map-side partial aggregation.  Durations
+    are summed as integer microseconds — exact in any order — and
+    divided once at the end, so the result is bit-stable across
+    engines and partitionings.
+    """
+    trunc = _TRUNC[every]
+    step = _BUCKET_US[every]
+    w = W.partitionBy(series_col).orderBy(ts_col, *order_cols)
+    us = _epoch_us(ts_col)
+    next_us = F.lead(us).over(w)
+    b0 = F.unix_micros(F.date_trunc(trunc, ts_col))
+    bn = F.unix_micros(F.date_trunc(
+        trunc, F.timestamp_micros(next_us - 1)))
+    iv = (
+        points.select(
+            F.col(series_col).alias("series_id"),
+            F.col(state_col).alias("state"),
+            us.alias("_us"),
+            next_us.alias("_next_us"),
+            b0.alias("_b0"),
+            bn.alias("_bn"),
+        )
+        .where(F.col("_next_us").isNotNull()
+               & (F.col("_next_us") > F.col("_us")))
+        .select(
+            "series_id", "state", "_us", "_next_us",
+            F.explode(F.sequence("_b0", "_bn",
+                                 F.lit(step))).alias("_bstart"),
+        )
+    )
+    overlap = (F.least("_next_us", F.col("_bstart") + F.lit(step))
+               - F.greatest("_us", F.col("_bstart")))
+    return (
+        iv.select(
+            "series_id",
+            F.timestamp_micros(F.col("_bstart")).alias("bucket_ts"),
+            "state",
+            overlap.alias("_ov_us"),
+        )
+        .groupBy("series_id", "bucket_ts", "state")
+        .agg(
+            F.count("_ov_us").alias("n"),
+            F.round(F.sum("_ov_us") / F.lit(1e6), 6).alias("dur_s"),
+        )
+    )
+
+
 def time_weighted_avg(
     points: DataFrame,
     every: str = "1h",

@@ -269,6 +269,24 @@ def q_time_weighted_avg_1h(spark, sf_dir):
     return time_weighted_avg(pts, "1h", order_cols=("event_id",))
 
 
+def q_state_durations_1d(spark, sf_dir):
+    """Time-in-state daily rollup (functions/timeagg.py::
+    state_durations — the public TimescaleDB state_agg/duration_in
+    contract) with event_type as the state machine: each event opens
+    its type until the user's next event, attributed exactly to every
+    day it overlaps.  Integer-microsecond sums keep both engines
+    bit-equal; one window exchange + bounded sequence/explode +
+    map-side partials."""
+    from ..functions.timeagg import state_durations
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        "ts", "event_id", F.col("event_type").alias("state"))
+    return state_durations(pts, "1d", order_cols=("event_id",))
+
+
 def q_znormal_latency(spark, sf_dir):
     lat = q_latency_points(spark, sf_dir).withColumnRenamed("latency_s", "value")
     z = PP.znormal(lat)
@@ -1432,6 +1450,29 @@ ORACLES: dict[str, str] = {
                                6)
                END AS twa
         FROM p GROUP BY 1, 2
+    """,
+    "state_durations_1d": """
+        WITH pts AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 ts, event_id, event_type AS state
+          FROM events),
+        iv AS (
+          SELECT series_id, state, epoch_us(ts) AS us,
+                 lead(epoch_us(ts)) OVER w AS next_us
+          FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY ts, event_id)
+          QUALIFY next_us IS NOT NULL AND next_us > epoch_us(ts)),
+        e AS (
+          SELECT series_id, state, us, next_us,
+                 unnest(generate_series(
+                   epoch_us(date_trunc('day', make_timestamp(us))),
+                   epoch_us(date_trunc('day', make_timestamp(next_us - 1))),
+                   86400000000)) AS bstart
+          FROM iv)
+        SELECT series_id, make_timestamp(bstart) AS bucket_ts, state,
+               count(*) AS n,
+               round(sum(least(next_us, bstart + 86400000000)
+                         - greatest(us, bstart)) / 1e6, 6) AS dur_s
+        FROM e GROUP BY 1, 2, 3
     """,
     "znormal_latency": f"""
         WITH pts AS ({_PTS_SQL}),

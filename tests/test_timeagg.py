@@ -110,6 +110,73 @@ class TestTimeWeightedAvg:
         assert r.twa < 2.0 and plain > 10.0
 
 
+class TestStateDurations:
+    def test_multi_bucket_attribution_hand_fixture(self, spark):
+        # A [00:30,01:15) B [01:15,03:05) C [03:05,03:50): intervals
+        # split exactly across the hourly buckets they span
+        rows = [("a", _ts(30 * 60), "A"), ("a", _ts(75 * 60), "B"),
+                ("a", _ts(185 * 60), "C"), ("a", _ts(230 * 60), "END")]
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, state string")
+        from dtaidistance_spark.functions.timeagg import state_durations
+        out = {(r.bucket_ts, r.state): r.dur_s
+               for r in state_durations(df, "1h").collect()}
+        assert out == {(_ts(0), "A"): 1800.0,
+                       (_ts(3600), "A"): 900.0,
+                       (_ts(3600), "B"): 2700.0,
+                       (_ts(7200), "B"): 3600.0,
+                       (_ts(10800), "B"): 300.0,
+                       (_ts(10800), "C"): 2700.0}
+        # durations partition the observed span exactly
+        assert sum(out.values()) == (230 - 30) * 60.0
+
+    def test_boundary_and_last_sample(self, spark):
+        from dtaidistance_spark.functions.timeagg import state_durations
+        # next sample exactly on a bucket boundary: no zero-duration
+        # row in the next bucket; the last sample contributes nothing
+        rows = [("a", _ts(0), "A"), ("a", _ts(3600), "B")]
+        df = spark.createDataFrame(
+            rows, "series_id string, ts timestamp, state string")
+        out = state_durations(df, "1h").collect()
+        assert len(out) == 1
+        assert (out[0].bucket_ts, out[0].state,
+                out[0].dur_s) == (_ts(0), "A", 3600.0)
+
+    def test_brute_parity(self, spark, rng):
+        from dtaidistance_spark.functions.timeagg import state_durations
+        rows = []
+        for s in range(4):
+            t = np.cumsum(rng.integers(1, 7000, size=120))
+            states = rng.choice(list("XYZ"), size=120)
+            rows += [(f"s{s}", _ts(int(ti)), str(st))
+                     for ti, st in zip(t, states)]
+        got = {(r.series_id, r.bucket_ts, r.state): (r.n, r.dur_s)
+               for r in state_durations(
+                   spark.createDataFrame(
+                       rows, "series_id string, ts timestamp, "
+                             "state string"), "1h").collect()}
+        want = {}
+        pdf = pd.DataFrame(rows, columns=["sid", "ts", "st"])
+        for sid, g in pdf.groupby("sid"):
+            g = g.sort_values("ts").reset_index(drop=True)
+            for i in range(len(g) - 1):
+                t0 = g.ts[i].to_pydatetime()
+                t1 = g.ts[i + 1].to_pydatetime()
+                cur = t0
+                while cur < t1:
+                    b = cur.replace(minute=0, second=0, microsecond=0)
+                    bend = b + dt.timedelta(hours=1)
+                    seg = (min(t1, bend) - cur).total_seconds()
+                    k = (sid, b, g.st[i])
+                    n, d = want.get(k, (0, 0.0))
+                    want[k] = (n + 1, d + seg)
+                    cur = min(t1, bend)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0], k
+            assert got[k][1] == pytest.approx(want[k][1], abs=1e-6), k
+
+
 class TestBruteForceParity:
     def _corpus(self, rng, n_series=6, n=400):
         rows = []
@@ -171,9 +238,14 @@ class TestBruteForceParity:
 
 class TestPlans:
     def test_jvm_only_no_single_partition(self, spark):
+        from dtaidistance_spark.functions.timeagg import state_durations
         rows = [("a", _ts(i), float(i)) for i in range(10)]
+        srows = spark.createDataFrame(
+            [("a", _ts(i), "X") for i in range(10)],
+            "series_id string, ts timestamp, state string")
         for out in (counter_rate(_df(spark, rows), "1h"),
-                    time_weighted_avg(_df(spark, rows), "1h")):
+                    time_weighted_avg(_df(spark, rows), "1h"),
+                    state_durations(srows, "1h")):
             plan = _plan(out)
             for node in PY_EVAL_NODES:
                 assert node not in plan, plan
