@@ -7,8 +7,9 @@ PCM16, unsigned PCM8, multi-channel downmix, and **IMA ADPCM**
 (format 0x11, the public IMA/DVI 4-bit compressed codec: block state
 headers + bit-serial step reconstruction, so compressed audio decodes
 natively too), ITU-T G.711 a-law/µ-law expansion, and IEEE-float —,
-**PNG** (r5: all five 8-bit color types — truecolor,
-grayscale, palette/PLTE, gray+alpha and RGBA (alpha dropped) — stdlib
+**PNG** (r5: all five color types — truecolor,
+grayscale, palette/PLTE, gray+alpha and RGBA (alpha dropped) — at 8-
+and 16-bit depth (high-byte reduction) — stdlib
 ``zlib`` inflate + the five scanline unfilters None/Sub/Up/Average/
 Paeth from the public PNG spec §9; Adam7 interlace — seven
 independently filtered subsampled passes, spec §8.2 — decodes too), and **baseline JPEG** (r5: ITU-T T.81 sequential DCT —
@@ -462,15 +463,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype_i, comp, filt_m, interlace = ihdr
-    if depth != 8 or ctype_i not in _PNG_CHANNELS or comp != 0 \
-            or filt_m != 0 or interlace not in (0, 1):
+    if ctype_i not in _PNG_CHANNELS or comp != 0 or filt_m != 0 \
+            or interlace not in (0, 1) \
+            or depth not in ((8,) if ctype_i == 3 else (8, 16)):
         raise NotImplementedError(
-            "only 8-bit PNG color types 0/2/3/4/6 are decoded "
+            "only 8/16-bit PNG color types 0/2/3/4/6 are decoded "
             f"natively (depth={depth}, color={ctype_i}, "
-            f"interlace={interlace}); 16-bit needs Pillow")
+            f"interlace={interlace}); sub-byte depths need Pillow")
     if ctype_i == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
-    bpp = _PNG_CHANNELS[ctype_i]
+    # filters operate on BYTES with the pixel width in bytes as the
+    # 'left' offset (spec §9.2), so 16-bit just doubles bpp
+    bpp = _PNG_CHANNELS[ctype_i] * (depth // 8)
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 0:
         stride = w * bpp
@@ -499,6 +503,9 @@ def decode_png(payload: bytes) -> np.ndarray:
             pos += n
         if pos != len(raw):
             raise ValueError("PNG interlaced pixel data length mismatch")
+    if depth == 16:  # big-endian 16-bit samples → high byte
+        out = np.ascontiguousarray(
+            out.reshape(h, w, _PNG_CHANNELS[ctype_i], 2)[..., 0])
     if ctype_i == 2:
         return out
     if ctype_i == 0:  # grayscale → replicate

@@ -495,7 +495,7 @@ class TestMediaCodecs:
         p[40] ^= 0xFF  # corrupt a byte inside IDAT -> CRC mismatch
         with _pytest.raises(ValueError):
             decode_png(bytes(p))
-        # 16-bit depth stays behind the codec boundary
+        # sub-byte depths stay behind the codec boundary
         import struct
         import zlib
 
@@ -503,13 +503,13 @@ class TestMediaCodecs:
             return (struct.pack(">I", len(d)) + t + d
                     + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
 
-        deep = (b"\x89PNG\r\n\x1a\n"
-                + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0,
-                                             0, 0, 0))
-                + chunk(b"IDAT", zlib.compress(b"\x00\x07\x07"))
-                + chunk(b"IEND", b""))
+        onebit = (b"\x89PNG\r\n\x1a\n"
+                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 1, 0,
+                                               0, 0, 0))
+                  + chunk(b"IDAT", zlib.compress(b"\x00\x80"))
+                  + chunk(b"IEND", b""))
         with _pytest.raises(NotImplementedError):
-            decode_png(deep)
+            decode_png(onebit)
 
     def test_png_color_types(self):
         """All five 8-bit color types, hand-laid from the spec with
@@ -562,6 +562,46 @@ class TestMediaCodecs:
         # palette index out of range -> corrupt data
         with pytest.raises(ValueError):
             decode_png(png(2, 1, 3, b"\x00\x05\x00", extra=plte))
+
+    def test_png_16bit(self):
+        """16-bit samples (big-endian) reduce to the high byte; the
+        filters' left-neighbor offset doubles to channels*2 bytes
+        (spec §9.2) — pinned with a Sub-filtered row whose 16-bit
+        left-pixel arithmetic would corrupt an 8-bit-offset decoder."""
+        import struct
+        import zlib
+
+        from dtaidistance_spark.kernels.media import decode_png
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        def png16(w, h, ct, scan):
+            return (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16,
+                                                 ct, 0, 0, 0))
+                    + chunk(b"IDAT", zlib.compress(scan))
+                    + chunk(b"IEND", b""))
+
+        # grayscale 2x1, filter 0: 0x1234 -> 0x12, 0xFF01 -> 0xFF
+        got = decode_png(png16(2, 1, 0, b"\x00\x12\x34\xff\x01"))
+        assert (got == np.array([[[0x12] * 3, [0xFF] * 3]],
+                                dtype=np.uint8)).all()
+        # truecolor 2x1 with filter 1 (Sub): second pixel stores
+        # byte-wise raw - left at a 6-byte offset
+        p0 = bytes([0x10, 0x00, 0x20, 0x00, 0x30, 0x00])
+        raw1 = np.array([0x40, 0x00, 0x50, 0x00, 0x60, 0x00])
+        filt1 = ((raw1 - np.frombuffer(p0, dtype=np.uint8)) % 256
+                 ).astype(np.uint8).tobytes()
+        got = decode_png(png16(2, 1, 2, b"\x01" + p0 + filt1))
+        assert (got == np.array([[[0x10, 0x20, 0x30],
+                                  [0x40, 0x50, 0x60]]],
+                                dtype=np.uint8)).all()
+        # 16-bit RGBA drops alpha
+        scan = (b"\x00" + bytes([1, 99, 2, 99, 3, 99, 0x80, 0]))
+        got = decode_png(png16(1, 1, 6, scan))
+        assert (got == np.array([[[1, 2, 3]]], dtype=np.uint8)).all()
 
     def test_decode_features_uses_real_pixels(self, spark):
         """Feature values must equal the strip means of the known
