@@ -179,6 +179,65 @@ def state_durations(
     )
 
 
+def heartbeat_uptime(
+    points: DataFrame,
+    every: str = "1d",
+    tolerance_s: int = 300,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Per-(series, bucket) liveness seconds — the public TimescaleDB
+    ``heartbeat_agg``/``uptime`` contract: each heartbeat keeps the
+    series live for ``tolerance_s`` seconds or until the next
+    heartbeat, whichever comes first (the final heartbeat gets its
+    full tolerance window).  Live intervals are disjoint by
+    construction and attributed exactly to every bucket they overlap,
+    so per-bucket uptime never exceeds the bucket length.
+    Output: ``series_id, bucket_ts, n, uptime_s``.
+
+    Same plan shape as :func:`state_durations` (one window exchange,
+    bounded sequence+explode, integer-microsecond sums, one final
+    division)."""
+    trunc = _TRUNC[every]
+    step = _BUCKET_US[every]
+    tol_us = int(tolerance_s) * 1_000_000
+    w = W.partitionBy(series_col).orderBy(ts_col, *order_cols)
+    us = _epoch_us(ts_col)
+    end_us = F.least(F.lead(us).over(w), us + F.lit(tol_us))
+    iv = (
+        points.select(
+            F.col(series_col).alias("series_id"),
+            us.alias("_us"),
+            F.coalesce(end_us, us + F.lit(tol_us)).alias("_end_us"),
+        )
+        .where(F.col("_end_us") > F.col("_us"))
+        .select(
+            "series_id", "_us", "_end_us",
+            F.explode(F.sequence(
+                F.unix_micros(F.date_trunc(
+                    trunc, F.timestamp_micros(F.col("_us")))),
+                F.unix_micros(F.date_trunc(
+                    trunc, F.timestamp_micros(F.col("_end_us") - 1))),
+                F.lit(step))).alias("_bstart"),
+        )
+    )
+    overlap = (F.least("_end_us", F.col("_bstart") + F.lit(step))
+               - F.greatest("_us", F.col("_bstart")))
+    return (
+        iv.select(
+            "series_id",
+            F.timestamp_micros(F.col("_bstart")).alias("bucket_ts"),
+            overlap.alias("_ov_us"),
+        )
+        .groupBy("series_id", "bucket_ts")
+        .agg(
+            F.count("_ov_us").alias("n"),
+            F.round(F.sum("_ov_us") / F.lit(1e6), 6).alias("uptime_s"),
+        )
+    )
+
+
 def time_weighted_avg(
     points: DataFrame,
     every: str = "1h",

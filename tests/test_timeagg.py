@@ -177,6 +177,41 @@ class TestStateDurations:
             assert got[k][1] == pytest.approx(want[k][1], abs=1e-6), k
 
 
+class TestHeartbeatUptime:
+    def test_hand_fixture(self, spark):
+        from dtaidistance_spark.functions.timeagg import heartbeat_uptime
+        # tol 600s: beats at 00:00, 00:05, 00:55, cross-hour 01:59:30.
+        # live: [0,300)+[300,900)... no: [0:00,0:05)+[0:05,0:15)+
+        # [0:55,1:05) + [1:59:30, 2:09:30) — the cross-boundary
+        # intervals split across buckets
+        rows = [("a", _ts(0),), ("a", _ts(300),), ("a", _ts(3300),),
+                ("a", _ts(7170),)]
+        df = spark.createDataFrame(rows, "series_id string, ts timestamp")
+        out = {r.bucket_ts: r.uptime_s for r in
+               heartbeat_uptime(df, "1h", tolerance_s=600).collect()}
+        # bucket 0: [0,300)+[300,900)+[3300,3600) = 300+600+300 = 1200
+        # bucket 1: [3600,3900) + [7170,7200) = 300 + 30 = 330
+        # bucket 2: [7200,7770) = 570
+        assert out == {_ts(0): 1200.0, _ts(3600): 330.0, _ts(7200): 570.0}
+
+    def test_dense_beats_no_double_count(self, spark):
+        from dtaidistance_spark.functions.timeagg import heartbeat_uptime
+        # 60 beats 1s apart, tol 300: live [0, 59+300) capped per pair,
+        # total = 59 + 300 = 359, never 60*300
+        rows = [("a", _ts(i)) for i in range(60)]
+        df = spark.createDataFrame(rows, "series_id string, ts timestamp")
+        out = heartbeat_uptime(df, "1d", tolerance_s=300).collect()
+        assert len(out) == 1 and out[0].uptime_s == 359.0
+
+    def test_uptime_bounded_by_bucket(self, spark, rng):
+        from dtaidistance_spark.functions.timeagg import heartbeat_uptime
+        t = np.cumsum(rng.integers(1, 4000, size=300))
+        df = spark.createDataFrame([("a", _ts(int(x))) for x in t],
+                                   "series_id string, ts timestamp")
+        for r in heartbeat_uptime(df, "1h", tolerance_s=900).collect():
+            assert 0 < r.uptime_s <= 3600.0
+
+
 class TestBruteForceParity:
     def _corpus(self, rng, n_series=6, n=400):
         rows = []
