@@ -1,5 +1,6 @@
-"""Counter and time-weighted aggregates over point series — the two
-north-rule continuous-aggregate families the tier rollups don't cover:
+"""Counter, time-weighted and duration aggregates over point series —
+the north-rule continuous-aggregate families the tier rollups don't
+cover:
 
 * ``counter_delta`` / ``counter_rate`` — reset-aware monotone-counter
   deltas (the public TimescaleDB ``counter_agg`` / Prometheus
@@ -9,14 +10,26 @@ north-rule continuous-aggregate families the tier rollups don't cover:
   (the public TimescaleDB ``time_weighted_average`` contract with the
   'linear' interpolation method), for irregularly sampled series where
   a plain ``avg`` over-weights bursts.
+* ``state_durations`` — time-in-state per bucket (the ``state_agg`` /
+  ``duration_in`` contract), intervals attributed exactly to every
+  bucket they overlap.
+* ``heartbeat_uptime`` — liveness seconds per bucket (the
+  ``heartbeat_agg``/``uptime`` contract).
 
-Both are pure JVM column algebra (window lag + hash aggregation): one
-hash exchange on the series key for the per-series window, then a
-map-side-partial aggregation onto (series, bucket).  No Python in the
-plan, so both run at scan speed at 100 TB; the per-series window is the
-same shape as the latency ingest and inherits the same skew remedy
-(`operators/ingest._latency_lag_salted`) if a single series ever
-dominates a partition.
+All four are pure JVM column algebra (window lag/lead + hash
+aggregation): one hash exchange on the series key for the per-series
+window, then a map-side-partial aggregation onto (series, bucket).  No
+Python in the plan, so they run at scan speed at 100 TB; the
+per-series window is the same shape as the latency ingest and inherits
+the same skew remedy (`operators/ingest._latency_lag_salted`) if a
+single series ever dominates a partition.
+
+Bucket boundaries come from ``date_trunc`` but the interval-splitting
+operators step the bucket grid by a FIXED width (86 400 s days), which
+is only correct in UTC or another DST-free session timezone —
+``session.py`` pins UTC, matching Spark's own recommendation for
+warehouse jobs; run these under a DST-shifting session timezone and
+day buckets will drift across transitions.
 
 The reference library has no notion of timestamps (SURVEY.md §1.1:
 position IS the time axis), so these operators are engine-native
@@ -270,7 +283,6 @@ def time_weighted_avg(
         / F.lit(2.0)
         * ((_epoch_us(ts_col) - prev_us) / F.lit(1e6)),
     )
-    span_s = (F.max(_epoch_us(ts_col)) - F.min(_epoch_us(ts_col))) / F.lit(1e6)
     return (
         points.select(
             F.col(series_col).alias("series_id"),

@@ -172,12 +172,11 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int = 16000,
         nibbles += [0] * ((spb - 1) - len(nibbles))  # pad final block
         for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
             out.append(lo | (hi << 4))
-    n_blocks = (len(s) + spb - 1) // spb
     byte_rate = sample_rate * block_align // spb
     hdr = (b"RIFF" + struct.pack("<I", 52 + len(out)) + b"WAVE"
            + b"fmt " + struct.pack("<IHHIIHHHH", 20, 0x11, 1, sample_rate,
                                    byte_rate, block_align, 4, 2, spb)
-           + b"fact" + struct.pack("<II", 4, n_blocks * spb)
+           + b"fact" + struct.pack("<II", 4, len(s))
            + b"data" + struct.pack("<I", len(out)))
     return hdr + bytes(out)
 
@@ -237,43 +236,56 @@ def decode_wav(payload: bytes):
     """RIFF/WAVE bytes → (mono int16 sample array, sample_rate).  Walks
     the chunk list (a spec-conformant file may carry LIST/fact chunks
     before ``data``).  Decodes PCM16, unsigned PCM8 (rescaled to
-    int16), and IMA ADPCM (format 0x11, mono); multi-channel PCM
-    downmixes by the floor-mean of each frame.  Other encodings (MP3,
-    a-law/µ-law, float) stay behind the NotImplementedError codec
-    boundary."""
+    int16), IEEE float32 ([-1, 1] rescaled with clipping), ITU-T G.711
+    a-law/µ-law expansion, and IMA ADPCM (format 0x11, mono —
+    ``fact``-trimmed, so the encoder's final-block padding is
+    dropped); multi-channel PCM/float/G.711 downmixes by the
+    floor-mean of each frame, tolerating a trailing partial frame.
+    MP3 stays behind the NotImplementedError codec boundary."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
     fmt = None
     data = None
+    n_fact = None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
         size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"fact" and size >= 4:
+            n_fact = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE payload missing fmt or data chunk")
     tag, ch, sample_rate, _rate, block_align, bits = fmt
+    if ch < 1:
+        raise ValueError("WAVE fmt chunk declares zero channels")
     if tag == 1 and bits == 16:
         samples = np.frombuffer(
             data[:len(data) // (2 * ch) * 2 * ch], dtype="<i2")
     elif tag == 1 and bits == 8:  # unsigned 8-bit PCM → int16
-        samples = ((np.frombuffer(data, dtype=np.uint8).astype(np.int16)
-                    - 128) << 8)
+        u8 = np.frombuffer(data[:len(data) // ch * ch], dtype=np.uint8)
+        samples = (u8.astype(np.int16) - 128) << 8
     elif tag == 3 and bits == 32:  # IEEE float [-1, 1] → int16
-        f = np.frombuffer(data[:len(data) // 4 * 4], dtype="<f4")
+        f = np.frombuffer(
+            data[:len(data) // (4 * ch) * 4 * ch], dtype="<f4")
         samples = np.clip(np.trunc(f.astype(np.float64) * 32767.0),
                           -32768, 32767).astype(np.int16)
     elif tag == 6 and bits == 8:  # ITU-T G.711 A-law
-        samples = _ALAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+        a8 = np.frombuffer(data[:len(data) // ch * ch], dtype=np.uint8)
+        samples = _ALAW_TABLE[a8]
     elif tag == 7 and bits == 8:  # ITU-T G.711 µ-law
-        samples = _ULAW_TABLE[np.frombuffer(data, dtype=np.uint8)]
+        u8 = np.frombuffer(data[:len(data) // ch * ch], dtype=np.uint8)
+        samples = _ULAW_TABLE[u8]
     elif tag == 0x11 and bits == 4 and ch == 1:
-        return _decode_ima_blocks(data, block_align), sample_rate
+        samples = _decode_ima_blocks(data, block_align)
+        if n_fact is not None:  # trim the final block's padding
+            samples = samples[:n_fact]
+        return samples, sample_rate
     else:
         raise NotImplementedError(
             f"WAVE format tag={tag} bits={bits} ch={ch} is not decoded "
@@ -333,10 +345,11 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # PNG (public spec, ISO/IEC 15948): signature + chunked stream (length,
 # type, data, CRC32); pixel data = zlib-compressed scanlines, each
 # prefixed by a filter-type byte (0 None, 1 Sub, 2 Up, 3 Average,
-# 4 Paeth — spec §9).  Scope: 8-bit truecolor (color type 2), both
-# non-interlaced and Adam7-interlaced (spec §8.2: seven subsampled
-# passes, each filtered as an independent sub-image); palette/alpha/
-# 16-bit raise.
+# 4 Paeth — spec §9).  Scope: all five color types (truecolor,
+# grayscale, palette/PLTE, gray+alpha, RGBA) at 8- and 16-bit depth,
+# both non-interlaced and Adam7-interlaced (spec §8.2: seven
+# subsampled passes, each filtered as an independent sub-image);
+# sub-byte depths raise.
 # ---------------------------------------------------------------------------
 
 # Adam7 pass grid (x_start, y_start, x_step, y_step), spec §8.2
@@ -432,10 +445,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     IDAT data, and undoes the per-scanline filters.  Sub/Average/Paeth
     carry an in-row prefix dependency, so those rows reconstruct
     pixel-group-sequentially; None/Up rows are fully vectorized.
-    All five 8-bit color types decode: grayscale and gray+alpha expand
-    to RGB, palette indices look up PLTE, RGBA drops the alpha channel
-    (no compositing — the feature path consumes opaque pixels);
-    16-bit depth needs Pillow and raises."""
+    All five color types decode at 8- and 16-bit depth (16-bit
+    samples reduce to their high byte): grayscale and gray+alpha
+    expand to RGB, palette indices look up PLTE, RGBA drops the alpha
+    channel (no compositing — the feature path consumes opaque
+    pixels); sub-byte depths need Pillow and raise."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8

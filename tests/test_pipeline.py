@@ -664,6 +664,16 @@ class TestMediaCodecs:
                 frames.tobytes())
         got, _ = decode_wav(p)
         assert got.tolist() == [150, -6, -1]  # floor division
+        # ragged data (trailing pad byte) tolerated in every format
+        p8 = wav(_struct.pack("<HHIIHH", 1, 2, 8000, 16000, 2, 8),
+                 bytes([128, 130, 0]))
+        got, _ = decode_wav(p8)
+        assert got.tolist() == [256]  # (0 + 512) // 2
+        # a corrupt fmt declaring zero channels is a codec-layer error
+        bad = wav(_struct.pack("<HHIIHH", 1, 0, 8000, 0, 2, 16),
+                  b"\x00\x00")
+        with pytest.raises(ValueError):
+            decode_wav(bad)
 
     def test_wav_g711_and_float(self):
         """G.711 a-law/µ-law expansion (ITU reference points: µ 0xFF→0,
@@ -736,8 +746,9 @@ class TestMediaCodecs:
         payload = encode_wav_adpcm(sig, 16000, block_align=64)
         assert sniff_format(payload) == "wav"
         dec, rate = decode_wav(payload)
-        assert rate == 16000 and len(dec) >= len(sig)
-        err = dec[:len(sig)].astype(np.float64) - sig
+        # fact chunk trims the final block's padding exactly
+        assert rate == 16000 and len(dec) == len(sig)
+        err = dec.astype(np.float64) - sig
         rms_sig = np.sqrt(np.mean(sig.astype(np.float64) ** 2))
         assert np.sqrt(np.mean(err ** 2)) < 0.05 * rms_sig
         # 4-bit stream really is ~4x smaller than the PCM16 bytes
