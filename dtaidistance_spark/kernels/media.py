@@ -477,52 +477,73 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype_i, comp, filt_m, interlace = ihdr
+    legal = {0: (1, 2, 4, 8, 16), 3: (1, 2, 4, 8),
+             2: (8, 16), 4: (8, 16), 6: (8, 16)}
     if ctype_i not in _PNG_CHANNELS or comp != 0 or filt_m != 0 \
-            or interlace not in (0, 1) \
-            or depth not in ((8,) if ctype_i == 3 else (8, 16)):
+            or interlace not in (0, 1) or depth not in legal[ctype_i]:
         raise NotImplementedError(
-            "only 8/16-bit PNG color types 0/2/3/4/6 are decoded "
-            f"natively (depth={depth}, color={ctype_i}, "
-            f"interlace={interlace}); sub-byte depths need Pillow")
+            "PNG color type / bit depth outside the spec's legal "
+            f"matrix (depth={depth}, color={ctype_i}, "
+            f"interlace={interlace})")
     if ctype_i == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE")
+    channels = _PNG_CHANNELS[ctype_i]
     # filters operate on BYTES with the pixel width in bytes as the
-    # 'left' offset (spec §9.2), so 16-bit just doubles bpp
-    bpp = _PNG_CHANNELS[ctype_i] * (depth // 8)
+    # 'left' offset — floored to 1 at sub-byte depths (spec §9.2)
+    bpp = max(1, channels * depth // 8)
+
+    def _stride(width):  # scanline bytes for `width` pixels
+        return (width * channels * depth + 7) // 8
+
+    def _pass_samples(rows, width):
+        """(ph, stride) unfiltered bytes → (ph, width, channels) uint8
+        samples (16-bit reduced to the high byte, sub-byte unpacked
+        MSB-first per spec §7.2)."""
+        ph = rows.shape[0]
+        if depth == 8:
+            return rows.reshape(ph, width, channels)
+        if depth == 16:
+            return np.ascontiguousarray(
+                rows.reshape(ph, width, channels, 2)[..., 0])
+        bits = np.unpackbits(rows, axis=1)
+        npx = rows.shape[1] * 8 // depth
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(ph, npx, depth) * weights).sum(axis=2)
+        return vals.astype(np.uint8)[:, :width].reshape(ph, width, 1)
+
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
     if interlace == 0:
-        stride = w * bpp
+        stride = _stride(w)
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG pixel data length mismatch")
-        out = _png_unfilter_pass(
-            raw.reshape(h, stride + 1), bpp).reshape(h, w, bpp)
+        out = _pass_samples(
+            _png_unfilter_pass(raw.reshape(h, stride + 1), bpp), w)
     else:
         # Adam7: seven independently-filtered sub-images, scattered
         # back onto the (y0::dy, x0::dx) grids (spec §8.2)
-        out = np.empty((h, w, bpp), dtype=np.uint8)
+        out = np.empty((h, w, channels), dtype=np.uint8)
         pos = 0
         for (x0, y0, dx, dy) in _ADAM7:
             ph = len(range(y0, h, dy))
             pw = len(range(x0, w, dx))
             if ph == 0 or pw == 0:
                 continue
-            stride = pw * bpp
+            stride = _stride(pw)
             n = ph * (stride + 1)
             if pos + n > len(raw):
                 raise ValueError(
                     "PNG interlaced pixel data length mismatch")
-            sub = _png_unfilter_pass(
-                raw[pos:pos + n].reshape(ph, stride + 1), bpp)
-            out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            sub = _pass_samples(_png_unfilter_pass(
+                raw[pos:pos + n].reshape(ph, stride + 1), bpp), pw)
+            out[y0::dy, x0::dx] = sub
             pos += n
         if pos != len(raw):
             raise ValueError("PNG interlaced pixel data length mismatch")
-    if depth == 16:  # big-endian 16-bit samples → high byte
-        out = np.ascontiguousarray(
-            out.reshape(h, w, _PNG_CHANNELS[ctype_i], 2)[..., 0])
     if ctype_i == 2:
         return out
-    if ctype_i == 0:  # grayscale → replicate
+    if ctype_i == 0:  # grayscale → scale to 8-bit, replicate
+        if depth < 8:
+            out = out * np.uint8(255 // ((1 << depth) - 1))
         return np.repeat(out, 3, axis=2)
     if ctype_i == 4:  # gray+alpha → replicate gray, drop alpha
         return np.repeat(out[..., :1], 3, axis=2)

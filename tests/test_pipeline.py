@@ -495,7 +495,7 @@ class TestMediaCodecs:
         p[40] ^= 0xFF  # corrupt a byte inside IDAT -> CRC mismatch
         with _pytest.raises(ValueError):
             decode_png(bytes(p))
-        # sub-byte depths stay behind the codec boundary
+        # combinations outside the spec's legal matrix raise
         import struct
         import zlib
 
@@ -503,13 +503,13 @@ class TestMediaCodecs:
             return (struct.pack(">I", len(d)) + t + d
                     + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
 
-        onebit = (b"\x89PNG\r\n\x1a\n"
-                  + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 1, 0,
-                                               0, 0, 0))
-                  + chunk(b"IDAT", zlib.compress(b"\x00\x80"))
-                  + chunk(b"IEND", b""))
+        illegal = (b"\x89PNG\r\n\x1a\n"
+                   + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 4, 2,
+                                                0, 0, 0))
+                   + chunk(b"IDAT", zlib.compress(b"\x00\x80\x80"))
+                   + chunk(b"IEND", b""))
         with _pytest.raises(NotImplementedError):
-            decode_png(onebit)
+            decode_png(illegal)  # 4-bit truecolor is not a legal combo
 
     def test_png_color_types(self):
         """All five 8-bit color types, hand-laid from the spec with
@@ -562,6 +562,47 @@ class TestMediaCodecs:
         # palette index out of range -> corrupt data
         with pytest.raises(ValueError):
             decode_png(png(2, 1, 3, b"\x00\x05\x00", extra=plte))
+
+    def test_png_subbyte_depths(self):
+        """1/2/4-bit grayscale and palette scanlines: MSB-first bit
+        unpacking (spec §7.2), padding bits past the row width ignored,
+        gray samples scaled to 8-bit (x255 / x85 / x17)."""
+        import struct
+        import zlib
+
+        from dtaidistance_spark.kernels.media import decode_png
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        def png(w, h, ct, depth, scan, extra=b""):
+            return (b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth,
+                                                 ct, 0, 0, 0))
+                    + extra
+                    + chunk(b"IDAT", zlib.compress(scan))
+                    + chunk(b"IEND", b""))
+
+        # 1-bit gray, width 10 (crosses a byte boundary, 6 pad bits):
+        # bits 1010101010 -> 255,0 alternating
+        got = decode_png(png(10, 1, 0, 1, b"\x00\xaa\x80"))
+        want = np.tile(np.array([[255], [0]] * 5, dtype=np.uint8)
+                       .reshape(1, 10, 1), (1, 1, 3))
+        assert (got == want).all()
+        # 2-bit gray: samples 0,1,2,3 in one byte -> 0,85,170,255
+        got = decode_png(png(4, 1, 0, 2, b"\x00\x1b"))
+        assert got[0, :, 0].tolist() == [0, 85, 170, 255]
+        # 4-bit palette, width 3 (one pad nibble): nibbles 2,1,5
+        plte = chunk(b"PLTE", bytes(range(48)))  # 16 entries
+        pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+        got = decode_png(png(3, 1, 3, 4, b"\x00\x21\x50", extra=plte))
+        assert (got == pal[[2, 1, 5]][None, :, :]).all()
+        # sub-byte rows still unfilter: filter 2 (Up) on row 1 of a
+        # 1-bit image adds the previous row's BYTES mod 256
+        got = decode_png(png(8, 2, 0, 1, b"\x00\xf0" + b"\x02\x0f"))
+        assert got[0, :, 0].tolist() == [255] * 4 + [0] * 4
+        assert got[1, :, 0].tolist() == [255] * 8  # 0xF0 + 0x0F = 0xFF
 
     def test_png_16bit(self):
         """16-bit samples (big-endian) reduce to the high byte; the
