@@ -58,12 +58,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # state_agg contract over event_type; msm_pairs (3 rounds
         # hash-green) rotates below the fold to make room
         "state_durations_1d": DQ.q_state_durations_1d,
+        # hourly OHLC candlestick (late r5, the candlestick_agg
+        # contract — exact min_by/max_by selections, single hash-agg
+        # plan); diff_derivative_1h (4 rounds hash-green r1-r4)
+        # rotates below the fold to make room
+        "candlestick_1h": DQ.q_candlestick_1h,
         # as-of join (r5): events enriched with the latest completed
         # hourly aggregate — union+running-window plan, DuckDB native
         # ASOF JOIN as the oracle
         "asof_join": DQ.q_asof_join,
-        # composite differencing + DDTW derivative over the 1h tier
-        "diff_derivative_1h": DQ.q_diff_derivative_1h,
         "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
         # tiered parquet sink (sinks/tiers.py): write partitioned by
         # (tier, day) with dynamic overwrite, read back partition-pruned
@@ -167,6 +170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack_sequences + perplexity + bpe_pairs + tfidf_topk;
         # quality_score made room for quality_lr, which nests the same
         # feature formulas inside its GD replay)
+        # composite differencing + DDTW derivative over the 1h tier
+        "diff_derivative_1h": DQ.q_diff_derivative_1h,
         "latency_quantiles": DQ.q_latency_quantiles,
         "msm_pairs": DQ.q_msm_pairs,
         "simhash": DQ.q_simhash,

@@ -310,3 +310,45 @@ def time_weighted_avg(
             ).alias("twa"),
         )
     )
+
+
+def candlestick(
+    points: DataFrame,
+    every: str = "1h",
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Per-(series, bucket) OHLC candlestick — the public TimescaleDB
+    ``candlestick_agg`` contract: ``open`` is the value at the bucket's
+    first sample, ``close`` at its last, ``high``/``low`` the extremes.
+
+    All four outputs are exact SELECTIONS of input values (``min_by``/
+    ``max_by`` on a ``(ts, *order_cols)`` struct key plus plain
+    ``min``/``max``) — no arithmetic, so results are bit-identical
+    across engines and partitionings without rounding.  ``order_cols``
+    breaks timestamp ties so open/close are stable under any physical
+    layout.  Output: ``series_id, bucket_ts, n, open, high, low,
+    close``.
+
+    Plan: ONE map-side-partial hash aggregation onto (series, bucket)
+    — no window, no per-series exchange (min_by/max_by partials
+    combine associatively), so this is the cheapest aggregate in the
+    family and scales at scan speed.
+    """
+    trunc = _TRUNC[every]
+    key = F.struct(F.col(ts_col), *[F.col(c) for c in order_cols])
+    return (
+        points.groupBy(
+            F.col(series_col).alias("series_id"),
+            F.date_trunc(trunc, ts_col).alias("bucket_ts"),
+        )
+        .agg(
+            F.count(value_col).alias("n"),
+            F.min_by(value_col, key).alias("open"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.max_by(value_col, key).alias("close"),
+        )
+    )

@@ -269,6 +269,24 @@ def q_time_weighted_avg_1h(spark, sf_dir):
     return time_weighted_avg(pts, "1h", order_cols=("event_id",))
 
 
+def q_candlestick_1h(spark, sf_dir):
+    """Hourly OHLC candlestick (functions/timeagg.py::candlestick —
+    the public TimescaleDB candlestick_agg contract) over the raw
+    per-user event values.  All four outputs are exact selections
+    (min_by/max_by on a (ts, event_id) struct key + min/max), so both
+    engines agree bit-for-bit with no rounding.  Cheapest plan in the
+    timeagg family: ONE map-side-partial hash aggregation onto
+    (series, bucket) — no window, no per-series exchange."""
+    from ..functions.timeagg import candlestick
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        "ts", "event_id", "value")
+    return candlestick(pts, "1h", order_cols=("event_id",))
+
+
 def q_state_durations_1d(spark, sf_dir):
     """Time-in-state daily rollup (functions/timeagg.py::
     state_durations — the public TimescaleDB state_agg/duration_in
@@ -1450,6 +1468,25 @@ ORACLES: dict[str, str] = {
                                6)
                END AS twa
         FROM p GROUP BY 1, 2
+    """,
+    "candlestick_1h": """
+        WITH pts AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 ts, event_id, value
+          FROM events),
+        w AS (
+          SELECT series_id, date_trunc('hour', ts) AS bucket_ts, value,
+                 first_value(value) OVER w2 AS o,
+                 last_value(value) OVER w2 AS c
+          FROM pts
+          WINDOW w2 AS (PARTITION BY series_id, date_trunc('hour', ts)
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING))
+        SELECT series_id, bucket_ts, count(*) AS n,
+               max(o) AS "open", max(value) AS high, min(value) AS low,
+               max(c) AS "close"
+        FROM w GROUP BY 1, 2
     """,
     "state_durations_1d": """
         WITH pts AS (

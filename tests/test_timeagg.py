@@ -285,3 +285,60 @@ class TestPlans:
             for node in PY_EVAL_NODES:
                 assert node not in plan, plan
             assert "SinglePartition" not in plan, plan
+
+
+class TestCandlestick:
+    def test_hand_fixture(self, spark):
+        from dtaidistance_spark.functions.timeagg import candlestick
+        # bucket 0: 3.0 @0, 9.0 @600, 1.0 @1800, 4.0 @3500
+        # bucket 1: 7.0 @3600, 2.0 @3900
+        rows = [("a", _ts(0), 3.0), ("a", _ts(600), 9.0),
+                ("a", _ts(1800), 1.0), ("a", _ts(3500), 4.0),
+                ("a", _ts(3600), 7.0), ("a", _ts(3900), 2.0)]
+        out = {r.bucket_ts: r for r in
+               candlestick(_df(spark, rows), "1h").collect()}
+        b0, b1 = out[_ts(0)], out[_ts(3600)]
+        assert (b0.n, b0.open, b0.high, b0.low, b0.close) == (4, 3.0, 9.0,
+                                                              1.0, 4.0)
+        assert (b1.n, b1.open, b1.high, b1.low, b1.close) == (2, 7.0, 7.0,
+                                                              2.0, 2.0)
+
+    def test_ts_tie_broken_by_order_col(self, spark):
+        from dtaidistance_spark.functions.timeagg import candlestick
+        # two samples at the SAME timestamp: event_id decides open/close
+        df = spark.createDataFrame(
+            [("a", _ts(0), 1, 5.0), ("a", _ts(0), 0, 3.0),
+             ("a", _ts(60), 2, 4.0)],
+            "series_id string, ts timestamp, event_id int, value double")
+        r = candlestick(df, "1h", order_cols=("event_id",)).collect()[0]
+        assert (r.n, r.open, r.high, r.low, r.close) == (3, 3.0, 5.0,
+                                                         3.0, 4.0)
+
+    def test_brute_parity(self, spark, rng):
+        from dtaidistance_spark.functions.timeagg import candlestick
+        rows = []
+        for s in range(6):
+            t = np.cumsum(rng.integers(1, 900, size=400))
+            vals = np.round(rng.random(size=400) * 100, 2)
+            rows += [(f"s{s}", _ts(int(ti)), float(v))
+                     for ti, v in zip(t, vals)]
+        got = {(r.series_id, r.bucket_ts): r for r in
+               candlestick(_df(spark, rows), "1h").collect()}
+        pdf = pd.DataFrame(rows, columns=["sid", "ts", "v"])
+        for sid, g in pdf.groupby("sid"):
+            g = g.sort_values("ts", kind="stable").reset_index(drop=True)
+            g["bucket"] = g.ts.dt.floor("h")
+            for b, gb in g.groupby("bucket"):
+                r = got[(sid, b.to_pydatetime())]
+                assert (r.n, r.open, r.high, r.low, r.close) == (
+                    len(gb), gb.v.iloc[0], gb.v.max(), gb.v.min(),
+                    gb.v.iloc[-1])
+
+    def test_plan_single_hash_agg_no_window(self, spark):
+        from dtaidistance_spark.functions.timeagg import candlestick
+        rows = [("a", _ts(i), float(i)) for i in range(10)]
+        plan = _plan(candlestick(_df(spark, rows), "1h"))
+        for node in PY_EVAL_NODES:
+            assert node not in plan, plan
+        assert "SinglePartition" not in plan, plan
+        assert "Window" not in plan, plan  # pure hash-agg, no exchange
