@@ -42,7 +42,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-_TRUNC = {"1m": "minute", "1h": "hour", "1d": "day"}
+from ..operators.rollup import BUCKET_SPEC
+
+# single source of truth for bucket widths — derived from the rollup
+# tiers' BUCKET_SPEC so a new bucket width lands everywhere at once
+_TRUNC = {k: trunc for k, (trunc, _) in BUCKET_SPEC.items()}
+_BUCKET_US = {k: secs * 1_000_000 for k, (_, secs) in BUCKET_SPEC.items()}
 
 
 def _epoch_us(col):
@@ -121,8 +126,30 @@ def counter_rate(
     )
 
 
-_BUCKET_US = {"1m": 60_000_000, "1h": 3_600_000_000,
-              "1d": 86_400_000_000}
+def _bucket_overlap(iv: DataFrame, trunc: str, step: int,
+                    key_cols: tuple) -> DataFrame:
+    """Shared interval→bucket attribution: explode each ``[_us,
+    _end_us)`` interval onto every fixed-width bucket it overlaps
+    (bounded ``sequence`` — one extra row per spanned bucket) and emit
+    the integer-microsecond overlap per (``*key_cols``, bucket).
+    Integer sums are exact in any order; callers divide once at the
+    end, so results are bit-stable across engines and partitionings."""
+    rows = iv.select(
+        *key_cols, "_us", "_end_us",
+        F.explode(F.sequence(
+            F.unix_micros(F.date_trunc(
+                trunc, F.timestamp_micros(F.col("_us")))),
+            F.unix_micros(F.date_trunc(
+                trunc, F.timestamp_micros(F.col("_end_us") - 1))),
+            F.lit(step))).alias("_bstart"),
+    )
+    overlap = (F.least("_end_us", F.col("_bstart") + F.lit(step))
+               - F.greatest("_us", F.col("_bstart")))
+    return rows.select(
+        *key_cols,
+        F.timestamp_micros(F.col("_bstart")).alias("bucket_ts"),
+        overlap.alias("_ov_us"),
+    )
 
 
 def state_durations(
@@ -154,36 +181,18 @@ def state_durations(
     step = _BUCKET_US[every]
     w = W.partitionBy(series_col).orderBy(ts_col, *order_cols)
     us = _epoch_us(ts_col)
-    next_us = F.lead(us).over(w)
-    b0 = F.unix_micros(F.date_trunc(trunc, ts_col))
-    bn = F.unix_micros(F.date_trunc(
-        trunc, F.timestamp_micros(next_us - 1)))
     iv = (
         points.select(
             F.col(series_col).alias("series_id"),
             F.col(state_col).alias("state"),
             us.alias("_us"),
-            next_us.alias("_next_us"),
-            b0.alias("_b0"),
-            bn.alias("_bn"),
+            F.lead(us).over(w).alias("_end_us"),
         )
-        .where(F.col("_next_us").isNotNull()
-               & (F.col("_next_us") > F.col("_us")))
-        .select(
-            "series_id", "state", "_us", "_next_us",
-            F.explode(F.sequence("_b0", "_bn",
-                                 F.lit(step))).alias("_bstart"),
-        )
+        .where(F.col("_end_us").isNotNull()
+               & (F.col("_end_us") > F.col("_us")))
     )
-    overlap = (F.least("_next_us", F.col("_bstart") + F.lit(step))
-               - F.greatest("_us", F.col("_bstart")))
     return (
-        iv.select(
-            "series_id",
-            F.timestamp_micros(F.col("_bstart")).alias("bucket_ts"),
-            "state",
-            overlap.alias("_ov_us"),
-        )
+        _bucket_overlap(iv, trunc, step, ("series_id", "state"))
         .groupBy("series_id", "bucket_ts", "state")
         .agg(
             F.count("_ov_us").alias("n"),
@@ -217,32 +226,19 @@ def heartbeat_uptime(
     tol_us = int(tolerance_s) * 1_000_000
     w = W.partitionBy(series_col).orderBy(ts_col, *order_cols)
     us = _epoch_us(ts_col)
+    # least() skips NULL arguments, so the final beat (lead = NULL)
+    # gets its full tolerance window with no explicit fallback
     end_us = F.least(F.lead(us).over(w), us + F.lit(tol_us))
     iv = (
         points.select(
             F.col(series_col).alias("series_id"),
             us.alias("_us"),
-            F.coalesce(end_us, us + F.lit(tol_us)).alias("_end_us"),
+            end_us.alias("_end_us"),
         )
         .where(F.col("_end_us") > F.col("_us"))
-        .select(
-            "series_id", "_us", "_end_us",
-            F.explode(F.sequence(
-                F.unix_micros(F.date_trunc(
-                    trunc, F.timestamp_micros(F.col("_us")))),
-                F.unix_micros(F.date_trunc(
-                    trunc, F.timestamp_micros(F.col("_end_us") - 1))),
-                F.lit(step))).alias("_bstart"),
-        )
     )
-    overlap = (F.least("_end_us", F.col("_bstart") + F.lit(step))
-               - F.greatest("_us", F.col("_bstart")))
     return (
-        iv.select(
-            "series_id",
-            F.timestamp_micros(F.col("_bstart")).alias("bucket_ts"),
-            overlap.alias("_ov_us"),
-        )
+        _bucket_overlap(iv, trunc, step, ("series_id",))
         .groupBy("series_id", "bucket_ts")
         .agg(
             F.count("_ov_us").alias("n"),
@@ -275,8 +271,13 @@ def time_weighted_avg(
     prev_us = F.lag(_epoch_us(ts_col)).over(w)
     bucket = F.date_trunc(trunc, ts_col)
     same_bucket = F.date_trunc(trunc, F.lag(ts_col).over(w)) == bucket
-    # per-pair trapezoid weight in value·seconds; identical one-row IEEE
-    # arithmetic on both engines, order-robust after round(…, 6)
+    # per-pair trapezoid weight in value·seconds — identical one-row
+    # IEEE arithmetic on both engines.  The float SUM of weights is
+    # aggregation-order-dependent in the last ulp; round(…, 6)
+    # collapses that in practice, but (unlike the integer-microsecond
+    # duration sums) it is not a proof — a sum landing within half an
+    # ulp of a 0.5e-6 rounding edge could still flip the 6th decimal
+    # across engines
     wpart = F.when(
         prev_v.isNotNull() & same_bucket,
         (prev_v + F.col(value_col))

@@ -345,11 +345,12 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 # PNG (public spec, ISO/IEC 15948): signature + chunked stream (length,
 # type, data, CRC32); pixel data = zlib-compressed scanlines, each
 # prefixed by a filter-type byte (0 None, 1 Sub, 2 Up, 3 Average,
-# 4 Paeth — spec §9).  Scope: all five color types (truecolor,
-# grayscale, palette/PLTE, gray+alpha, RGBA) at 8- and 16-bit depth,
-# both non-interlaced and Adam7-interlaced (spec §8.2: seven
-# subsampled passes, each filtered as an independent sub-image);
-# sub-byte depths raise.
+# 4 Paeth — spec §9).  Scope: the spec's full legal color-type/depth
+# matrix — all five color types (truecolor, grayscale, palette/PLTE,
+# gray+alpha, RGBA) at every legal bit depth incl. sub-byte 1/2/4-bit
+# grayscale and palette (MSB-first unpacking, spec §7.2), both
+# non-interlaced and Adam7-interlaced (spec §8.2: seven subsampled
+# passes, each filtered as an independent sub-image).
 # ---------------------------------------------------------------------------
 
 # Adam7 pass grid (x_start, y_start, x_step, y_step), spec §8.2
@@ -445,11 +446,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     IDAT data, and undoes the per-scanline filters.  Sub/Average/Paeth
     carry an in-row prefix dependency, so those rows reconstruct
     pixel-group-sequentially; None/Up rows are fully vectorized.
-    All five color types decode at 8- and 16-bit depth (16-bit
-    samples reduce to their high byte): grayscale and gray+alpha
-    expand to RGB, palette indices look up PLTE, RGBA drops the alpha
-    channel (no compositing — the feature path consumes opaque
-    pixels); sub-byte depths need Pillow and raise."""
+    All five color types decode at every legal bit depth — 16-bit
+    samples reduce to their high byte, sub-byte 1/2/4-bit samples
+    unpack MSB-first (spec §7.2) with gray values scaled to 8-bit:
+    grayscale and gray+alpha expand to RGB, palette indices look up
+    PLTE, RGBA drops the alpha channel (no compositing — the feature
+    path consumes opaque pixels); combinations outside the spec's
+    legal matrix raise."""
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
     pos = 8
