@@ -31,6 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver's CORRECTNESS window records the first 50 entries.
+    # Per-query, per-round driver-record ledger: ROTATION.md.
     # Round-5 rotation (VERDICT r4 item 1): the five r4 oracled queries
     # (decontaminate, split_assign, repetition_stats, downsample_lttb,
     # sample_stratified) plus the new weights_features move INTO the
