@@ -46,6 +46,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h_cascade": DQ.q_rollup_1h_cascade,
         "rollup_1d_cascade": DQ.q_rollup_1d_cascade,
         "gap_fill_1h": DQ.q_gap_fill_1h,
+        # gap-fill with linear interpolation (late r5, the TimescaleDB
+        # interpolate() contract — fourth gap_fill policy alongside
+        # zero_count/zero/locf); simhash_pairs (3 rounds hash-green
+        # r2-r4, its simhash sub-computation stays oracled below the
+        # fold) rotates out to make room
+        "gap_fill_interp_1h": DQ.q_gap_fill_interp_1h,
         "latency_points": DQ.q_latency_points,
         # reset-aware counter rollup + trapezoidal time-weighted average
         # (late r5, functions/timeagg.py): the two TimescaleDB
@@ -64,6 +70,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan); diff_derivative_1h (4 rounds hash-green r1-r4)
         # rotates below the fold to make room
         "candlestick_1h": DQ.q_candlestick_1h,
+        # hourly heartbeat/uptime rollup (late r5, the heartbeat_agg
+        # contract over per-user event streams with a 600 s tolerance);
+        # ngram_jaccard (4 rounds hash-green r1-r4, and its shingle
+        # machinery is a strict sub-computation of in-window
+        # minhash_lsh) rotates below the fold to make room
+        "heartbeat_uptime_1h": DQ.q_heartbeat_uptime_1h,
         # as-of join (r5): events enriched with the latest completed
         # hourly aggregate — union+running-window plan, DuckDB native
         # ASOF JOIN as the oracle
@@ -144,9 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # find-then-cut substring dedup (late r5): spans applied back,
         # tokens dropped, normalized text rebuilt (Lee et al. pipeline)
         "span_clean": DQ.q_span_clean,
-        "ngram_jaccard": DQ.q_ngram_jaccard,
         "minhash_lsh": DQ.q_minhash_lsh,
-        "simhash_pairs": DQ.q_simhash_pairs,
         "dedup_clusters": DQ.q_dedup_clusters,
         # embeddings: similarity search + semantic dedup
         # SemDeDup (r5): coarse-cluster + within-cluster cosine dedup
@@ -173,6 +183,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # feature formulas inside its GD replay)
         # composite differencing + DDTW derivative over the 1h tier
         "diff_derivative_1h": DQ.q_diff_derivative_1h,
+        # n-gram Jaccard dedup (4 rounds hash-green r1-r4; rotated out
+        # late r5 for heartbeat_uptime_1h — minhash_lsh keeps the
+        # shingle machinery in-window)
+        "ngram_jaccard": DQ.q_ngram_jaccard,
+        # simhash near-dup pair join (3 rounds hash-green r2-r4;
+        # rotated out late r5 for gap_fill_interp_1h)
+        "simhash_pairs": DQ.q_simhash_pairs,
         "latency_quantiles": DQ.q_latency_quantiles,
         "msm_pairs": DQ.q_msm_pairs,
         "simhash": DQ.q_simhash,

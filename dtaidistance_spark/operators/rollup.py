@@ -88,6 +88,11 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
     * ``"zero"``       — sum→0.0; min/max/first/last stay NULL
     * ``"locf"``       — last observation carried forward into
                          sum/min/max/first/last
+    * ``"interpolate"`` — linear interpolation between the nearest
+                         observed buckets on either side (TimescaleDB
+                         ``interpolate()``); gaps before the first /
+                         after the last observation (possible only
+                         under ``align="global"``) stay NULL
 
     ``align="series"`` spans each series' own [first, last] bucket;
     ``align="global"`` spans the corpus-wide [min, max] for every series,
@@ -154,6 +159,32 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
              .rowsBetween(W.unboundedPreceding, W.currentRow))
         for c in ("sum", "min", "max", "first", "last"):
             filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    elif policy == "interpolate":
+        # Both neighbour lookups are RUNNING frames (unboundedPreceding
+        # → currentRow): the "next observed" side runs over DESCENDING
+        # bucket order.  A [currentRow, unboundedFollowing] frame would
+        # read identically but Spark executes it O(n²) per partition
+        # (the frame's start moves, so the aggregate is recomputed from
+        # scratch at every row) — at a 20-day 1m global grid that is
+        # ~8e8 ops per series.  Two running frames are O(n); they share
+        # one hash exchange on series_id with two in-partition sorts.
+        wb = (W.partitionBy("series_id").orderBy("bucket_ts")
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+        wf = (W.partitionBy("series_id").orderBy(F.desc("bucket_ts"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+        t = F.unix_micros(F.col("bucket_ts"))
+        obs_t = F.when(~F.col("gap"), t)
+        t_prev = F.last(obs_t, ignorenulls=True).over(wb)
+        t_next = F.last(obs_t, ignorenulls=True).over(wf)
+        frac = ((t - t_prev).cast("double")
+                / (t_next - t_prev).cast("double"))
+        for c in ("sum", "min", "max", "first", "last"):
+            v_prev = F.last(c, ignorenulls=True).over(wb)
+            v_next = F.last(c, ignorenulls=True).over(wf)
+            filled = filled.withColumn(
+                c,
+                F.when(~F.col("gap"), F.col(c))
+                 .otherwise(v_prev + (v_next - v_prev) * frac))
     elif policy != "zero_count":
         raise ValueError(f"unknown gap-fill policy: {policy}")
     return filled.select(*AGG_COLUMNS, "gap")

@@ -158,6 +158,29 @@ def q_gap_fill_1h(spark, sf_dir):
                          F.round("sum", 6).alias("sum_val"), "gap")
 
 
+def q_gap_fill_interp_1h(spark, sf_dir):
+    """Gap-fill with linear interpolation (operators/rollup.py::
+    gap_fill policy="interpolate" — the public TimescaleDB
+    ``interpolate()`` contract): each missing hourly bucket blends the
+    nearest observed buckets on either side, weighted by bucket-time
+    distance.  Cross-engine determinism: the hourly sums are scaled to
+    integer micro-units BEFORE interpolation and the blended value is
+    floored back (floor(x+0.5) — every step is an elementwise IEEE op
+    on identical operands, so both engines produce the identical
+    integer; a plain round(interp, 6) would hit engine-divergent
+    near-tie roundings at midpoint gaps).  One per-series sort feeds
+    both window frames."""
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
+    aggu = agg1h.withColumn(
+        "sum", F.round(F.round("sum", 6) * F.lit(1e6), 0))
+    filled = R.gap_fill(aggu, "1h", policy="interpolate")
+    return filled.select(
+        "series_id", "bucket_ts", "cnt",
+        F.round(F.floor(F.col("sum") + F.lit(0.5)) / F.lit(1e6),
+                6).alias("sum_val"),
+        "gap")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (operators/asof.py): every raw event enriched with the
     latest COMPLETED hourly per-user aggregate — each hour's summary
@@ -303,6 +326,26 @@ def q_state_durations_1d(spark, sf_dir):
                  ).alias("series_id"),
         "ts", "event_id", F.col("event_type").alias("state"))
     return state_durations(pts, "1d", order_cols=("event_id",))
+
+
+def q_heartbeat_uptime_1h(spark, sf_dir):
+    """Hourly liveness rollup (functions/timeagg.py::heartbeat_uptime
+    — the public TimescaleDB heartbeat_agg/uptime contract) treating
+    each user's event stream as a heartbeat with a 600 s tolerance:
+    every event keeps the series live until min(next event, +600 s),
+    and the disjoint live intervals are attributed exactly to every
+    hour they overlap.  Integer-microsecond sums keep both engines
+    bit-equal; same plan shape as state_durations_1d — one window
+    exchange + bounded sequence/explode + map-side partials."""
+    from ..functions.timeagg import heartbeat_uptime
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        "ts", "event_id")
+    return heartbeat_uptime(pts, "1h", tolerance_s=600,
+                            order_cols=("event_id",))
 
 
 def q_znormal_latency(spark, sf_dir):
@@ -1391,6 +1434,51 @@ ORACLES: dict[str, str] = {
         FROM grid g LEFT JOIN agg a
           ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts
     """,
+    "gap_fill_interp_1h": f"""
+        WITH pts AS ({_PTS_SQL}),
+        agg AS (
+          SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                 count(value) AS cnt,
+                 round(round(sum(value), 6) * 1e6, 0) AS sum_u
+          FROM pts GROUP BY 1, 2),
+        bounds AS (SELECT series_id, min(bucket_ts) b0, max(bucket_ts) b1
+                   FROM agg GROUP BY 1),
+        grid AS (SELECT series_id,
+                        unnest(generate_series(b0, b1, interval 1 hour)) AS bucket_ts
+                 FROM bounds),
+        j AS (
+          SELECT g.series_id, g.bucket_ts,
+                 coalesce(a.cnt, 0) AS cnt, a.sum_u,
+                 (a.cnt IS NULL) AS gap,
+                 epoch_us(g.bucket_ts) AS t
+          FROM grid g LEFT JOIN agg a
+            ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+        w AS (
+          SELECT *,
+            last_value(CASE WHEN NOT gap THEN sum_u END IGNORE NULLS)
+              OVER wb AS v_prev,
+            last_value(CASE WHEN NOT gap THEN t END IGNORE NULLS)
+              OVER wb AS t_prev,
+            first_value(CASE WHEN NOT gap THEN sum_u END IGNORE NULLS)
+              OVER wf AS v_next,
+            first_value(CASE WHEN NOT gap THEN t END IGNORE NULLS)
+              OVER wf AS t_next
+          FROM j
+          WINDOW
+            wb AS (PARTITION BY series_id ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            wf AS (PARTITION BY series_id ORDER BY bucket_ts
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT series_id, bucket_ts, cnt,
+               round(floor((CASE WHEN NOT gap THEN sum_u
+                            ELSE v_prev + (v_next - v_prev)
+                                 * (CAST(t - t_prev AS DOUBLE)
+                                    / CAST(t_next - t_prev AS DOUBLE)) END)
+                           + 0.5) / 1e6,
+                     6) AS sum_val,
+               gap
+        FROM w
+    """,
     "latency_points": f"""
         WITH pts AS ({_PTS_SQL})
         SELECT series_id, seq,
@@ -1510,6 +1598,33 @@ ORACLES: dict[str, str] = {
                round(sum(least(next_us, bstart + 86400000000)
                          - greatest(us, bstart)) / 1e6, 6) AS dur_s
         FROM e GROUP BY 1, 2, 3
+    """,
+    "heartbeat_uptime_1h": """
+        WITH pts AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 ts, event_id
+          FROM events),
+        iv AS (
+          SELECT series_id, us,
+                 CASE WHEN next_us IS NULL THEN us + 600000000
+                      ELSE least(next_us, us + 600000000) END AS end_us
+          FROM (SELECT series_id, epoch_us(ts) AS us,
+                       lead(epoch_us(ts)) OVER w AS next_us
+                FROM pts
+                WINDOW w AS (PARTITION BY series_id ORDER BY ts, event_id))
+          WHERE next_us IS NULL OR next_us > us),
+        e AS (
+          SELECT series_id, us, end_us,
+                 unnest(generate_series(
+                   epoch_us(date_trunc('hour', make_timestamp(us))),
+                   epoch_us(date_trunc('hour', make_timestamp(end_us - 1))),
+                   3600000000)) AS bstart
+          FROM iv)
+        SELECT series_id, make_timestamp(bstart) AS bucket_ts,
+               count(*) AS n,
+               round(sum(least(end_us, bstart + 3600000000)
+                         - greatest(us, bstart)) / 1e6, 6) AS uptime_s
+        FROM e GROUP BY 1, 2
     """,
     "znormal_latency": f"""
         WITH pts AS ({_PTS_SQL}),

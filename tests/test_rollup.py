@@ -129,6 +129,51 @@ class TestGapFill:
         filled = gap_fill(agg, "1m", policy="zero").toPandas()
         assert (filled.loc[filled["gap"], "sum"] == 0.0).all()
 
+    def test_interpolate_hand_fixture(self, spark):
+        import datetime as dt
+
+        import pandas as pd
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0)
+        rows = [
+            ("a", t0, 1, 1.0, 1.0, 1.0, 1.0, 1.0),
+            ("a", t0 + dt.timedelta(minutes=3), 1, 4.0, 4.0, 4.0, 4.0, 4.0),
+        ]
+        agg = spark.createDataFrame(
+            pd.DataFrame(rows, columns=[
+                "series_id", "bucket_ts", "cnt", "sum",
+                "min", "max", "first", "last"]))
+        out = gap_fill(agg, "1m", policy="interpolate") \
+            .orderBy("bucket_ts").toPandas()
+        np.testing.assert_allclose(out["sum"], [1.0, 2.0, 3.0, 4.0])
+        np.testing.assert_allclose(out["last"], [1.0, 2.0, 3.0, 4.0])
+        assert list(out["gap"]) == [False, True, True, False]
+        assert list(out["cnt"]) == [1, 0, 0, 1]
+
+    def test_interpolate_matches_pandas(self, points):
+        agg = rollup_points(points, "1m")
+        filled = gap_fill(agg, "1m", policy="interpolate") \
+            .orderBy("series_id", "bucket_ts").toPandas()
+        raw = gap_fill(agg, "1m").orderBy("series_id", "bucket_ts").toPandas()
+        # uniform grid → pandas linear interpolation is the golden
+        golden = raw.groupby("series_id")["sum"].transform(
+            lambda s: s.interpolate(method="linear", limit_area="inside"))
+        np.testing.assert_allclose(filled["sum"], golden, rtol=1e-12)
+        # observed rows pass through untouched
+        obs = ~raw["gap"]
+        assert (filled.loc[obs, "sum"].values == raw.loc[obs, "sum"].values).all()
+
+    def test_interpolate_global_align_edges_stay_null(self, points):
+        agg = rollup_points(points, "1m")
+        filled = gap_fill(agg, "1m", policy="interpolate", align="global") \
+            .orderBy("series_id", "bucket_ts").toPandas()
+        # a series that starts after the global min has leading gap rows
+        # with no left neighbour — those must stay NULL, never extrapolated
+        for _, g in filled.groupby("series_id"):
+            first_obs = (~g["gap"]).idxmax()
+            lead = g.loc[: first_obs - 1] if first_obs > g.index[0] else g.iloc[:0]
+            assert lead["sum"].isna().all()
+
 
 class TestSeriesArrays:
     def test_dense_arrays(self, points):
