@@ -168,8 +168,9 @@ def q_gap_fill_interp_1h(spark, sf_dir):
     floored back (floor(x+0.5) — every step is an elementwise IEEE op
     on identical operands, so both engines produce the identical
     integer; a plain round(interp, 6) would hit engine-divergent
-    near-tie roundings at midpoint gaps).  One per-series sort feeds
-    both window frames."""
+    near-tie roundings at midpoint gaps).  One hash exchange on
+    series_id feeds both running window frames (asc + desc
+    in-partition sorts)."""
     agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
     aggu = agg1h.withColumn(
         "sum", F.round(F.round("sum", 6) * F.lit(1e6), 0))
