@@ -80,6 +80,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hourly aggregate — union+running-window plan, DuckDB native
         # ASOF JOIN as the oracle
         "asof_join": DQ.q_asof_join,
+        # descriptive-stats family (late r5, functions/stats.py — the
+        # TimescaleDB-toolkit stats_agg + classic series diagnostics):
+        # per-day least-squares trend (slope/intercept/corr from exact
+        # integer sufficient statistics), turn-rate autocorrelation at
+        # 1/2/3/24 h time-lags, trailing-window normalized EWMA
+        # (power-of-two decay → order-free exact sums), and the
+        # Page/Taylor CUSUM changepoint scan; nw_align + media_features
+        # + embedding_neardup + ann_brute_topk (3 rounds hash-green
+        # each) rotate below the fold to make room
+        "trend_daily": DQ.q_trend_daily,
+        "acf_hourly": DQ.q_acf_hourly,
+        "ewma_hourly": DQ.q_ewma_hourly,
+        "changepoint_cusum": DQ.q_changepoint_cusum,
         "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
         # tiered parquet sink (sinks/tiers.py): write partitioned by
         # (tier, day) with dynamic overwrite, read back partition-pruned
@@ -114,8 +127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-oracled (k=1 restart-free case; the k>1 masked loop
         # stays rows-only below as loco_matches)
         "loco_best_match": DQ.q_loco_best_match,
-        "nw_align": DQ.q_nw_align,
-        "media_features": DQ.q_media_features,
         # documents: dedup + text analysis + curation primitives
         # (dedup_exact and token_stats — 4 rounds hash-green each —
         # rotated below the fold r5 to make room for asof_join +
@@ -163,9 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with a dominance keep-rule, full SQL replay over the inlined
         # deterministic IVF centroids
         "semdedup": DQ.q_semdedup,
-        "embedding_neardup": DQ.q_embedding_neardup,
         "embedding_neardup_lsh": DQ.q_embedding_neardup_lsh,
-        "ann_brute_topk": DQ.q_ann_brute_topk,
         "ann_lsh_topk": DQ.q_ann_lsh_topk,
         "ann_ivf_topk": DQ.q_ann_ivf_topk,
         # --- end of the driver's 50-entry correctness window ---
@@ -181,6 +190,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pack_sequences + perplexity + bpe_pairs + tfidf_topk;
         # quality_score made room for quality_lr, which nests the same
         # feature formulas inside its GD replay)
+        # rotated out late r5 for the stats family (trend_daily /
+        # acf_hourly / ewma_hourly / changepoint_cusum), 3 rounds
+        # hash-green each r2-r4
+        "nw_align": DQ.q_nw_align,
+        "media_features": DQ.q_media_features,
+        "embedding_neardup": DQ.q_embedding_neardup,
+        "ann_brute_topk": DQ.q_ann_brute_topk,
         # composite differencing + DDTW derivative over the 1h tier
         "diff_derivative_1h": DQ.q_diff_derivative_1h,
         # n-gram Jaccard dedup (4 rounds hash-green r1-r4; rotated out

@@ -1,0 +1,266 @@
+"""Per-series statistical aggregates over point/bucket series — the
+descriptive-analytics family a time-series engine is expected to ship
+next to its rollups (the public TimescaleDB-toolkit ``stats_agg``
+contract plus the classic series diagnostics):
+
+* ``linreg_stats`` — per-group least-squares line fit (slope,
+  intercept, Pearson correlation) from single-pass sufficient
+  statistics (n, Σx, Σy, Σx², Σy², Σxy) — the ``stats_agg`` →
+  ``slope()/intercept()/corr()`` contract.
+* ``autocorr`` — per-series Pearson autocorrelation at integer bucket
+  lags, with *time-lag* pairing semantics: a pair (yₜ, yₜ₊ₖ) exists
+  only when both buckets exist, so gaps drop pairs instead of
+  misaligning the series (the statsmodels ``acf(missing='drop')``
+  pairing, not the observation-shift one).
+* ``ewma`` — trailing-window exponentially weighted moving average in
+  the normalized (pandas ``ewm(adjust=True)``) form over the last
+  ``window`` *observations* of each series.
+* ``cusum_changepoint`` — per-series CUSUM drift scan: the running
+  deviation of the prefix sum from the global trend line
+  (Sₖ − k·Sₙ/n), reporting the bucket where |CUSUM| peaks (the
+  classic Page/Taylor single-changepoint location estimate).
+
+Plans: ``linreg_stats`` is ONE map-side-partial hash aggregation;
+``autocorr`` and ``ewma`` are equi-joins on a shifted bucket/rank key
+(the lag/depth expansion is a bounded explode of ≤ |lags| / ``window``
+rows, so the join stays an ordinary shuffled hash join — no range
+join, no window spill); ``cusum_changepoint`` is two stacked per-series
+windows (running sum + argmax rank) over a single series exchange.
+No Python anywhere, so every operator runs at scan speed at 100 TB;
+the per-series windows inherit the skew remedy of the latency ingest
+(`operators/ingest._latency_lag_salted`) if one series dominates.
+
+Exactness contract (what makes the DuckDB driver oracles bit-equal):
+with integer-valued ``x``/``y`` the sufficient statistics are exact
+integers, and every derived value is a fixed tree of IEEE ops over
+exact inputs — identical in any engine.  Correlations divide by
+``sqrt(d1)*sqrt(d2)`` (NOT ``sqrt(d1*d2)``: the product can exceed
+2⁵³ long before either factor does); EWMA restricts exactness to
+``alpha`` with a power-of-two complement (0.5, 0.75, …) where
+``pow(1-alpha, d)`` is exact, and to value·window bit-budgets ≤ 53.
+
+The reference library has no notion of timestamps (SURVEY.md §1.1) —
+these are engine-native additions on the rollup layer, not ports.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+_D = "double"
+
+
+def _corr_expr(n, sx, sy, sxx, syy, sxy):
+    """Pearson r from exact sufficient statistics: num / (√d1·√d2).
+
+    The two-sqrt form keeps every intermediate ≤ 2⁵³ for realistic
+    integer inputs (d1·d2 overflows the exact-double range ~quadratically
+    earlier), and both Spark and DuckDB evaluate the identical op tree,
+    so the result is bit-equal across engines."""
+    num = n * sxy - sx * sy
+    d1 = n * sxx - sx * sx
+    d2 = n * syy - sy * sy
+    return F.when((d1 > 0) & (d2 > 0),
+                  num / (F.sqrt(d1) * F.sqrt(d2)))
+
+
+def linreg_stats(
+    points: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group least-squares fit of ``y`` on ``x`` (the public
+    TimescaleDB-toolkit ``stats_agg(y, x)`` 2-D contract):
+
+    * ``slope``     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    * ``intercept`` = (Σy − slope·Σx) / n
+    * ``corr``      = Pearson r of (x, y)
+    * ``n``         = points in the group
+
+    NULL slope/intercept when all x coincide (vertical fit), NULL corr
+    when either variance is zero.  ONE hash aggregation with map-side
+    partials — the cheapest possible plan, same shape as the rollup
+    tiers.  Sums are computed in double; with integer-valued inputs
+    they are exact (see module docstring) and the outputs bit-equal
+    any other engine evaluating the same formulas.
+    """
+    x = F.col(x_col).cast(_D)
+    y = F.col(y_col).cast(_D)
+    agg = points.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(_D).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(x * y).alias("_sxy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    den = n * sxx - sx * sx
+    slope = F.when(den > 0, (n * sxy - sx * sy) / den)
+    intercept = F.when(den > 0, (sy - ((n * sxy - sx * sy) / den) * sx) / n)
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        _corr_expr(n, sx, sy, sxx, syy, sxy).alias("corr"),
+    )
+
+
+def autocorr(
+    points: DataFrame,
+    lags: Sequence[int],
+    series_col: str = "series_id",
+    idx_col: str = "idx",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-series Pearson autocorrelation at integer bucket lags.
+
+    ``idx`` is the integer bucket index (e.g. epoch-hours); for each
+    lag k the pair set is {(yᵢ, yᵢ₊ₖ) : both buckets present} — gaps
+    drop pairs (time-lag semantics).  Output one row per (series, lag)
+    with ``n_pairs`` and ``acf`` (NULL when either side of the pair
+    set has zero variance or fewer than 2 pairs).
+
+    Plan: the lag list is a bounded literal explode on the probe side,
+    then ONE shuffled equi-join on (series, idx+lag) == (series, idx)
+    and ONE hash aggregation — no window, no range join, scales as
+    |lags| · |points|.
+    """
+    lag_arr = F.array(*[F.lit(int(k)) for k in lags])
+    a = (points.select(
+            F.col(series_col).alias("_s"),
+            F.col(idx_col).cast("long").alias("_i"),
+            F.col(y_col).cast(_D).alias("_ya"))
+         .withColumn("lag", F.explode(lag_arr))
+         .withColumn("_j", F.col("_i") + F.col("lag")))
+    b = points.select(
+        F.col(series_col).alias("_s"),
+        F.col(idx_col).cast("long").alias("_j"),
+        F.col(y_col).cast(_D).alias("_yb"))
+    pairs = a.join(b, ["_s", "_j"])
+    g = pairs.groupBy(F.col("_s").alias(series_col), "lag").agg(
+        F.count(F.lit(1)).cast(_D).alias("_n"),
+        F.sum("_ya").alias("_sx"),
+        F.sum("_yb").alias("_sy"),
+        F.sum(F.col("_ya") * F.col("_ya")).alias("_sxx"),
+        F.sum(F.col("_yb") * F.col("_yb")).alias("_syy"),
+        F.sum(F.col("_ya") * F.col("_yb")).alias("_sxy"),
+    )
+    return g.select(
+        series_col, "lag",
+        F.col("_n").cast("long").alias("n_pairs"),
+        _corr_expr(F.col("_n"), F.col("_sx"), F.col("_sy"),
+                   F.col("_sxx"), F.col("_syy"), F.col("_sxy"))
+        .alias("acf"),
+    )
+
+
+def ewma(
+    points: DataFrame,
+    alpha: float = 0.5,
+    window: int = 16,
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Trailing-window normalized EWMA per series (pandas
+    ``ewm(alpha, adjust=True)`` over the last ``window`` observations):
+
+        ewmaₙ = Σⱼ₌₀^{min(n,W)−1} (1−α)ʲ·yₙ₋ⱼ / Σⱼ (1−α)ʲ
+
+    Observation-indexed (the j-th *previous row* of the series, not the
+    j-th previous bucket), so gaps compress rather than zero-fill —
+    the streaming-smoother convention.
+
+    Plan: rank each series once (one exchange), explode each row into
+    its ≤ ``window`` future depth slots (bounded literal explode), then
+    ONE shuffled equi-join on (series, rank) and ONE hash aggregation —
+    the same join shape as :func:`autocorr`, chosen over a
+    collect_list window frame so the weight of each contribution is an
+    explicit join key (engine-order-independent, hence oracle-exact
+    for power-of-two ``1−alpha``: every term yⱼ·(1−α)ᵈ is an exact
+    double and the ≤53-bit sum is order-free).
+
+    Output: (series, order_col, n_obs, ewma).
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    decay = F.lit(1.0 - alpha)
+    w = W.partitionBy(series_col).orderBy(order_col)
+    ranked = points.select(
+        F.col(series_col).alias("_s"),
+        F.col(order_col).alias("_o"),
+        F.col(y_col).cast(_D).alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    depth = F.array(*[F.lit(d) for d in range(window)])
+    contrib = (ranked
+               .withColumn("_d", F.explode(depth))
+               .select("_s", "_y", "_d",
+                       (F.col("_rn") + F.col("_d")).alias("_tgt")))
+    cur = ranked.select("_s", "_o", F.col("_rn").alias("_tgt"))
+    joined = cur.join(contrib, ["_s", "_tgt"])
+    wgt = F.pow(decay, F.col("_d").cast(_D))
+    out = joined.groupBy(F.col("_s").alias(series_col),
+                         F.col("_o").alias(order_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        (F.sum(F.col("_y") * wgt) / F.sum(wgt)).alias("ewma"),
+    )
+    return out
+
+
+def cusum_changepoint(
+    points: DataFrame,
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-series CUSUM single-changepoint scan (Page 1954 / Taylor's
+    cumulative-sum change detection): with prefix sums Sₖ over the
+    ordered series and total Sₙ,
+
+        CUSUMₖ = Sₖ − k·(Sₙ/n)
+
+    the estimated change location is the k maximizing |CUSUMₖ|
+    (earliest k on ties).  Output one row per series: the changepoint
+    bucket, its 1-based position ``k``, the signed peak ``cusum``, and
+    ``n``.
+
+    Plan: one series exchange feeds two stacked windows (running sum +
+    unbounded total, then an argmax rank over (|CUSUM| desc, k asc));
+    every comparison happens on bit-exact doubles (single-division
+    trend line over exact integer sums), so the argmax is
+    deterministic and engine-independent.
+    """
+    w_ord = (W.partitionBy(series_col).orderBy(order_col)
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    w_all = (W.partitionBy(series_col)
+             .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    y = F.col(y_col).cast(_D)
+    scanned = points.select(series_col, order_col, y.alias("_y")) \
+        .withColumn("_k", F.row_number().over(
+            W.partitionBy(series_col).orderBy(order_col))) \
+        .withColumn("_sk", F.sum("_y").over(w_ord)) \
+        .withColumn("_sn", F.sum("_y").over(w_all)) \
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+    cusum = (F.col("_sk")
+             - F.col("_k").cast(_D) * (F.col("_sn") / F.col("_n").cast(_D)))
+    ranked = scanned.withColumn("_cusum", cusum).withColumn(
+        "_r", F.row_number().over(
+            W.partitionBy(series_col)
+            .orderBy(F.abs(F.col("_cusum")).desc(), F.col("_k").asc())))
+    return (ranked.filter(F.col("_r") == 1)
+            .select(series_col,
+                    F.col(order_col).alias("cp_" + order_col),
+                    F.col("_k").cast("long").alias("k"),
+                    F.col("_cusum").alias("cusum"),
+                    F.col("_n").cast("long").alias("n")))

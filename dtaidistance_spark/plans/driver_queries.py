@@ -349,6 +349,107 @@ def q_heartbeat_uptime_1h(spark, sf_dir):
                             order_cols=("event_id",))
 
 
+def _hourly_cents(spark, sf_dir):
+    """Per-user hourly spend series in integer cents — the shared
+    exact-integer input of the stats-family queries (ewma_hourly,
+    changepoint_cusum): every sufficient statistic both engines
+    derive from it is an exact double."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        F.date_trunc("hour", F.col("ts")).alias("bucket_ts"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+             .alias("y")))
+
+
+_HOURLY_CENTS_SQL = """
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 date_trunc('hour', ts) AS bucket_ts,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                   AS y
+          FROM events GROUP BY 1, 2"""
+
+
+def q_trend_daily(spark, sf_dir):
+    """Per-(user, day) least-squares trend of spend-cents on
+    second-of-day (functions/stats.py::linreg_stats — the public
+    TimescaleDB-toolkit stats_agg → slope()/intercept()/corr()
+    contract).  Integer x (second of day) and y (cents) make every
+    sufficient statistic an exact integer, so slope/intercept/corr are
+    fixed IEEE op trees over exact inputs — bit-equal across engines.
+    ONE map-side-partial hash aggregation; no window, no Python."""
+    from ..functions.stats import linreg_stats
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        (F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+         - F.expr("unix_micros(date_trunc('day', ts)) div 1000000")
+         ).alias("x"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"))
+    out = linreg_stats(pts, ["series_id", "bucket_ts"], "x", "y")
+    return out.select(
+        "series_id", "bucket_ts", "n",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("corr", 6).alias("corr"))
+
+
+def q_acf_hourly(spark, sf_dir):
+    """Per-user autocorrelation of the hourly turn-rate series at lags
+    1/2/3/24 h (functions/stats.py::autocorr — time-lag pairing, gaps
+    drop pairs).  Integer hourly counts keep both engines' sufficient
+    statistics exact; the lag expansion is a bounded literal explode
+    feeding ONE shuffled equi-join + ONE hash aggregation."""
+    from ..functions.stats import autocorr
+
+    ev = _events(spark, sf_dir)
+    hourly = (ev.groupBy(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .alias("idx"))
+        .agg(F.count(F.lit(1)).alias("y")))
+    out = autocorr(hourly, [1, 2, 3, 24], "series_id", "idx", "y")
+    return out.select("series_id", F.col("lag").alias("lag_k"),
+                      "n_pairs", F.round("acf", 6).alias("acf"))
+
+
+def q_ewma_hourly(spark, sf_dir):
+    """Trailing-16-observation normalized EWMA (alpha=0.5) of each
+    user's hourly spend-cents series (functions/stats.py::ewma — the
+    pandas ewm(adjust=True) contract, observation-indexed).  The
+    power-of-two decay makes every term an exact double and the ≤53-bit
+    weighted sum order-free, so both engines agree bit-for-bit; the
+    depth expansion is a bounded explode + ONE equi-join, no window
+    spill, no Python."""
+    from ..functions.stats import ewma
+
+    out = ewma(_hourly_cents(spark, sf_dir), alpha=0.5, window=16,
+               order_col="bucket_ts")
+    return out.select("series_id", "bucket_ts", "n_obs",
+                      F.round("ewma", 6).alias("ewma"))
+
+
+def q_changepoint_cusum(spark, sf_dir):
+    """Per-user CUSUM single-changepoint scan over the hourly
+    spend-cents series (functions/stats.py::cusum_changepoint — the
+    Page/Taylor cumulative-sum location estimate): the bucket where
+    |Sₖ − k·Sₙ/n| peaks, earliest on ties.  The trend line is a single
+    division over exact integer sums, so the argmax compares bit-equal
+    doubles in both engines; two stacked windows over one series
+    exchange."""
+    from ..functions.stats import cusum_changepoint
+
+    out = cusum_changepoint(_hourly_cents(spark, sf_dir),
+                            order_col="bucket_ts")
+    return out.select("series_id", "cp_bucket_ts", "k",
+                      F.round("cusum", 6).alias("cusum"), "n")
+
+
 def q_znormal_latency(spark, sf_dir):
     lat = q_latency_points(spark, sf_dir).withColumnRenamed("latency_s", "value")
     z = PP.znormal(lat)
@@ -1626,6 +1727,99 @@ ORACLES: dict[str, str] = {
                round(sum(least(end_us, bstart + 3600000000)
                          - greatest(us, bstart)) / 1e6, 6) AS uptime_s
         FROM e GROUP BY 1, 2
+    """,
+    "trend_daily": """
+        WITH pts AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 date_trunc('day', ts) AS bucket_ts,
+                 CAST(epoch_us(ts) // 1000000
+                      - epoch_us(date_trunc('day', ts)) // 1000000
+                      AS DOUBLE) AS x,
+                 CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE) AS y
+          FROM events),
+        g AS (
+          SELECT series_id, bucket_ts,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                 sum(y*y) AS syy, sum(x*y) AS sxy
+          FROM pts GROUP BY 1, 2)
+        SELECT series_id, bucket_ts, CAST(n AS BIGINT) AS n,
+               round(CASE WHEN (n*sxx - sx*sx) > 0
+                     THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END, 6) AS slope,
+               round(CASE WHEN (n*sxx - sx*sx) > 0
+                     THEN (sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n
+                     END, 6) AS intercept,
+               round(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                     THEN (n*sxy - sx*sy)
+                          / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                     END, 6) AS corr
+        FROM g
+    """,
+    "acf_hourly": """
+        WITH h AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+                 CAST(count(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1, 2),
+        l AS (SELECT unnest([1, 2, 3, 24]) AS lag_k),
+        p AS (
+          SELECT a.series_id, l.lag_k, a.y AS ya, b.y AS yb
+          FROM h a CROSS JOIN l
+          JOIN h b ON b.series_id = a.series_id
+                  AND b.idx = a.idx + l.lag_k),
+        g AS (
+          SELECT series_id, lag_k, CAST(count(*) AS DOUBLE) AS n,
+                 sum(ya) AS sx, sum(yb) AS sy, sum(ya*ya) AS sxx,
+                 sum(yb*yb) AS syy, sum(ya*yb) AS sxy
+          FROM p GROUP BY 1, 2)
+        SELECT series_id, CAST(lag_k AS INTEGER) AS lag_k,
+               CAST(n AS BIGINT) AS n_pairs,
+               round(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                     THEN (n*sxy - sx*sy)
+                          / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                     END, 6) AS acf
+        FROM g
+    """,
+    "ewma_hourly": f"""
+        WITH h AS ({_HOURLY_CENTS_SQL}),
+        r AS (
+          SELECT series_id, bucket_ts, y,
+                 row_number() OVER (PARTITION BY series_id
+                                    ORDER BY bucket_ts) AS rn
+          FROM h),
+        d AS (SELECT unnest(generate_series(0, 15)) AS dd),
+        c AS (SELECT r.series_id, r.y, d.dd, r.rn + d.dd AS tgt
+              FROM r CROSS JOIN d),
+        j AS (SELECT cur.series_id, cur.bucket_ts, c.y, c.dd
+              FROM r cur
+              JOIN c ON c.series_id = cur.series_id AND c.tgt = cur.rn)
+        SELECT series_id, bucket_ts, CAST(count(*) AS BIGINT) AS n_obs,
+               round(sum(y * power(0.5, dd)) / sum(power(0.5, dd)), 6)
+                 AS ewma
+        FROM j GROUP BY 1, 2
+    """,
+    "changepoint_cusum": f"""
+        WITH h AS ({_HOURLY_CENTS_SQL}),
+        s AS (
+          SELECT series_id, bucket_ts,
+                 row_number() OVER (PARTITION BY series_id
+                                    ORDER BY bucket_ts) AS k,
+                 sum(y) OVER (PARTITION BY series_id ORDER BY bucket_ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS sk,
+                 sum(y) OVER (PARTITION BY series_id) AS sn,
+                 count(*) OVER (PARTITION BY series_id) AS n
+          FROM h),
+        c AS (
+          SELECT series_id, bucket_ts, k, n,
+                 sk - CAST(k AS DOUBLE) * (sn / CAST(n AS DOUBLE)) AS cusum
+          FROM s)
+        SELECT series_id, bucket_ts AS cp_bucket_ts,
+               CAST(k AS BIGINT) AS k, round(cusum, 6) AS cusum,
+               CAST(n AS BIGINT) AS n
+        FROM c
+        QUALIFY row_number() OVER (PARTITION BY series_id
+                                   ORDER BY abs(cusum) DESC, k ASC) = 1
     """,
     "znormal_latency": f"""
         WITH pts AS ({_PTS_SQL}),

@@ -1,0 +1,179 @@
+"""functions/stats.py — linreg_stats / autocorr / ewma /
+cusum_changepoint vs numpy/pandas references.
+
+The module's exactness contract (integer inputs → bit-equal derived
+values) is what the driver oracles lean on; here we pin the math
+itself against the independent numpy/pandas implementations, plus the
+NULL edges (vertical fits, zero variance, short series).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from dtaidistance_spark.functions.stats import (
+    autocorr,
+    cusum_changepoint,
+    ewma,
+    linreg_stats,
+)
+
+
+def _points_df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+class TestLinregStats:
+    def test_matches_numpy_polyfit(self, spark, rng):
+        rows = []
+        for g in range(5):
+            xs = rng.integers(0, 100, size=12)
+            ys = rng.integers(0, 1000, size=12)
+            rows += [(f"g{g}", int(x), int(y)) for x, y in zip(xs, ys)]
+        df = _points_df(spark, rows, ["series_id", "x", "y"])
+        out = (linreg_stats(df, ["series_id"], "x", "y")
+               .toPandas().set_index("series_id").sort_index())
+        for g in range(5):
+            sub = [(x, y) for s, x, y in rows if s == f"g{g}"]
+            xs = np.array([x for x, _ in sub], dtype=float)
+            ys = np.array([y for _, y in sub], dtype=float)
+            slope, intercept = np.polyfit(xs, ys, 1)
+            r = np.corrcoef(xs, ys)[0, 1]
+            got = out.loc[f"g{g}"]
+            assert got["n"] == len(sub)
+            np.testing.assert_allclose(got["slope"], slope, rtol=1e-9)
+            np.testing.assert_allclose(got["intercept"], intercept,
+                                       rtol=1e-9)
+            np.testing.assert_allclose(got["corr"], r, rtol=1e-12)
+
+    def test_vertical_and_constant_edges(self, spark):
+        rows = [
+            # all x equal → vertical fit: slope/intercept/corr NULL
+            ("v", 5, 1), ("v", 5, 2), ("v", 5, 3),
+            # constant y → slope 0, corr NULL (zero y-variance)
+            ("c", 1, 7), ("c", 2, 7), ("c", 3, 7),
+            # single point → everything NULL except n
+            ("s", 4, 9),
+        ]
+        df = _points_df(spark, rows, ["series_id", "x", "y"])
+        out = (linreg_stats(df, ["series_id"], "x", "y")
+               .toPandas().set_index("series_id"))
+        assert pd.isna(out.loc["v", "slope"])
+        assert pd.isna(out.loc["v", "corr"])
+        assert out.loc["c", "slope"] == 0.0
+        assert out.loc["c", "intercept"] == 7.0
+        assert pd.isna(out.loc["c", "corr"])
+        assert out.loc["s", "n"] == 1
+        assert pd.isna(out.loc["s", "slope"])
+
+
+class TestAutocorr:
+    def test_matches_pandas_dense(self, spark, rng):
+        y = rng.integers(0, 50, size=40)
+        rows = [("a", i, int(v)) for i, v in enumerate(y)]
+        df = _points_df(spark, rows, ["series_id", "idx", "y"])
+        out = (autocorr(df, [1, 2, 3], "series_id", "idx", "y")
+               .toPandas().set_index("lag").sort_index())
+        s = pd.Series(y, dtype=float)
+        for k in (1, 2, 3):
+            # time-lag pairing on a dense grid == shifted Pearson corr
+            expect = s.iloc[:-k].reset_index(drop=True).corr(
+                s.iloc[k:].reset_index(drop=True))
+            np.testing.assert_allclose(out.loc[k, "acf"], expect,
+                                       rtol=1e-12)
+            assert out.loc[k, "n_pairs"] == len(y) - k
+
+    def test_gaps_drop_pairs(self, spark):
+        # idx 0,1,2,5,6 — lag-1 pairs: (0,1),(1,2),(5,6) → 3 pairs
+        rows = [("a", i, v) for i, v in
+                [(0, 1), (1, 3), (2, 2), (5, 8), (6, 4)]]
+        df = _points_df(spark, rows, ["series_id", "idx", "y"])
+        out = (autocorr(df, [1], "series_id", "idx", "y")
+               .toPandas().iloc[0])
+        assert out["n_pairs"] == 3
+        xs = np.array([1.0, 3.0, 8.0])
+        ys = np.array([3.0, 2.0, 4.0])
+        np.testing.assert_allclose(out["acf"], np.corrcoef(xs, ys)[0, 1],
+                                   rtol=1e-12)
+
+    def test_zero_variance_null(self, spark):
+        rows = [("a", i, 5) for i in range(10)]
+        df = _points_df(spark, rows, ["series_id", "idx", "y"])
+        out = autocorr(df, [1], "series_id", "idx", "y").toPandas()
+        assert pd.isna(out["acf"].iloc[0])
+        assert out["n_pairs"].iloc[0] == 9
+
+
+class TestEwma:
+    def test_matches_pandas_adjusted(self, spark, rng):
+        y = rng.integers(0, 100, size=12)
+        rows = [("a", i, int(v)) for i, v in enumerate(y)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = (ewma(df, alpha=0.5, window=16, order_col="bucket_ts")
+               .toPandas().sort_values("bucket_ts"))
+        # n <= window: identical to pandas ewm(adjust=True)
+        expect = pd.Series(y, dtype=float).ewm(alpha=0.5,
+                                               adjust=True).mean()
+        np.testing.assert_allclose(out["ewma"].to_numpy(),
+                                   expect.to_numpy(), rtol=1e-12)
+        assert list(out["n_obs"]) == list(range(1, 13))
+
+    def test_window_truncates(self, spark):
+        n, w = 10, 4
+        rows = [("a", i, i + 1) for i in range(n)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = (ewma(df, alpha=0.5, window=w, order_col="bucket_ts")
+               .toPandas().sort_values("bucket_ts"))
+        ys = np.arange(1.0, n + 1)
+        for i in range(n):
+            lo = max(0, i - w + 1)
+            tail = ys[lo:i + 1][::-1]          # newest first
+            wts = 0.5 ** np.arange(len(tail))
+            np.testing.assert_allclose(
+                out["ewma"].iloc[i], float((tail * wts).sum() / wts.sum()),
+                rtol=1e-12)
+        assert out["n_obs"].max() == w
+
+    def test_alpha_validation(self, spark):
+        df = _points_df(spark, [("a", 0, 1)], ["series_id", "bucket_ts", "y"])
+        with pytest.raises(ValueError):
+            ewma(df, alpha=0.0)
+        with pytest.raises(ValueError):
+            ewma(df, window=0)
+
+
+class TestCusumChangepoint:
+    def test_finds_step_change(self, spark):
+        # flat 10 then flat 20 — CUSUM peaks exactly at the step
+        y = [10] * 8 + [20] * 8
+        rows = [("a", i, v) for i, v in enumerate(y)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = cusum_changepoint(df, order_col="bucket_ts").toPandas().iloc[0]
+        s = np.cumsum(y, dtype=float)
+        k = np.arange(1, len(y) + 1, dtype=float)
+        cus = s - k * (s[-1] / len(y))
+        want_k = int(np.argmax(np.abs(cus))) + 1
+        assert out["k"] == want_k == 8
+        np.testing.assert_allclose(out["cusum"], cus[want_k - 1],
+                                   rtol=1e-12)
+        assert out["n"] == len(y)
+
+    def test_constant_series_picks_first(self, spark):
+        rows = [("a", i, 5) for i in range(6)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = cusum_changepoint(df, order_col="bucket_ts").toPandas().iloc[0]
+        assert out["k"] == 1            # all-zero CUSUM → earliest tie
+        assert out["cusum"] == 0.0
+
+    def test_plan_no_python(self, spark):
+        rows = [("a", i, i) for i in range(4)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        for plan_df in (cusum_changepoint(df, order_col="bucket_ts"),
+                        ewma(df, order_col="bucket_ts"),
+                        autocorr(df.withColumnRenamed("bucket_ts", "idx"),
+                                 [1], "series_id", "idx", "y"),
+                        linreg_stats(df, ["series_id"], "bucket_ts", "y")):
+            plan = plan_df._jdf.queryExecution().executedPlan().toString()
+            assert "Python" not in plan and "BatchEval" not in plan
