@@ -93,6 +93,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_hourly": DQ.q_acf_hourly,
         "ewma_hourly": DQ.q_ewma_hourly,
         "changepoint_cusum": DQ.q_changepoint_cusum,
+        # fixed-width value histogram (TimescaleDB histogram() contract,
+        # sparse long format) + trailing-window rolling z-score anomaly
+        # scan; minhash_lsh + subsequence_topk (3 rounds hash-green
+        # each, both still bench headliners) rotate below the fold
+        "value_histogram_1d": DQ.q_value_histogram_1d,
+        "anomaly_zscore": DQ.q_anomaly_zscore,
         "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
         # tiered parquet sink (sinks/tiers.py): write partitioned by
         # (tier, day) with dynamic overwrite, read back partition-pruned
@@ -117,7 +123,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # kmeans E-step with fixed centers (the M-step twin is dba_update;
         # the full kmeans++-seeded loop stays rows-only below)
         "kmeans_assign_step": DQ.q_kmeans_assign_step,
-        "subsequence_topk": DQ.q_subsequence_topk,
         "linkage_tree": DQ.q_linkage_tree,
         "subsequence_matches": DQ.q_subsequence_matches,
         # matching-pursuit symbolization — value-oracled since r4 (the
@@ -167,7 +172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # find-then-cut substring dedup (late r5): spans applied back,
         # tokens dropped, normalized text rebuilt (Lee et al. pipeline)
         "span_clean": DQ.q_span_clean,
-        "minhash_lsh": DQ.q_minhash_lsh,
         "dedup_clusters": DQ.q_dedup_clusters,
         # embeddings: similarity search + semantic dedup
         # SemDeDup (r5): coarse-cluster + within-cluster cosine dedup
@@ -191,8 +195,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quality_score made room for quality_lr, which nests the same
         # feature formulas inside its GD replay)
         # rotated out late r5 for the stats family (trend_daily /
-        # acf_hourly / ewma_hourly / changepoint_cusum), 3 rounds
-        # hash-green each r2-r4
+        # acf_hourly / ewma_hourly / changepoint_cusum /
+        # value_histogram_1d / anomaly_zscore), 3 rounds hash-green
+        # each r2-r4
+        "subsequence_topk": DQ.q_subsequence_topk,
+        "minhash_lsh": DQ.q_minhash_lsh,
         "nw_align": DQ.q_nw_align,
         "media_features": DQ.q_media_features,
         "embedding_neardup": DQ.q_embedding_neardup,

@@ -218,6 +218,90 @@ def ewma(
     return out
 
 
+def histogram(
+    points: DataFrame,
+    lo: float,
+    hi: float,
+    nbins: int,
+    group_cols: Sequence[str] = ("series_id", "bucket_ts"),
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group fixed-width histogram (the public TimescaleDB
+    ``histogram(value, lo, hi, nbins)`` contract): bin 0 is the
+    underflow (y < lo), bins 1..nbins cover [lo, hi) uniformly, bin
+    nbins+1 is the overflow (y ≥ hi).  Output is LONG format — one row
+    per non-empty (group, bin) with its count — so the result scales
+    with occupancy, not with groups × bins.
+
+    Plan: a two-branch CASE projection + ONE map-side-partial hash
+    aggregation; the bin expression is the identical IEEE tree in the
+    DuckDB oracle (``floor((y − lo)·nbins / (hi − lo))``), so integer
+    inputs bin identically in both engines.
+    """
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    if not hi > lo:
+        raise ValueError("hi must be > lo")
+    y = F.col(y_col).cast(_D)
+    bin_expr = (
+        F.when(y < F.lit(float(lo)), F.lit(0))
+        .when(y >= F.lit(float(hi)), F.lit(nbins + 1))
+        .otherwise(1 + F.floor((y - F.lit(float(lo))) * F.lit(float(nbins))
+                               / F.lit(float(hi - lo))).cast("int"))
+    )
+    return (points.withColumn("bin", bin_expr.cast("int"))
+            .groupBy(*group_cols, "bin")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def anomaly_zscore(
+    points: DataFrame,
+    window: int = 24,
+    threshold: float = 3.0,
+    min_obs: int = 8,
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Trailing-window z-score anomaly detector: each observation is
+    scored against the sample mean/stddev of the PREVIOUS ``window``
+    observations of its series (the classic self-exclusive rolling
+    z-score), and rows with ``|z| > threshold`` are flagged.  At least
+    ``min_obs`` prior observations and nonzero variance are required
+    to score at all — cold starts and flat windows emit nothing.
+
+    Output: (series, order_col, y, n_prev, z) — anomalies only.
+
+    Plan: one series exchange feeds a single bounded ROWS frame
+    (``window PRECEDING .. 1 PRECEDING``) computing the exact sufficient
+    sums; z is a fixed IEEE tree over them (sample variance
+    ``(nΣy² − (Σy)²) / (n(n−1))``), so with integer inputs the flagged
+    set is bit-identical across engines.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if min_obs < 2:
+        raise ValueError("min_obs must be >= 2 (sample variance)")
+    y = F.col(y_col).cast(_D)
+    frame = (W.partitionBy(series_col).orderBy(order_col)
+             .rowsBetween(-window, -1))
+    scored = points.select(series_col, order_col, y.alias("_y")) \
+        .withColumn("_n", F.count(F.lit(1)).over(frame).cast(_D)) \
+        .withColumn("_sy", F.sum("_y").over(frame)) \
+        .withColumn("_syy", F.sum(F.col("_y") * F.col("_y")).over(frame))
+    n, sy, syy = F.col("_n"), F.col("_sy"), F.col("_syy")
+    d2 = n * syy - sy * sy
+    var = d2 / (n * (n - 1))
+    z = (F.col("_y") - sy / n) / F.sqrt(var)
+    return (scored
+            .withColumn("_z", F.when((n >= float(min_obs)) & (d2 > 0), z))
+            .filter(F.abs(F.col("_z")) > float(threshold))
+            .select(series_col, order_col,
+                    F.col("_y").alias("y"),
+                    n.cast("long").alias("n_prev"),
+                    F.col("_z").alias("z")))
+
+
 def cusum_changepoint(
     points: DataFrame,
     series_col: str = "series_id",

@@ -450,6 +450,42 @@ def q_changepoint_cusum(spark, sf_dir):
                       F.round("cusum", 6).alias("cusum"), "n")
 
 
+def q_value_histogram_1d(spark, sf_dir):
+    """Per-(user, day) fixed-width histogram of event spend-cents
+    (functions/stats.py::histogram — the public TimescaleDB
+    histogram(value, lo, hi, nbins) contract, long sparse format:
+    underflow bin 0, bins 1..20 over [0, 50000), overflow bin 21).
+    Integer cents bin through the identical IEEE floor tree in both
+    engines; ONE map-side-partial hash aggregation, no window, no
+    Python."""
+    from ..functions.stats import histogram
+
+    ev = _events(spark, sf_dir)
+    pts = ev.select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        F.date_trunc("day", F.col("ts")).alias("bucket_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"))
+    return histogram(pts, lo=0.0, hi=50000.0, nbins=20)
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Trailing-24-observation self-exclusive rolling z-score anomaly
+    scan over each user's hourly spend-cents series
+    (functions/stats.py::anomaly_zscore, |z| > 2.5, ≥8 priors).  The
+    sufficient sums are exact integers inside a bounded ROWS frame, so
+    the flagged set — a strict-inequality cut on bit-equal doubles —
+    is identical in both engines; one series exchange, one frame, no
+    Python."""
+    from ..functions.stats import anomaly_zscore
+
+    out = anomaly_zscore(_hourly_cents(spark, sf_dir), window=24,
+                         threshold=2.5, min_obs=8,
+                         order_col="bucket_ts")
+    return out.select("series_id", "bucket_ts", "y", "n_prev",
+                      F.round("z", 6).alias("z"))
+
+
 def q_znormal_latency(spark, sf_dir):
     lat = q_latency_points(spark, sf_dir).withColumnRenamed("latency_s", "value")
     z = PP.znormal(lat)
@@ -1820,6 +1856,38 @@ ORACLES: dict[str, str] = {
         FROM c
         QUALIFY row_number() OVER (PARTITION BY series_id
                                    ORDER BY abs(cusum) DESC, k ASC) = 1
+    """,
+    "value_histogram_1d": """
+        WITH pts AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 date_trunc('day', ts) AS bucket_ts,
+                 CAST(CAST(round(value * 100, 0) AS BIGINT) AS DOUBLE) AS y
+          FROM events)
+        SELECT series_id, bucket_ts,
+               CASE WHEN y < 0.0 THEN 0
+                    WHEN y >= 50000.0 THEN 21
+                    ELSE 1 + CAST(floor((y - 0.0) * 20.0 / 50000.0)
+                                  AS INTEGER) END AS bin,
+               count(*) AS n
+        FROM pts GROUP BY 1, 2, 3
+    """,
+    "anomaly_zscore": f"""
+        WITH h AS ({_HOURLY_CENTS_SQL}),
+        s AS (
+          SELECT series_id, bucket_ts, y,
+                 CAST(count(*) OVER f AS DOUBLE) AS n,
+                 sum(y) OVER f AS sy,
+                 sum(y*y) OVER f AS syy
+          FROM h WINDOW f AS (PARTITION BY series_id ORDER BY bucket_ts
+                              ROWS BETWEEN 24 PRECEDING
+                                   AND 1 PRECEDING))
+        SELECT series_id, bucket_ts, y, CAST(n AS BIGINT) AS n_prev,
+               round((y - sy/n)
+                     / sqrt((n*syy - sy*sy) / (n*(n-1))), 6) AS z
+        FROM s
+        WHERE n >= 8 AND (n*syy - sy*sy) > 0
+          AND abs((y - sy/n)
+                  / sqrt((n*syy - sy*sy) / (n*(n-1)))) > 2.5
     """,
     "znormal_latency": f"""
         WITH pts AS ({_PTS_SQL}),

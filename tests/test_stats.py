@@ -14,9 +14,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from dtaidistance_spark.functions.stats import (
+    anomaly_zscore,
     autocorr,
     cusum_changepoint,
     ewma,
+    histogram,
     linreg_stats,
 )
 
@@ -142,6 +144,78 @@ class TestEwma:
             ewma(df, alpha=0.0)
         with pytest.raises(ValueError):
             ewma(df, window=0)
+
+
+class TestHistogram:
+    def test_matches_numpy(self, spark, rng):
+        ys = rng.integers(-20, 120, size=200)
+        rows = [("a", "b0", int(v)) for v in ys]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = (histogram(df, lo=0.0, hi=100.0, nbins=10)
+               .toPandas().set_index("bin")["n"])
+        under = int((ys < 0).sum())
+        over = int((ys >= 100).sum())
+        counts, _ = np.histogram(ys[(ys >= 0) & (ys < 100)],
+                                 bins=10, range=(0, 100))
+        assert out.get(0, 0) == under
+        assert out.get(11, 0) == over
+        for b in range(10):
+            assert out.get(b + 1, 0) == counts[b]
+        assert out.sum() == len(ys)
+
+    def test_boundaries(self, spark):
+        # lo lands in bin 1, hi in overflow, hi-epsilon in bin nbins
+        rows = [("a", "b0", v) for v in [0.0, 99.999, 100.0, -0.001]]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = (histogram(df, 0.0, 100.0, 10)
+               .toPandas().set_index("bin")["n"])
+        assert out.get(1) == 1 and out.get(10) == 1
+        assert out.get(11) == 1 and out.get(0) == 1
+
+    def test_long_format_sparse(self, spark):
+        df = _points_df(spark, [("a", "b0", 5)],
+                        ["series_id", "bucket_ts", "y"])
+        out = histogram(df, 0.0, 100.0, 10).toPandas()
+        assert len(out) == 1          # only the occupied bin emitted
+
+    def test_validation(self, spark):
+        df = _points_df(spark, [("a", "b0", 5)],
+                        ["series_id", "bucket_ts", "y"])
+        with pytest.raises(ValueError):
+            histogram(df, 0.0, 100.0, 0)
+        with pytest.raises(ValueError):
+            histogram(df, 5.0, 5.0, 10)
+
+
+class TestAnomalyZscore:
+    def test_flags_spike_only(self, spark):
+        # stable alternating series, one huge spike at position 20
+        ys = [10, 12] * 15
+        ys[20] = 500
+        rows = [("a", i, v) for i, v in enumerate(ys)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = (anomaly_zscore(df, window=8, threshold=3.0, min_obs=4)
+               .toPandas())
+        assert list(out["bucket_ts"]) == [20]
+        got = out.iloc[0]
+        prev = np.array(ys[12:20], dtype=float)
+        expect = (500 - prev.mean()) / prev.std(ddof=1)
+        np.testing.assert_allclose(got["z"], expect, rtol=1e-12)
+        assert got["n_prev"] == 8
+
+    def test_flat_window_emits_nothing(self, spark):
+        rows = [("a", i, 7) for i in range(30)]
+        rows.append(("a", 30, 7000))     # spike after a zero-variance run
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = anomaly_zscore(df, window=8, threshold=3.0).toPandas()
+        assert len(out) == 0             # flat prior window → unscorable
+
+    def test_cold_start_guard(self, spark):
+        rows = [("a", 0, 1), ("a", 1, 2), ("a", 2, 1000)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = anomaly_zscore(df, window=8, threshold=3.0,
+                             min_obs=8).toPandas()
+        assert len(out) == 0             # fewer than min_obs priors
 
 
 class TestCusumChangepoint:
