@@ -45,14 +45,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": DQ.q_rollup_1m,
         "rollup_1h_cascade": DQ.q_rollup_1h_cascade,
         "rollup_1d_cascade": DQ.q_rollup_1d_cascade,
-        "gap_fill_1h": DQ.q_gap_fill_1h,
+        # gap_fill_1h (4 rounds hash-green r1-r4) rotated below the
+        # fold final-r5 for paa_sax; the gap-fill machinery keeps an
+        # in-window record via gap_fill_interp_1h (same grid build,
+        # richer policy)
         # gap-fill with linear interpolation (late r5, the TimescaleDB
         # interpolate() contract — fourth gap_fill policy alongside
         # zero_count/zero/locf); simhash_pairs (3 rounds hash-green
         # r2-r4, its simhash sub-computation stays oracled below the
         # fold) rotates out to make room
         "gap_fill_interp_1h": DQ.q_gap_fill_interp_1h,
-        "latency_points": DQ.q_latency_points,
+        # latency_points (4 rounds hash-green r1-r4) rotated below the
+        # fold final-r5 for downsample_m4; the inter-turn-latency family
+        # keeps in-window records via asof_join/time_weighted_avg_1h
         # reset-aware counter rollup + trapezoidal time-weighted average
         # (late r5, functions/timeagg.py): the two TimescaleDB
         # continuous-aggregate families the tier rollups don't cover;
@@ -105,6 +110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_sink_roundtrip": DQ.q_tier_sink_roundtrip,
         # LTTB shape-preserving downsample (r4; 18 chained argmax CTEs)
         "downsample_lttb": DQ.q_downsample_lttb,
+        # M4 min/max/first/last visual downsample (final r5): the
+        # declarative zero-Python counterpart of LTTB — one exchange,
+        # four deterministic window ranks
+        "downsample_m4": DQ.q_downsample_m4,
+        # PAA + SAX symbolic representation (final r5): within-row HOF
+        # column algebra, integer segment sums for cross-engine hashes
+        "paa_sax": DQ.q_paa_sax,
         # DTW analytics (dtw_pairs carries full value-level DuckDB oracles
         # — exact recursive-CTE replays of the unbanded AND banded+psi DP;
         # the long-series matrices below are rows-only)
@@ -198,6 +210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # acf_hourly / ewma_hourly / changepoint_cusum /
         # value_histogram_1d / anomaly_zscore), 3 rounds hash-green
         # each r2-r4
+        # rotated out final-r5 for downsample_m4 + paa_sax (4 rounds
+        # hash-green each r1-r4)
+        "gap_fill_1h": DQ.q_gap_fill_1h,
+        "latency_points": DQ.q_latency_points,
         "subsequence_topk": DQ.q_subsequence_topk,
         "minhash_lsh": DQ.q_minhash_lsh,
         "nw_align": DQ.q_nw_align,

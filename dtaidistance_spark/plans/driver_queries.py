@@ -1039,6 +1039,41 @@ def q_downsample_lttb(spark, sf_dir):
                       F.round("value", 6).alias("value"))
 
 
+def q_downsample_m4(spark, sf_dir):
+    """M4 visualization downsampling (Jugel et al., VLDB 2014; the
+    min/max/first/last-per-pixel-bucket aggregation TimescaleDB ships)
+    of each series' hourly count curve into 16 width-equal buckets —
+    the declarative counterpart of downsample_lttb.  Pure window-rank
+    column algebra: ONE hash exchange on series_id (the bucket windows
+    reuse the series partitioning), zero Python, whole-stage codegen
+    end-to-end; all bucket ids come from integer-microsecond epoch
+    math so both engines bin identically."""
+    from ..operators.downsample import downsample_m4
+
+    agg1h = R.rollup_points(event_points_rollup(spark, sf_dir), "1h")
+    pts = agg1h.select("series_id", "bucket_ts",
+                       F.col("cnt").cast("double").alias("value"))
+    return downsample_m4(pts, 16)
+
+
+def q_paa_sax(spark, sf_dir):
+    """PAA + SAX symbolic representation (Lin/Keogh DMKD 2007) of each
+    gap-filled hourly series: 8 equal segments, alphabet a-d with the
+    published N(0,1) breakpoints.  Distributional symbolization — the
+    companion of the reference's learned-motif symbolization
+    (symbolization/__init__.py, in-window query `symbolize`).  The
+    whole transform is within-row higher-order-function column algebra
+    on the series arrays (transform/slice/aggregate + posexplode):
+    ZERO additional shuffles beyond the series build, no Python.
+    Cross-engine exactness: integer segment sums + one fixed IEEE
+    expression tree for the z-normalization (module docstring,
+    functions/sax.py)."""
+    from ..functions.sax import paa_sax
+
+    series = hourly_series(spark, sf_dir)
+    return paa_sax(series, w=8, alphabet=4)
+
+
 def q_dtw_weights_learn(spark, sf_dir):
     """Learnable weighted-DTW weights (reference dtw_weighted.py:155
     compute_weights_using_dt): distributed per-series alignment features
@@ -2202,6 +2237,93 @@ def _lttb_oracle(n_out: int = 20) -> str:
 
 
 ORACLES["downsample_lttb"] = _lttb_oracle(20)
+
+# M4 twin: identical integer-epoch bucket math + the four
+# deterministic row_number ranks (value ties -> earliest point)
+ORACLES["downsample_m4"] = f"""
+    WITH pts0 AS ({_PTS_SQL}),
+    agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                   count(value) AS cnt
+            FROM pts0 GROUP BY 1, 2),
+    p AS (SELECT series_id, bucket_ts, epoch_us(bucket_ts) AS t,
+                 CAST(cnt AS DOUBLE) AS v
+          FROM agg),
+    sp AS (SELECT series_id, min(t) AS t0, max(t) AS t1
+           FROM p GROUP BY 1),
+    b AS (SELECT p.series_id, p.bucket_ts, p.t, p.v,
+                 CASE WHEN sp.t1 = sp.t0 THEN 0
+                      ELSE CAST(least(15, ((p.t - sp.t0) * 16)
+                                         // (sp.t1 - sp.t0)) AS INT)
+                 END AS bucket
+          FROM p JOIN sp USING (series_id)),
+    r AS (SELECT *,
+            row_number() OVER (PARTITION BY series_id, bucket
+                               ORDER BY t) AS rf,
+            row_number() OVER (PARTITION BY series_id, bucket
+                               ORDER BY t DESC) AS rl,
+            row_number() OVER (PARTITION BY series_id, bucket
+                               ORDER BY v, t) AS rmin,
+            row_number() OVER (PARTITION BY series_id, bucket
+                               ORDER BY v DESC, t) AS rmax
+          FROM b)
+    SELECT series_id, bucket, bucket_ts, v AS value,
+           (rf = 1) AS is_first, (rl = 1) AS is_last,
+           (rmin = 1) AS is_min, (rmax = 1) AS is_max
+    FROM r WHERE rf = 1 OR rl = 1 OR rmin = 1 OR rmax = 1
+"""
+
+# PAA/SAX twin: the span-capped gap-filled hourly grid (same sv CTE as
+# the subsequence twins), integer segment sums, then the identical
+# z-normalization expression tree and breakpoint CASE as
+# functions/sax.py (w=8, alphabet=4)
+ORACLES["paa_sax"] = f"""
+    WITH pts AS ({_PTS_SQL}),
+    agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
+                   count(value) AS cnt
+            FROM pts GROUP BY 1, 2),
+    gb AS (SELECT greatest(min(bucket_ts),
+                           max(bucket_ts)
+                           - interval {HOURLY_SPAN_CAP - 1} hour) AS b0,
+                  max(bucket_ts) AS b1 FROM agg),
+    grid AS (SELECT s.series_id,
+                    unnest(generate_series(gb.b0, gb.b1, interval 1 hour))
+                      AS bucket_ts
+             FROM (SELECT DISTINCT series_id FROM agg) s, gb),
+    sv AS (SELECT g.series_id,
+                  row_number() OVER (PARTITION BY g.series_id
+                                     ORDER BY g.bucket_ts) AS idx,
+                  CAST(coalesce(a.cnt, 0) AS DOUBLE) AS v
+           FROM grid g LEFT JOIN agg a
+             ON a.series_id = g.series_id AND a.bucket_ts = g.bucket_ts),
+    lens AS (SELECT series_id, max(idx) // 8 AS m FROM sv
+             GROUP BY 1 HAVING max(idx) >= 24),
+    seg AS (SELECT sv.series_id,
+                   CAST((sv.idx - 1) // l.m AS INT) AS k,
+                   sum(sv.v) AS seg_sum
+            FROM sv JOIN lens l
+              ON sv.series_id = l.series_id AND sv.idx <= l.m * 8
+            GROUP BY 1, 2),
+    st AS (SELECT series_id, sum(seg_sum) AS s1,
+                  sum(seg_sum * seg_sum) AS s2
+           FROM seg GROUP BY 1),
+    z AS (SELECT seg.series_id, seg.k, seg.seg_sum,
+                 CASE WHEN 8.0 * st.s2 - st.s1 * st.s1 > 0.0
+                      THEN (seg.seg_sum - st.s1 / 8.0)
+                           / sqrt((8.0 * st.s2 - st.s1 * st.s1) / 64.0)
+                      ELSE 0.0 END AS zv
+          FROM seg JOIN st USING (series_id)),
+    sy AS (SELECT *,
+             CASE WHEN zv < CAST(-0.6745 AS DOUBLE) THEN 'a'
+                  WHEN zv < CAST(0.0 AS DOUBLE) THEN 'b'
+                  WHEN zv < CAST(0.6745 AS DOUBLE) THEN 'c'
+                  ELSE 'd' END AS sym
+           FROM z),
+    wd AS (SELECT series_id, string_agg(sym, '' ORDER BY k) AS word
+           FROM sy GROUP BY 1)
+    SELECT sy.series_id, sy.k, sy.seg_sum, round(sy.zv, 6) AS z,
+           sy.sym, wd.word
+    FROM sy JOIN wd USING (series_id)
+"""
 
 _DUP_SPANS_CTES = f"""
     -- twin of repeated_spans(k=8, min_count=2): hash every 8-token
