@@ -114,3 +114,60 @@ def paa_sax(series: DataFrame, w: int, alphabet: int = 4,
                     F.round(F.col("seg.zs"), 6).alias("z"),
                     F.col("seg.syms").alias("sym"),
                     "word"))
+
+def sax_mindist_pairs(words: DataFrame, n: int, w: int,
+                      alphabet: int = 4,
+                      series_col: str = "series_id",
+                      word_col: str = "word") -> DataFrame:
+    """MINDIST between all ordered pairs of SAX words (Lin et al. 2007,
+    eq. 6): the lower-bounding distance
+
+    ``MINDIST(Q̂, Ĉ) = sqrt(n/w) · sqrt(Σₖ cell(q̂ₖ, ĉₖ)²)``
+
+    where ``cell(r, c) = 0`` for adjacent-or-equal symbols and
+    ``β_{max(r,c)-1} − β_{min(r,c)}`` otherwise (the breakpoint-table
+    lookup).  MINDIST lower-bounds the true Euclidean distance of the
+    z-normalized series — the SAX-space analogue of ``lb_keogh``: a
+    symbolic prefilter for similarity search over the word table
+    (filter ``mindist <= r`` before exact re-ranking).
+
+    Pure JVM: the per-character cell distances are one zip_with +
+    aggregate over the two words' char arrays (split on '') after a
+    triangular self-join on the (small) words table; ``n`` is the
+    original series length, ``w`` the word length.  Deterministic,
+    engine-portable (same breakpoint literals as :func:`paa_sax`).
+    """
+    if alphabet not in BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {sorted(BREAKPOINTS)}")
+    bps = BREAKPOINTS[alphabet]
+    # dist(r, c) lookup as a flat CASE over symbol-index pairs: indices
+    # via ascii offset from 'a'
+    cases = []
+    for r in range(alphabet):
+        for c in range(alphabet):
+            if abs(r - c) <= 1:
+                continue
+            d = bps[max(r, c) - 1] - bps[min(r, c)]
+            cases.append(f"WHEN __RI__ = {r} AND __CI__ = {c} "
+                         f"THEN CAST({d!r} AS DOUBLE)")
+    cell = ("CASE " + " ".join(cases) + " ELSE 0.0 END") if cases \
+        else "0.0"
+
+    a = words.select(F.col(series_col).alias("sid_a"),
+                     F.col(word_col).alias("word_a"))
+    b = words.select(F.col(series_col).alias("sid_b"),
+                     F.col(word_col).alias("word_b"))
+    pairs = a.join(b, F.col("sid_a") < F.col("sid_b"))
+    # cell(x, y): chars -> 0-based symbol indices via ascii offset, then
+    # the squared breakpoint-gap lookup, summed across the w positions
+    cell_sq = cell.replace("__RI__", "(ascii(x) - 97)") \
+                  .replace("__CI__", "(ascii(y) - 97)")
+    return (pairs
+            .withColumn("mindist", F.expr(
+                f"sqrt({n} / {float(w)!r}) * sqrt(aggregate("
+                f"zip_with(slice(split(word_a, ''), 1, {w}), "
+                f"         slice(split(word_b, ''), 1, {w}), "
+                f"(x, y) -> power({cell_sq}, 2)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"))
+            .select(F.col("sid_a").alias("i"), F.col("sid_b").alias("j"),
+                    "mindist"))

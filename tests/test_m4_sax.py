@@ -151,3 +151,70 @@ class TestPaaSax:
             .executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "python" not in plan.lower()
+
+
+def brute_mindist(wa, wb, n, w, alphabet):
+    bps = BREAKPOINTS[alphabet]
+
+    def cell(r, c):
+        if abs(r - c) <= 1:
+            return 0.0
+        return bps[max(r, c) - 1] - bps[min(r, c)]
+
+    s = sum(cell(ord(x) - 97, ord(y) - 97) ** 2 for x, y in zip(wa, wb))
+    return np.sqrt(n / w) * np.sqrt(s)
+
+
+class TestSaxMindist:
+    @pytest.mark.parametrize("alphabet", [2, 4, 8])
+    def test_matches_bruteforce(self, spark, rng, alphabet):
+        from dtaidistance_spark.functions.sax import sax_mindist_pairs
+        n, w = 64, 8
+        rows = []
+        for s in range(7):
+            vals = rng.integers(0, 30, n).astype(float).tolist()
+            _, _, syms = brute_paa_sax(vals, w, alphabet)
+            rows.append((f"s{s}", "".join(syms)))
+        df = spark.createDataFrame(rows, "series_id string, word string")
+        got = {(r["i"], r["j"]): r["mindist"]
+               for r in sax_mindist_pairs(df, n=n, w=w,
+                                          alphabet=alphabet).collect()}
+        words = dict(rows)
+        ids = sorted(words)
+        expected_pairs = {(a, b) for ai, a in enumerate(ids)
+                          for b in ids[ai + 1:]}
+        assert set(got) == expected_pairs
+        for (a, b), d in got.items():
+            want = brute_mindist(words[a], words[b], n, w, alphabet)
+            np.testing.assert_allclose(d, want, atol=1e-12, err_msg=f"{a},{b}")
+
+    def test_lower_bounds_euclidean(self, spark, rng):
+        """MINDIST(Q̂,Ĉ) <= ED(znorm(Q), znorm(C)) — the Lin et al.
+        guarantee that makes it a sound prefilter."""
+        from dtaidistance_spark.functions.sax import sax_mindist_pairs
+        n, w, alphabet = 128, 16, 4
+        series, rows = {}, []
+        for s in range(6):
+            vals = rng.normal(0, 1, n)
+            vals = np.round(vals * 10)  # integer-valued, like the counts
+            series[f"s{s}"] = vals
+            _, _, syms = brute_paa_sax(vals.tolist(), w, alphabet)
+            rows.append((f"s{s}", "".join(syms)))
+        df = spark.createDataFrame(rows, "series_id string, word string")
+        got = sax_mindist_pairs(df, n=n, w=w, alphabet=alphabet).collect()
+
+        def znorm(x):
+            sd = x.std()
+            return (x - x.mean()) / sd if sd > 0 else x * 0.0
+
+        for r in got:
+            ed = float(np.linalg.norm(znorm(series[r["i"]])
+                                      - znorm(series[r["j"]])))
+            assert r["mindist"] <= ed + 1e-9, (r["i"], r["j"])
+
+    def test_identical_words_zero(self, spark):
+        from dtaidistance_spark.functions.sax import sax_mindist_pairs
+        df = spark.createDataFrame([("a", "abcd"), ("b", "abcd")],
+                                   "series_id string, word string")
+        rows = sax_mindist_pairs(df, n=32, w=4).collect()
+        assert len(rows) == 1 and rows[0]["mindist"] == 0.0
