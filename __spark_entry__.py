@@ -242,6 +242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": DQ.q_fingerprint,
         "lang_id": DQ.q_lang_id,
         "quality_score": DQ.q_quality_score,
+        # SAX MINDIST lower-bound pairs (final r5, below the fold from
+        # birth — companion of in-window paa_sax; sweep-oracled)
+        "sax_mindist": DQ.q_sax_mindist,
         "znormal_latency": DQ.q_znormal_latency,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

@@ -1074,6 +1074,29 @@ def q_paa_sax(spark, sf_dir):
     return paa_sax(series, w=8, alphabet=4)
 
 
+def q_sax_mindist(spark, sf_dir):
+    """SAX MINDIST lower-bound between every pair of SAX words (Lin et
+    al. 2007 eq. 6) — the symbolic-space `lb_keogh`: a w=8-char word
+    per series stands in for the n-point series, and the breakpoint-gap
+    table turns word pairs into a sound Euclidean lower bound for
+    similarity prefiltering.  Pure JVM: triangular self-join on the
+    (n_series-row) word table + one zip_with/aggregate over the char
+    arrays — at 100 TB the word table is ~10^6× smaller than the
+    series it summarizes, so the all-pairs join is a small-data
+    problem by construction.  Cross-engine: the identical breakpoint
+    CASE literals, sqrt(n/w) from the shared global grid length,
+    1e-6 rounding to absorb summation-order noise."""
+    from ..functions.sax import paa_sax, sax_mindist_pairs
+
+    series = hourly_series(spark, sf_dir)
+    n_grid = series.select(F.max(F.size("values"))).first()[0]
+    m = n_grid // 8
+    words = (paa_sax(series, w=8, alphabet=4)
+             .select("series_id", "word").distinct())
+    out = sax_mindist_pairs(words, n=m * 8, w=8, alphabet=4)
+    return out.select("i", "j", F.round("mindist", 6).alias("mindist"))
+
+
 def q_dtw_weights_learn(spark, sf_dir):
     """Learnable weighted-DTW weights (reference dtw_weighted.py:155
     compute_weights_using_dt): distributed per-series alignment features
@@ -2275,8 +2298,9 @@ ORACLES["downsample_m4"] = f"""
 # PAA/SAX twin: the span-capped gap-filled hourly grid (same sv CTE as
 # the subsequence twins), integer segment sums, then the identical
 # z-normalization expression tree and breakpoint CASE as
-# functions/sax.py (w=8, alphabet=4)
-ORACLES["paa_sax"] = f"""
+# functions/sax.py (w=8, alphabet=4).  The CTE chain up to the word
+# table is shared with the sax_mindist twin below.
+_SAX_WORD_CTES = f"""
     WITH pts AS ({_PTS_SQL}),
     agg AS (SELECT series_id, date_trunc('hour', ts) AS bucket_ts,
                    count(value) AS cnt
@@ -2319,11 +2343,51 @@ ORACLES["paa_sax"] = f"""
                   ELSE 'd' END AS sym
            FROM z),
     wd AS (SELECT series_id, string_agg(sym, '' ORDER BY k) AS word
-           FROM sy GROUP BY 1)
+           FROM sy GROUP BY 1)"""
+
+ORACLES["paa_sax"] = _SAX_WORD_CTES + """
     SELECT sy.series_id, sy.k, sy.seg_sum, round(sy.zv, 6) AS z,
            sy.sym, wd.word
     FROM sy JOIN wd USING (series_id)
 """
+
+
+def _sax_mindist_oracle() -> str:
+    """MINDIST twin: the shared word CTEs + a triangular pair join and
+    the per-position breakpoint-gap CASE — generated from the SAME
+    BREAKPOINTS table as functions/sax.py::sax_mindist_pairs so both
+    engines parse identical double literals; n = (grid length // 8) * 8
+    is read off the shared sv CTE (the global grid makes every series
+    the same length)."""
+    from ..functions.sax import BREAKPOINTS
+
+    bps = BREAKPOINTS[4]
+    cases = []
+    for r in range(4):
+        for c in range(4):
+            if abs(r - c) <= 1:
+                continue
+            d = bps[max(r, c) - 1] - bps[min(r, c)]
+            cases.append(f"WHEN ri = {r} AND ci = {c} "
+                         f"THEN CAST({d!r} AS DOUBLE)")
+    cell = "CASE " + " ".join(cases) + " ELSE 0.0 END"
+    return _SAX_WORD_CTES + f""",
+    pos AS (SELECT unnest(generate_series(1, 8)) AS k),
+    cells AS (
+      SELECT a.series_id AS i, b.series_id AS j,
+             (ascii(substr(a.word, pos.k, 1)) - 97) AS ri,
+             (ascii(substr(b.word, pos.k, 1)) - 97) AS ci
+      FROM wd a JOIN wd b ON a.series_id < b.series_id
+      CROSS JOIN pos),
+    d AS (SELECT i, j, sum(power({cell}, 2)) AS ss
+          FROM cells GROUP BY 1, 2),
+    n AS (SELECT (max(idx) // 8) * 8 AS n FROM sv)
+    SELECT d.i, d.j, round(sqrt(n.n / 8.0) * sqrt(d.ss), 6) AS mindist
+    FROM d, n
+"""
+
+
+ORACLES["sax_mindist"] = _sax_mindist_oracle()
 
 _DUP_SPANS_CTES = f"""
     -- twin of repeated_spans(k=8, min_count=2): hash every 8-token
