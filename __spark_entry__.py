@@ -44,7 +44,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time-series rollup engine (north rule)
         "rollup_1m": DQ.q_rollup_1m,
         "rollup_1h_cascade": DQ.q_rollup_1h_cascade,
-        "rollup_1d_cascade": DQ.q_rollup_1d_cascade,
+        # rollup_1d_cascade (4 rounds hash-green r1-r4) rotated below
+        # the fold closing-r5 for sax_mindist — the 1d tier is the
+        # same cascade operator at a coarser tier, and the 1m→1h
+        # cascade step keeps its in-window record above
         # gap_fill_1h (4 rounds hash-green r1-r4) rotated below the
         # fold final-r5 for paa_sax; the gap-fill machinery keeps an
         # in-window record via gap_fill_interp_1h (same grid build,
@@ -104,7 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each, both still bench headliners) rotate below the fold
         "value_histogram_1d": DQ.q_value_histogram_1d,
         "anomaly_zscore": DQ.q_anomaly_zscore,
-        "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
+        # compress_roundtrip_1h rotated below the fold closing-r5 for
+        # matrix_profile (see note at the matrix_profile entry)
         # tiered parquet sink (sinks/tiers.py): write partitioned by
         # (tier, day) with dynamic overwrite, read back partition-pruned
         "tier_sink_roundtrip": DQ.q_tier_sink_roundtrip,
@@ -117,6 +121,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # PAA + SAX symbolic representation (final r5): within-row HOF
         # column algebra, integer segment sums for cross-engine hashes
         "paa_sax": DQ.q_paa_sax,
+        # SAX MINDIST lower-bound pairs (closing r5): the symbolic
+        # lb_keogh over the paa_sax word table, pure JVM
+        "sax_mindist": DQ.q_sax_mindist,
+        # self-join matrix profile (closing r5, Yeh/Zhu ICDM'16): the
+        # motif/discord primitive over 32 hourly series, m=24 — full
+        # profile incl. argmin indices replayed in SQL from exact
+        # integer sufficient statistics; compress_roundtrip_1h
+        # (4 rounds hash-green r1-r4, plus this round's property-based
+        # bit-pattern fuzzing) rotates below the fold to make room
+        "matrix_profile": DQ.q_matrix_profile,
         # DTW analytics (dtw_pairs carries full value-level DuckDB oracles
         # — exact recursive-CTE replays of the unbanded AND banded+psi DP;
         # the long-series matrices below are rows-only)
@@ -242,9 +256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": DQ.q_fingerprint,
         "lang_id": DQ.q_lang_id,
         "quality_score": DQ.q_quality_score,
-        # SAX MINDIST lower-bound pairs (final r5, below the fold from
-        # birth — companion of in-window paa_sax; sweep-oracled)
-        "sax_mindist": DQ.q_sax_mindist,
+        # rotated below the fold closing-r5 (4 rounds hash-green each,
+        # r1-r4) to admit sax_mindist + matrix_profile into the window
+        "rollup_1d_cascade": DQ.q_rollup_1d_cascade,
+        "compress_roundtrip_1h": DQ.q_compress_roundtrip_1h,
         "znormal_latency": DQ.q_znormal_latency,
         "smoothing_1h": DQ.q_smoothing_1h,
         "logdomain_latency": DQ.q_logdomain_latency,

@@ -1,0 +1,57 @@
+"""Distributed matrix profile over a series-arrays table.
+
+One Arrow ``mapInPandas`` pass over the ``values array<double>`` series
+table (kernels/matrixprofile.py does the per-series O(n²/chunk) work):
+series are independent, so the operator adds ZERO shuffles beyond the
+series build and parallelizes perfectly — at 100 TB the profile cost
+is Σ nᵢ² per series, embarrassingly parallel across the corpus, and
+each task holds only its own series' O(chunk·k) working set.  For the
+cross-series (AB-join) regime use the existing subsequence-search
+operators; this is the self-join motif/discord primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def matrix_profile(series: DataFrame, m: int, excl: int | None = None,
+                   series_col: str = "series_id",
+                   values_col: str = "values") -> DataFrame:
+    """Per-series self-join matrix profile.
+
+    Output: one row per admissible window — ``series_id``, ``i``
+    (1-based window start), ``mp_dist`` (z-normalized ED to the nearest
+    non-trivial neighbour window), ``mp_idx`` (that neighbour's 1-based
+    start).  Windows with no admissible neighbour are dropped.
+    """
+
+    def prof(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..kernels.matrixprofile import matrix_profile_1d
+
+        for pdf in batches:
+            out = {"series_id": [], "i": [], "mp_dist": [], "mp_idx": []}
+            for sid, vals in zip(pdf["series_id"], pdf["vals"]):
+                d, j = matrix_profile_1d(np.asarray(vals, dtype=float),
+                                         m, excl)
+                keep = j >= 0
+                kk = int(keep.sum())
+                if not kk:
+                    continue
+                idx = np.flatnonzero(keep)
+                out["series_id"].extend([sid] * kk)
+                out["i"].extend((idx + 1).tolist())
+                out["mp_dist"].extend(d[keep].tolist())
+                out["mp_idx"].extend((j[keep] + 1).tolist())
+            yield pd.DataFrame(out, columns=["series_id", "i",
+                                             "mp_dist", "mp_idx"])
+
+    return (series
+            .select(F.col(series_col).alias("series_id"),
+                    F.col(values_col).alias("vals"))
+            .mapInPandas(prof,
+                         "series_id string, i int, "
+                         "mp_dist double, mp_idx int"))

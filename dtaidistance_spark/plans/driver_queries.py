@@ -1097,6 +1097,28 @@ def q_sax_mindist(spark, sf_dir):
     return out.select("i", "j", F.round("mindist", 6).alias("mindist"))
 
 
+def q_matrix_profile(spark, sf_dir):
+    """Self-join matrix profile (Yeh et al. ICDM'16 / STOMP) of the 32
+    lexicographically-first hourly series, window m=24 (one day),
+    UCR exclusion zone m//4: per window, the z-normalized ED to its
+    nearest non-trivial neighbour + that neighbour's index — the
+    motif/discord primitive.  The 32-series restriction keeps the
+    DuckDB twin's all-pairs replay tractable; the operator itself is
+    per-series independent (one Arrow pass, no added shuffle).
+    Cross-engine exactness: integer counts make window sums / sumsqs /
+    dot products exact integers, and the distance is one fixed IEEE
+    expression tree over them (kernels/matrixprofile.py), so even the
+    argmin indices hash-match."""
+    from ..operators.matrixprofile import matrix_profile
+
+    series = (hourly_series(spark, sf_dir)
+              .orderBy("series_id").limit(32)
+              .repartition(32, "series_id"))
+    out = matrix_profile(series, m=24)
+    return out.select("series_id", "i",
+                      F.round("mp_dist", 6).alias("mp_dist"), "mp_idx")
+
+
 def q_dtw_weights_learn(spark, sf_dir):
     """Learnable weighted-DTW weights (reference dtw_weighted.py:155
     compute_weights_using_dt): distributed per-series alignment features
@@ -2388,6 +2410,54 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Matrix-profile twin: the shared hourly-grid sv CTE (the word-table
+# CTEs after it are unreferenced and pruned), 32-series restriction,
+# windows as list_slice over the per-series array, all-pairs
+# list_dot_product with the |i-j| > m//4 exclusion, and the IDENTICAL
+# fixed expression tree over exact-integer sufficient statistics as
+# kernels/matrixprofile.py (m = 24; constants written in the same
+# shape so both engines fold them identically).
+ORACLES["matrix_profile"] = _SAX_WORD_CTES + """,
+    mp_sel AS (SELECT series_id FROM (SELECT DISTINCT series_id FROM sv)
+               ORDER BY series_id LIMIT 32),
+    mp_ser AS (SELECT sv.series_id, list(sv.v ORDER BY sv.idx) AS vs,
+                      count(*) AS n
+               FROM sv JOIN mp_sel USING (series_id)
+               GROUP BY sv.series_id),
+    mp_wi AS (SELECT series_id, vs,
+                     unnest(generate_series(1, n - 23)) AS i
+              FROM mp_ser),
+    mp_w AS (SELECT series_id, i,
+                    list_slice(vs, i, i + 23) AS vec,
+                    list_aggregate(list_slice(vs, i, i + 23), 'sum') AS s,
+                    list_dot_product(list_slice(vs, i, i + 23),
+                                     list_slice(vs, i, i + 23)) AS ss
+             FROM mp_wi),
+    mp_p AS (SELECT a.series_id, a.i AS i, b.i AS j,
+                    list_dot_product(a.vec, b.vec) AS dot,
+                    a.s AS si, b.s AS sj, a.ss AS ssi, b.ss AS ssj
+             FROM mp_w a JOIN mp_w b
+               ON a.series_id = b.series_id AND abs(a.i - b.i) > 6),
+    mp_d AS (SELECT series_id, i, j,
+               CASE WHEN 24.0*ssi - si*si = 0.0 AND 24.0*ssj - sj*sj = 0.0
+                    THEN 0.0
+                    WHEN 24.0*ssi - si*si = 0.0 OR 24.0*ssj - sj*sj = 0.0
+                    THEN sqrt(24.0)
+                    ELSE sqrt(greatest(
+                           (2.0*24.0) * (1.0 - (24.0*dot - si*sj)
+                             / (sqrt(24.0*ssi - si*si)
+                                * sqrt(24.0*ssj - sj*sj))), 0.0))
+               END AS dist
+             FROM mp_p),
+    mp_r AS (SELECT series_id, i, j, dist,
+                    row_number() OVER (PARTITION BY series_id, i
+                                       ORDER BY dist, j) AS rk
+             FROM mp_d)
+    SELECT series_id, CAST(i AS INT) AS i,
+           round(dist, 6) AS mp_dist, CAST(j AS INT) AS mp_idx
+    FROM mp_r WHERE rk = 1
+"""
 
 _DUP_SPANS_CTES = f"""
     -- twin of repeated_spans(k=8, min_count=2): hash every 8-token
