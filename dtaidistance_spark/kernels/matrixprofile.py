@@ -70,20 +70,32 @@ def matrix_profile_1d(values, m: int, excl: int | None = None,
 
     best_d = np.full(k, np.inf)
     best_j = np.full(k, -1, dtype=np.int64)
-    cols = np.arange(k)
     for lo in range(0, k, chunk):
         hi = min(lo + chunk, k)
+        # fused in-place pipeline: the same expression tree as the SQL
+        # twin, evaluated with two full-size buffers (QT reused through
+        # num → r → dist) instead of one temporary per step — the
+        # operator is DRAM-bandwidth-bound, not FLOP-bound, so the
+        # temporaries were the wall (measured ~1.2× on 32 cores)
         QT = W[lo:hi] @ W.T                          # exact integers
-        num = float(m) * QT - np.outer(S[lo:hi], S)  # exact
+        QT *= float(m)
+        QT -= np.outer(S[lo:hi], S)                  # num, still exact
         denom = np.outer(den[lo:hi], den)
         with np.errstate(divide="ignore", invalid="ignore"):
-            r = num / denom
-        d = np.sqrt(np.maximum(two_m * (1.0 - r), 0.0))
+            QT /= denom                              # r
+        np.subtract(1.0, QT, out=QT)
+        QT *= two_m
+        np.maximum(QT, 0.0, out=QT)
+        np.sqrt(QT, out=QT)
+        d = QT
         ci = const[lo:hi][:, None]
         cj = const[None, :]
-        d = np.where(ci & cj, 0.0, np.where(ci | cj, sqrt_m, d))
-        d[np.abs(np.arange(lo, hi)[:, None] - cols[None, :]) <= excl] \
-            = np.inf
+        both = ci & cj
+        d[ci | cj] = sqrt_m                          # one constant
+        d[both] = 0.0                                # both constant
+        for li in range(hi - lo):                    # trivial-match band
+            gi = lo + li
+            d[li, max(0, gi - excl):min(k, gi + excl + 1)] = np.inf
         j = np.argmin(d, axis=1)                     # first-min = low j
         best_j[lo:hi] = j
         best_d[lo:hi] = d[np.arange(hi - lo), j]

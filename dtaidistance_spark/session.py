@@ -20,6 +20,13 @@ def get_spark(app_name: str = "dtaidistance_spark", cores: int | None = None,
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, cores)
+    # one BLAS thread per python worker: task-level parallelism already
+    # saturates the cores, so multi-threaded OpenBLAS inside each Arrow
+    # UDF worker (this build: MAX_THREADS=2) only oversubscribes —
+    # measured 1.2× on the 32-way matrix-profile dgemm leg.  Set in the
+    # driver env BEFORE the JVM starts (local-mode workers inherit it)
+    # and as executorEnv for real clusters.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -44,6 +51,8 @@ def get_spark(app_name: str = "dtaidistance_spark", cores: int | None = None,
                 f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cores)}")
         .config("spark.executor.extraJavaOptions",
                 f"-XX:+UseParallelGC -XX:ParallelGCThreads={max(2, cores)}")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS",
+                os.environ["OPENBLAS_NUM_THREADS"])
     )
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
