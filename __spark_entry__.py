@@ -107,6 +107,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each, both still bench headliners) rotate below the fold
         "value_histogram_1d": DQ.q_value_histogram_1d,
         "anomaly_zscore": DQ.q_anomaly_zscore,
+        # phase-folding periodicity detection (closing r5, Stellingwerf
+        # 1978 PDM in ANOVA variance-ratio form): trig-free periodicity
+        # strength at 18 candidate periods over a 336 h grid, one double
+        # division of exact int64 sufficient statistics per score;
+        # dtw_block_pairs (hash-green r3+r4, the longest record still
+        # in-window, and its block restriction is a strict subset of
+        # in-window dtw_pairs' banded DP-CTE) rotates below the fold
+        # to make room
+        "period_detect": DQ.q_period_detect,
         # compress_roundtrip_1h rotated below the fold closing-r5 for
         # matrix_profile (see note at the matrix_profile entry)
         # tiered parquet sink (sinks/tiers.py): write partitioned by
@@ -141,7 +150,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # optimal path per pair feeds all three heads (and one shared
         # lattice+walk CTE feeds the three oracle heads)
         "path_postprocess_pairs": DQ.q_path_postprocess_pairs,
-        "dtw_block_pairs": DQ.q_dtw_block_pairs,
         "dba_update": DQ.q_dba_update,
         # weight-learning feature stage (r5): per-prototype-index mean
         # pos/neg path deviation, hash-green via the lattice+walk CTE
@@ -226,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each r2-r4
         # rotated out final-r5 for downsample_m4 + paa_sax (4 rounds
         # hash-green each r1-r4)
+        # rotated out closing-r5 for period_detect (hash-green r3+r4;
+        # the DP-CTE family keeps three in-window entries)
+        "dtw_block_pairs": DQ.q_dtw_block_pairs,
         "gap_fill_1h": DQ.q_gap_fill_1h,
         "latency_points": DQ.q_latency_points,
         "subsequence_topk": DQ.q_subsequence_topk,

@@ -19,6 +19,11 @@ contract plus the classic series diagnostics):
   deviation of the prefix sum from the global trend line
   (Sₖ − k·Sₙ/n), reporting the bucket where |CUSUM| peaks (the
   classic Page/Taylor single-changepoint location estimate).
+* ``period_strength`` — per-series periodicity detection by phase
+  folding (Stellingwerf 1978 PDM in ANOVA variance-ratio form): for
+  each candidate period dividing the window, the fraction of series
+  variance explained by the phase means — trig-free, so the score is
+  a single division of exact int64 sufficient statistics.
 
 Plans: ``linreg_stats`` is ONE map-side-partial hash aggregation;
 ``autocorr`` and ``ewma`` are equi-joins on a shifted bucket/rank key
@@ -348,3 +353,89 @@ def cusum_changepoint(
                     F.col("_k").cast("long").alias("k"),
                     F.col("_cusum").alias("cusum"),
                     F.col("_n").cast("long").alias("n")))
+
+
+def period_strength(
+    points: DataFrame,
+    n_total: int,
+    periods: Sequence[int] | None = None,
+    series_col: str = "series_id",
+    idx_col: str = "idx",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-series periodicity strength by phase folding (the
+    Stellingwerf 1978 phase-dispersion / epoch-folding family, in its
+    ANOVA variance-ratio form — no trigonometry, so no libm skew
+    between engines).
+
+    The series is a conceptual dense grid of ``n_total`` integer
+    buckets ``idx ∈ [0, n_total)``; absent buckets are implicit zeros
+    (missing rows contribute nothing to any sum, which IS the zero
+    contribution — no gap-fill materialization needed).  For each
+    candidate period ``p`` that divides ``n_total``, fold the grid on
+    ``phase = idx mod p`` (every phase then holds exactly
+    ``n_total / p`` buckets) and score the fraction of total variance
+    explained by the phase means:
+
+        R_p = SS_between / SS_total
+            = (p·Σ_ph S_ph² − S²) / (n·Σ y² − S²)
+
+    with S_ph the per-phase sum, S the grand sum, Σy² the grand sum of
+    squares — ALL exact int64 for integer ``y``, so R_p is ONE double
+    division of two exact integers: bit-equal in any engine.  A strong
+    periodicity at p (or any divisor structure of p) drives R_p → 1;
+    white noise sits near (p−1)/(n−1).  NULL when the series is
+    constant on the grid (SS_total = 0).
+
+    Exactness bit-budget: intermediates stay in int64 while
+    S < 2²⁶ per (series, window) — ~67M events per series per window —
+    far above any per-series hourly activity; beyond that, pre-scale y.
+
+    Plan: a bounded literal explode of |periods| (like ``autocorr``'s
+    lags) feeding TWO stacked map-side-partial hash aggregations
+    ((series, p, phase) then (series, p)); no window functions, no
+    joins, no Python — scan-speed at 100 TB, and the first shuffle key
+    (series, p, phase) fans every series across p·|periods| reducers,
+    so a single hot series cannot skew a partition.
+
+    The reference library has no timestamp/periodicity notion
+    (SURVEY.md §1.1) — engine-native addition on the rollup layer.
+    """
+    if periods is None:
+        periods = [p for p in range(2, n_total // 2 + 1)
+                   if n_total % p == 0]
+    for p in periods:
+        if n_total % int(p) != 0:
+            raise ValueError(
+                f"period {p} does not divide n_total={n_total}")
+    per_arr = F.array(*[F.lit(int(p)) for p in sorted(set(int(p) for p
+                                                          in periods))])
+    base = points.select(
+        F.col(series_col).alias("_s"),
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).filter((F.col("_i") >= 0) & (F.col("_i") < int(n_total)))
+    folded = (base.withColumn("p", F.explode(per_arr))
+              .withColumn("_ph", F.col("_i") % F.col("p")))
+    by_phase = folded.groupBy("_s", "p", "_ph").agg(
+        F.sum("_y").alias("_sph"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_qph"),
+        F.count(F.lit(1)).alias("_cph"))
+    # NB: aliases must differ from "_s" case-insensitively — Spark's
+    # default resolver is caseSensitive=false
+    by_period = by_phase.groupBy("_s", "p").agg(
+        F.sum("_sph").alias("_gs"),
+        F.sum("_qph").alias("_gq"),
+        F.sum(F.col("_sph") * F.col("_sph")).alias("_gss"),
+        F.sum("_cph").alias("_n_obs"))
+    n_lit = F.lit(int(n_total)).cast("long")
+    num = (F.col("p").cast("long") * F.col("_gss")
+           - F.col("_gs") * F.col("_gs"))
+    den = n_lit * F.col("_gq") - F.col("_gs") * F.col("_gs")
+    return by_period.select(
+        F.col("_s").alias(series_col),
+        F.col("p").cast("long").alias("period"),
+        F.col("_n_obs").cast("long").alias("n_obs"),
+        F.when(den != 0, num.cast(_D) / den.cast(_D))
+        .otherwise(F.lit(None).cast(_D)).alias("strength"),
+    )

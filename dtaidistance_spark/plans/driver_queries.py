@@ -486,6 +486,36 @@ def q_anomaly_zscore(spark, sf_dir):
                       F.round("z", 6).alias("z"))
 
 
+def q_period_detect(spark, sf_dir):
+    """Per-user periodicity detection by phase folding
+    (functions/stats.py::period_strength — Stellingwerf 1978 PDM in
+    ANOVA variance-ratio form) over the first 336 hours of each user's
+    hourly activity-count series: for each candidate period dividing
+    336 (2 h … 168 h, 18 candidates), the fraction of grid variance
+    explained by the phase means, R_p = (p·ΣS_ph² − S²)/(n·Σy² − S²).
+    Counts are exact int64 and absent hours are implicit zeros, so R_p
+    is ONE double division of exact integers — trig-free and bit-equal
+    across engines.  Plan: a bounded 18-way literal explode feeding
+    two stacked map-side-partial hash aggregations; the only scan-side
+    extra is a broadcast of the global min-hour scalar."""
+    from ..functions.stats import period_strength
+
+    ev = _events(spark, sf_dir)
+    hours = ev.select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .alias("h"))
+    t0 = hours.agg(F.min("h").alias("t0"))
+    hourly = (hours.join(F.broadcast(t0))
+              .select("series_id", (F.col("h") - F.col("t0")).alias("idx"))
+              .groupBy("series_id", "idx")
+              .agg(F.count(F.lit(1)).alias("y")))
+    out = period_strength(hourly, n_total=336)
+    return out.select("series_id", "period", "n_obs",
+                      F.round("strength", 6).alias("strength"))
+
+
 def q_znormal_latency(spark, sf_dir):
     lat = q_latency_points(spark, sf_dir).withColumnRenamed("latency_s", "value")
     z = PP.znormal(lat)
@@ -1968,6 +1998,35 @@ ORACLES: dict[str, str] = {
         WHERE n >= 8 AND (n*syy - sy*sy) > 0
           AND abs((y - sy/n)
                   / sqrt((n*syy - sy*sy) / (n*(n-1)))) > 2.5
+    """,
+    "period_detect": """
+        WITH h0 AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+          FROM events),
+        t0 AS (SELECT min(h) AS t0 FROM h0),
+        hourly AS (
+          SELECT series_id, h - t0 AS idx, count(*) AS y
+          FROM h0, t0 GROUP BY 1, 2),
+        w AS (SELECT * FROM hourly WHERE idx >= 0 AND idx < 336),
+        per AS (SELECT unnest([2,3,4,6,7,8,12,14,16,21,24,28,42,48,56,
+                               84,112,168]) AS p),
+        ph AS (
+          SELECT w.series_id, per.p, w.idx % per.p AS phase,
+                 sum(w.y) AS sph, sum(w.y * w.y) AS qph,
+                 count(*) AS cph
+          FROM w CROSS JOIN per GROUP BY 1, 2, 3),
+        g AS (
+          SELECT series_id, p, sum(sph) AS s, sum(qph) AS q,
+                 sum(sph * sph) AS ss, sum(cph) AS n_obs
+          FROM ph GROUP BY 1, 2)
+        SELECT series_id, CAST(p AS BIGINT) AS period,
+               CAST(n_obs AS BIGINT) AS n_obs,
+               round(CASE WHEN (336 * q - s * s) <> 0
+                     THEN CAST(p * ss - s * s AS DOUBLE)
+                          / CAST(336 * q - s * s AS DOUBLE)
+                     END, 6) AS strength
+        FROM g
     """,
     "znormal_latency": f"""
         WITH pts AS ({_PTS_SQL}),

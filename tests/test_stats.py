@@ -251,3 +251,86 @@ class TestCusumChangepoint:
                         linreg_stats(df, ["series_id"], "bucket_ts", "y")):
             plan = plan_df._jdf.queryExecution().executedPlan().toString()
             assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestPeriodStrength:
+    def _run(self, spark, rows, n_total, periods=None):
+        from dtaidistance_spark.functions.stats import period_strength
+        df = _points_df(spark, rows, ["series_id", "idx", "y"])
+        out = period_strength(df, n_total=n_total, periods=periods)
+        return out.toPandas()
+
+    @staticmethod
+    def _numpy_r(y_dense, p):
+        """Independent PDM variance-ratio on the dense grid."""
+        y = np.asarray(y_dense, dtype=float)
+        n = len(y)
+        phase_means = y.reshape(n // p, p).mean(axis=0)
+        ss_between = (n // p) * np.sum(
+            (phase_means - y.mean()) ** 2)
+        ss_total = np.sum((y - y.mean()) ** 2)
+        return ss_between / ss_total
+
+    def test_matches_numpy_dense(self, spark, rng):
+        n = 48
+        y = rng.integers(0, 50, size=n)
+        rows = [("a", i, int(v)) for i, v in enumerate(y)]
+        out = self._run(spark, rows, n).set_index("period")
+        for p in (2, 3, 4, 6, 8, 12, 16, 24):
+            np.testing.assert_allclose(
+                out.loc[p, "strength"], self._numpy_r(y, p), rtol=1e-12)
+            assert out.loc[p, "n_obs"] == n
+
+    def test_sparse_equals_dense_with_zeros(self, spark, rng):
+        """Absent buckets are implicit zeros: dropping the zero rows
+        must not change any strength."""
+        n = 36
+        y = rng.integers(0, 8, size=n)
+        y[rng.integers(0, n, size=12)] = 0
+        dense = [("a", i, int(v)) for i, v in enumerate(y)]
+        sparse = [r for r in dense if r[2] != 0]
+        a = self._run(spark, dense, n).set_index("period")["strength"]
+        b = self._run(spark, sparse, n).set_index("period")["strength"]
+        pd.testing.assert_series_equal(a, b)
+
+    def test_periodic_signal_peaks_at_true_period(self, spark):
+        n = 336
+        true_p = 24
+        y = [10 + (7 if i % true_p == 3 else 0) for i in range(n)]
+        rows = [("a", i, v) for i, v in enumerate(y)]
+        out = self._run(spark, rows, n).set_index("period")
+        # exact multiples of 24 explain the full variance (R = 1);
+        # every period that is neither a multiple nor shares the
+        # within-day structure scores strictly lower
+        for p in (24, 48, 168):        # the multiples of 24 dividing 336
+            np.testing.assert_allclose(out.loc[p, "strength"], 1.0,
+                                       rtol=1e-12)
+        assert out.loc[24, "strength"] > out.loc[16, "strength"]
+        assert out.loc[24, "strength"] > out.loc[14, "strength"]
+
+    def test_constant_series_null(self, spark):
+        rows = [("a", i, 3) for i in range(12)]
+        out = self._run(spark, rows, 12).set_index("period")
+        assert out["strength"].isna().all()
+
+    def test_non_divisor_period_rejected(self, spark):
+        from dtaidistance_spark.functions.stats import period_strength
+        df = _points_df(spark, [("a", 0, 1)], ["series_id", "idx", "y"])
+        with pytest.raises(ValueError, match="does not divide"):
+            period_strength(df, n_total=10, periods=[3])
+
+    def test_out_of_window_rows_ignored(self, spark):
+        n = 12
+        base = [("a", i, i % 3 + 1) for i in range(n)]
+        noisy = base + [("a", -1, 99), ("a", n, 99), ("a", n + 5, 1)]
+        a = self._run(spark, base, n).set_index("period")["strength"]
+        b = self._run(spark, noisy, n).set_index("period")["strength"]
+        pd.testing.assert_series_equal(a, b)
+
+    def test_plan_no_python(self, spark):
+        from dtaidistance_spark.functions.stats import period_strength
+        rows = [("a", i, 1) for i in range(6)]
+        df = _points_df(spark, rows, ["series_id", "idx", "y"])
+        plan = (period_strength(df, n_total=6)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan and "BatchEval" not in plan
