@@ -116,6 +116,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window dtw_pairs' banded DP-CTE) rotates below the fold
         # to make room
         "period_detect": DQ.q_period_detect,
+        # classical additive seasonal-trend decomposition (closing r5,
+        # the statsmodels seasonal_decompose contract, period 24 over
+        # the zero-filled hourly grid): int64-scaled detrending + an
+        # explicit phase-ordered fold make trend/seasonal/resid
+        # bit-equal across engines; dtw_path_pairs (hash-green r3+r4;
+        # the traceback walk-CTE stays pinned in-window via
+        # path_postprocess_pairs, which replays the same walk) rotates
+        # below the fold to make room
+        "seasonal_1h": DQ.q_seasonal_1h,
         # compress_roundtrip_1h rotated below the fold closing-r5 for
         # matrix_profile (see note at the matrix_profile entry)
         # tiered parquet sink (sinks/tiers.py): write partitioned by
@@ -145,7 +154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the long-series matrices below are rows-only)
         "dtw_pairs": DQ.q_dtw_pairs,
         "bounds_pairs": DQ.q_bounds_pairs,
-        "dtw_path_pairs": DQ.q_dtw_path_pairs,
         # composite of warp / warping_amount / distance_from_path — one
         # optimal path per pair feeds all three heads (and one shared
         # lattice+walk CTE feeds the three oracle heads)
@@ -237,6 +245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out closing-r5 for period_detect (hash-green r3+r4;
         # the DP-CTE family keeps three in-window entries)
         "dtw_block_pairs": DQ.q_dtw_block_pairs,
+        # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
+        # traceback walk-CTE stays pinned via path_postprocess_pairs)
+        "dtw_path_pairs": DQ.q_dtw_path_pairs,
         "gap_fill_1h": DQ.q_gap_fill_1h,
         "latency_points": DQ.q_latency_points,
         "subsequence_topk": DQ.q_subsequence_topk,

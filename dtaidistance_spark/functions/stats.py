@@ -439,3 +439,108 @@ def period_strength(
         F.when(den != 0, num.cast(_D) / den.cast(_D))
         .otherwise(F.lit(None).cast(_D)).alias("strength"),
     )
+
+
+def seasonal_decompose(
+    points: DataFrame,
+    period: int,
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+    broadcast_seasonal: bool = True,
+) -> DataFrame:
+    """Classical additive seasonal-trend decomposition per series (the
+    statsmodels ``seasonal_decompose(model='additive')`` contract over
+    a REGULAR, position-indexed series):
+
+    * ``trend``   — centered moving average: plain ``period``-point MA
+      for odd periods, the standard 2×``period`` MA (half-weight
+      endpoints) for even; NULL where the full window is unavailable
+      (the first/last ``period//2`` rows of each series).
+    * ``seasonal`` — per-phase mean of the detrended interior rows
+      (phase = 0-based row position mod ``period``), centered so the
+      present phases' seasonal values sum to zero.
+    * ``resid``   — ``(y − trend) − seasonal`` on interior rows.
+
+    The input must be gap-free within each series (feed a gap-filled
+    grid, e.g. ``operators/rollup.gap_fill(policy='zero')``) with a
+    unique ``order_col`` per row; ``y`` integer-valued.
+
+    Exactness (what the DuckDB driver oracle leans on): with D = period
+    (odd) or 2·period (even), the scaled window sum T and the scaled
+    detrended value D·y − T are exact int64, so ``trend = T/D`` and
+    each phase mean ``ΣA/(D·cnt)`` are ONE double division of exact
+    integers — bit-equal in any engine.  The seasonal centering sums
+    ≤``period`` bit-equal doubles in EXPLICIT ascending-phase order via
+    a sequential fold (Spark ``aggregate`` over an ``array_sort``-ed
+    struct list ≡ DuckDB ``list_reduce`` over ``list(... ORDER BY
+    phase)``), so even that float sum is order-identical, and
+    ``resid`` is a fixed op tree over bit-equal operands.
+
+    Plan: ONE series exchange feeds the row-number + trend frames; the
+    phase table (n_series × period rows) is two further tiny hash aggs
+    and joins back onto the series-partitioned rows — broadcast by
+    default (disable for extreme series counts and it degrades to a
+    keyed shuffle join).  No Python anywhere.
+
+    The reference library has no timestamp notion (SURVEY.md §1.1) —
+    engine-native addition on the rollup layer.
+    """
+    P = int(period)
+    if P < 2:
+        raise ValueError("period must be >= 2")
+    even = P % 2 == 0
+    h = P // 2
+    D = 2 * P if even else P
+    w_ord = W.partitionBy(series_col).orderBy(order_col)
+    base = points.select(
+        F.col(series_col).alias("_s"),
+        F.col(order_col).alias("_o"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).withColumn("_rn", F.row_number().over(
+        W.partitionBy("_s").orderBy("_o")))
+    w_full = (W.partitionBy("_s").orderBy("_o").rowsBetween(-h, h))
+    if even:
+        w_in = (W.partitionBy("_s").orderBy("_o")
+                .rowsBetween(-(h - 1), h - 1))
+        w_seq = W.partitionBy("_s").orderBy("_o")
+        t_expr = (F.lag("_y", h).over(w_seq)
+                  + F.lit(2) * F.sum("_y").over(w_in)
+                  + F.lead("_y", h).over(w_seq))
+    else:
+        t_expr = F.sum("_y").over(w_full)
+    rows = base.withColumn(
+        "_T",
+        F.when(F.count(F.lit(1)).over(w_full) == 2 * h + 1, t_expr),
+    ).withColumn("_ph", (F.col("_rn") - 1) % P)
+    interior = rows.filter(F.col("_T").isNotNull()).select(
+        "_s", "_ph",
+        (F.lit(D) * F.col("_y") - F.col("_T")).alias("_dscaled"))
+    ph_means = interior.groupBy("_s", "_ph").agg(
+        F.sum("_dscaled").alias("_a"),
+        F.count(F.lit(1)).alias("_c"),
+    ).select(
+        "_s", "_ph",
+        (F.col("_a").cast(_D)
+         / (F.lit(D) * F.col("_c")).cast(_D)).alias("_sraw"))
+    centers = ph_means.groupBy("_s").agg(
+        (F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_ph", "_sraw"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_sraw"])
+         / F.count(F.lit(1)).cast(_D)).alias("_m"))
+    seasonal = (ph_means.join(centers, "_s")
+                .select("_s", "_ph",
+                        (F.col("_sraw") - F.col("_m")).alias("_seas")))
+    if broadcast_seasonal:
+        seasonal = F.broadcast(seasonal)
+    out = rows.join(seasonal, ["_s", "_ph"], "left")
+    trend = F.col("_T").cast(_D) / F.lit(float(D))
+    return out.select(
+        F.col("_s").alias(series_col),
+        F.col("_o").alias(order_col),
+        F.col("_y").alias(y_col),
+        trend.alias("trend"),
+        F.col("_seas").alias("seasonal"),
+        ((F.col("_y").cast(_D) - trend) - F.col("_seas")).alias("resid"),
+    )

@@ -516,6 +516,49 @@ def q_period_detect(spark, sf_dir):
                       F.round("strength", 6).alias("strength"))
 
 
+def q_seasonal_1h(spark, sf_dir):
+    """Classical additive seasonal-trend decomposition (period 24) of
+    each user's zero-filled hourly spend-cents series
+    (functions/stats.py::seasonal_decompose — the statsmodels
+    seasonal_decompose(model='additive') contract: 2×24
+    half-weight-endpoint centered MA trend, zero-centered phase-mean
+    seasonal, residual).  Exactness: the scaled window sum T and
+    detrended 48y−T stay int64, so trend and each phase mean are one
+    double division of exact integers; the seasonal centering folds
+    ≤24 bit-equal doubles in explicit phase order (Spark aggregate ≡
+    DuckDB list_reduce).  Plan: the dense grid is the gap-fill
+    two-level explode (days × 24, no sequence() over the full span),
+    then ONE series exchange for the trend frames + two tiny phase
+    aggs broadcast-joined back."""
+    from ..functions.stats import seasonal_decompose
+
+    cents = _hourly_cents(spark, sf_dir)
+    bounds = cents.groupBy("series_id").agg(
+        F.min("bucket_ts").alias("b0"), F.max("bucket_ts").alias("b1"))
+    days = bounds.select(
+        "series_id", "b0", "b1",
+        F.explode(F.sequence(F.date_trunc("day", F.col("b0")),
+                             F.date_trunc("day", F.col("b1")),
+                             F.expr("interval 1 day"))).alias("day_ts"))
+    grid = (days.select(
+        "series_id", "b0", "b1",
+        F.explode(F.sequence(
+            F.col("day_ts"),
+            F.col("day_ts") + F.expr("interval 86399 second"),
+            F.expr("interval 3600 second"))).alias("bucket_ts"))
+        .where(F.col("bucket_ts").between(F.col("b0"), F.col("b1")))
+        .select("series_id", "bucket_ts"))
+    dense = grid.join(cents, ["series_id", "bucket_ts"], "left").select(
+        "series_id", "bucket_ts",
+        F.coalesce(F.col("y"), F.lit(0)).alias("y"))
+    out = seasonal_decompose(dense, period=24)
+    return out.select(
+        "series_id", "bucket_ts", "y",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"))
+
+
 def q_znormal_latency(spark, sf_dir):
     lat = q_latency_points(spark, sf_dir).withColumnRenamed("latency_s", "value")
     z = PP.znormal(lat)
@@ -1998,6 +2041,63 @@ ORACLES: dict[str, str] = {
         WHERE n >= 8 AND (n*syy - sy*sy) > 0
           AND abs((y - sy/n)
                   / sqrt((n*syy - sy*sy) / (n*(n-1)))) > 2.5
+    """,
+    "seasonal_1h": """
+        WITH cents AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 date_trunc('hour', ts) AS bucket_ts,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        b AS (SELECT series_id, min(bucket_ts) AS b0, max(bucket_ts) AS b1
+              FROM cents GROUP BY 1),
+        d AS (SELECT series_id, b0, b1,
+                     unnest(generate_series(date_trunc('day', b0),
+                                            date_trunc('day', b1),
+                                            INTERVAL 1 DAY)) AS day_ts
+              FROM b),
+        g0 AS (SELECT series_id, b0, b1,
+                      unnest(generate_series(
+                        day_ts, day_ts + INTERVAL 86399 SECOND,
+                        INTERVAL 3600 SECOND)) AS bucket_ts
+               FROM d),
+        dense AS (
+          SELECT g0.series_id, g0.bucket_ts, COALESCE(cents.y, 0) AS y
+          FROM g0 LEFT JOIN cents USING (series_id, bucket_ts)
+          WHERE g0.bucket_ts BETWEEN g0.b0 AND g0.b1),
+        r AS (
+          SELECT series_id, bucket_ts, y,
+                 row_number() OVER w AS rn,
+                 CASE WHEN count(*) OVER (w ROWS BETWEEN 12 PRECEDING
+                                          AND 12 FOLLOWING) = 25
+                      THEN lag(y, 12) OVER w
+                           + 2 * sum(y) OVER (w ROWS BETWEEN 11 PRECEDING
+                                              AND 11 FOLLOWING)
+                           + lead(y, 12) OVER w
+                 END AS t
+          FROM dense
+          WINDOW w AS (PARTITION BY series_id ORDER BY bucket_ts)),
+        ph AS (SELECT series_id, (rn - 1) % 24 AS phase, 48 * y - t AS ds
+               FROM r WHERE t IS NOT NULL),
+        pm AS (SELECT series_id, phase,
+                      CAST(sum(ds) AS DOUBLE)
+                        / CAST(48 * count(*) AS DOUBLE) AS sraw
+               FROM ph GROUP BY 1, 2),
+        ctr AS (SELECT series_id,
+                       list_reduce(list(sraw ORDER BY phase),
+                                   (a, b) -> a + b)
+                         / CAST(count(*) AS DOUBLE) AS m
+                FROM pm GROUP BY 1),
+        seas AS (SELECT pm.series_id, pm.phase, pm.sraw - ctr.m AS s
+                 FROM pm JOIN ctr USING (series_id))
+        SELECT r.series_id, r.bucket_ts, r.y,
+               round(CAST(r.t AS DOUBLE) / 48.0, 6) AS trend,
+               round(seas.s, 6) AS seasonal,
+               round((CAST(r.y AS DOUBLE) - CAST(r.t AS DOUBLE) / 48.0)
+                     - seas.s, 6) AS resid
+        FROM r LEFT JOIN seas
+          ON seas.series_id = r.series_id
+         AND seas.phase = (r.rn - 1) % 24
     """,
     "period_detect": """
         WITH h0 AS (

@@ -334,3 +334,93 @@ class TestPeriodStrength:
         plan = (period_strength(df, n_total=6)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestSeasonalDecompose:
+    @staticmethod
+    def _numpy_decompose(y, period):
+        """Independent additive decomposition (the statsmodels
+        seasonal_decompose(model='additive') contract) on a regular
+        series: 2xP (even) / P-point (odd) centered MA trend, phase
+        means of the detrended interior centered to zero, residual."""
+        y = np.asarray(y, dtype=float)
+        n = len(y)
+        h = period // 2
+        trend = np.full(n, np.nan)
+        if period % 2 == 0:
+            w = np.r_[0.5, np.ones(period - 1), 0.5] / period
+        else:
+            w = np.ones(period) / period
+        half = len(w) // 2
+        for i in range(half, n - half):
+            trend[i] = np.dot(y[i - half:i + half + 1], w)
+        detr = y - trend
+        phases = np.arange(n) % period
+        sraw = np.full(period, np.nan)
+        for p in range(period):
+            vals = detr[(phases == p) & ~np.isnan(detr)]
+            if len(vals):
+                sraw[p] = vals.mean()
+        m = np.nanmean(sraw)
+        seasonal_by_phase = sraw - m
+        seasonal = seasonal_by_phase[phases]
+        resid = y - trend - seasonal
+        return trend, seasonal, resid
+
+    def _run(self, spark, y, period):
+        from dtaidistance_spark.functions.stats import seasonal_decompose
+        rows = [("a", i, int(v)) for i, v in enumerate(y)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        out = (seasonal_decompose(df, period=period)
+               .toPandas().sort_values("bucket_ts").reset_index(drop=True))
+        return out
+
+    @pytest.mark.parametrize("period", [24, 7])
+    def test_matches_numpy(self, spark, rng, period):
+        n = 5 * period + 3
+        y = (100 + 10 * np.sin(2 * np.pi * np.arange(n) / period)
+             + rng.integers(0, 9, size=n)).round().astype(int)
+        out = self._run(spark, y, period)
+        trend, seasonal, resid = self._numpy_decompose(y, period)
+        np.testing.assert_allclose(out["trend"], trend, rtol=1e-12)
+        np.testing.assert_allclose(out["seasonal"], seasonal, rtol=1e-9,
+                                   atol=1e-12)
+        np.testing.assert_allclose(out["resid"], resid, rtol=1e-9,
+                                   atol=1e-9)
+
+    def test_pure_signal_zero_resid(self, spark):
+        period, reps = 6, 8
+        pattern = [3, 9, 1, 7, 5, 5]
+        y = pattern * reps
+        out = self._run(spark, y, period)
+        interior = out.dropna(subset=["resid"])
+        np.testing.assert_allclose(interior["resid"], 0.0, atol=1e-12)
+        # seasonal sums to ~0 over one period
+        seas = out["seasonal"].iloc[:period].to_numpy()
+        np.testing.assert_allclose(seas.sum(), 0.0, atol=1e-12)
+
+    def test_edges_null(self, spark):
+        y = list(range(30))
+        out = self._run(spark, y, 10)
+        assert out["trend"].iloc[:5].isna().all()
+        assert out["trend"].iloc[-5:].isna().all()
+        assert out["trend"].iloc[5:-5].notna().all()
+
+    def test_short_series_all_null(self, spark):
+        out = self._run(spark, [1, 2, 3], 24)
+        assert out["trend"].isna().all()
+        assert out["seasonal"].isna().all()
+
+    def test_invalid_period(self, spark):
+        from dtaidistance_spark.functions.stats import seasonal_decompose
+        df = _points_df(spark, [("a", 0, 1)], ["series_id", "bucket_ts", "y"])
+        with pytest.raises(ValueError, match="period"):
+            seasonal_decompose(df, period=1)
+
+    def test_plan_no_python(self, spark):
+        from dtaidistance_spark.functions.stats import seasonal_decompose
+        rows = [("a", i, 1) for i in range(8)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        plan = (seasonal_decompose(df, period=4)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan and "BatchEval" not in plan
