@@ -125,6 +125,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # path_postprocess_pairs, which replays the same walk) rotates
         # below the fold to make room
         "seasonal_1h": DQ.q_seasonal_1h,
+        # Holt double exponential smoothing + 1/6/24-step forecasts
+        # (closing r5, Holt 1957 level+trend): sequential JVM
+        # aggregate-HOF fold per series, DuckDB twin replays the same
+        # IEEE op sequence as a recursive CTE — bit-equal; dba_update
+        # (hash-green r3+r4, the last 2-record holder; its distributed
+        # M-step partials stay pytest-ref-oracled and the E-step twin
+        # kmeans_assign_step keeps its in-window record) rotates below
+        # the fold to make room
+        "holt_hourly": DQ.q_holt_hourly,
         # compress_roundtrip_1h rotated below the fold closing-r5 for
         # matrix_profile (see note at the matrix_profile entry)
         # tiered parquet sink (sinks/tiers.py): write partitioned by
@@ -158,7 +167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # optimal path per pair feeds all three heads (and one shared
         # lattice+walk CTE feeds the three oracle heads)
         "path_postprocess_pairs": DQ.q_path_postprocess_pairs,
-        "dba_update": DQ.q_dba_update,
         # weight-learning feature stage (r5): per-prototype-index mean
         # pos/neg path deviation, hash-green via the lattice+walk CTE
         "weights_features": DQ.q_weights_features,
@@ -248,6 +256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,
+        # rotated out closing-r5 for holt_hourly (hash-green r3+r4; the
+        # walk-CTE aggregation stays pinned via path_postprocess_pairs
+        # and the E-step via kmeans_assign_step)
+        "dba_update": DQ.q_dba_update,
         "gap_fill_1h": DQ.q_gap_fill_1h,
         "latency_points": DQ.q_latency_points,
         "subsequence_topk": DQ.q_subsequence_topk,

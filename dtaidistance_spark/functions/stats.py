@@ -24,6 +24,15 @@ contract plus the classic series diagnostics):
   each candidate period dividing the window, the fraction of series
   variance explained by the phase means — trig-free, so the score is
   a single division of exact int64 sufficient statistics.
+* ``seasonal_decompose`` — classical additive seasonal-trend
+  decomposition (the statsmodels contract): centered-MA trend,
+  zero-centered phase-mean seasonal, residual — int64-scaled
+  detrending plus an explicit phase-ordered fold keep all three
+  components bit-equal across engines.
+* ``holt_linear`` — Holt 1957 double exponential smoothing (level +
+  trend + h-step forecasts) as a sequential JVM aggregate-HOF fold
+  per series; a recursive CTE replays the identical IEEE op
+  sequence, so the states are bit-equal with no integer scaling.
 
 Plans: ``linreg_stats`` is ONE map-side-partial hash aggregation;
 ``autocorr`` and ``ewma`` are equi-joins on a shifted bucket/rank key
@@ -544,3 +553,71 @@ def seasonal_decompose(
         F.col("_seas").alias("seasonal"),
         ((F.col("_y").cast(_D) - trend) - F.col("_seas")).alias("resid"),
     )
+
+
+def holt_linear(
+    points: DataFrame,
+    horizons: Sequence[int] = (1,),
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Holt's linear-trend double exponential smoothing per series
+    (Holt 1957 / Hyndman-Athanasopoulos FPP §7.2) with the classic
+    α = β = 1/2 and textbook initialization l₁ = y₁, b₁ = y₂ − y₁:
+
+        lₜ = (yₜ + lₜ₋₁ + bₜ₋₁) / 2
+        bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁) / 2
+        ŷₙ₊ₕ = lₙ + h·bₙ
+
+    Output one row per series: ``n``, final ``level`` / ``trend``, and
+    one ``fc_{h}`` column per requested horizon.  NULL for series with
+    fewer than 2 observations.
+
+    Exactness: the recurrence is a DETERMINISTIC sequential fold in
+    explicit ``order_col`` order — Spark evaluates it as a JVM
+    ``aggregate`` HOF over the array_sort-ed series, a DuckDB oracle
+    replays it as a recursive CTE stepping the same rank order — and
+    every step is the identical IEEE op tree ((y + l + b)/2, halving
+    is exact), so level/trend/forecasts are bit-equal across engines
+    with no integer scaling needed.
+
+    Plan: ONE hash aggregation (collect per series) + a per-row array
+    fold — no window, no Python, no iteration driver-side; the fold
+    is O(n) per series inside whole-stage codegen.  Series length is
+    bounded by the rollup tier feeding it (the same contract as
+    ``operators/rollup.series_arrays``).
+
+    The reference library has no forecasting surface (SURVEY.md §1.1)
+    — engine-native addition on the rollup layer.
+    """
+    hs = sorted(set(int(h) for h in horizons))
+    if not hs or hs[0] < 1:
+        raise ValueError("horizons must be positive integers")
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("_o"), F.col(y_col).cast(_D).alias("_y"))))
+    g = points.groupBy(F.col(series_col).alias("_s")).agg(
+        arr.alias("_a"), F.count(F.lit(1)).alias("_n"))
+    y1 = F.col("_a")[0]["_y"]
+    y2 = F.col("_a")[1]["_y"]
+    init = F.struct(y1.alias("l"), (y2 - y1).alias("b"))
+    rest = F.slice(F.col("_a"), 2, F.greatest(
+        F.col("_n").cast("int") - 1, F.lit(0)))
+    state = F.aggregate(
+        rest, init,
+        lambda acc, x: F.struct(
+            ((x["_y"] + acc["l"] + acc["b"]) / F.lit(2.0)).alias("l"),
+            (((((x["_y"] + acc["l"] + acc["b"]) / F.lit(2.0))
+               - acc["l"]) + acc["b"]) / F.lit(2.0)).alias("b")))
+    out = g.select(
+        F.col("_s").alias(series_col),
+        F.col("_n").cast("long").alias("n"),
+        F.when(F.col("_n") >= 2, state).alias("_st"))
+    cols = [series_col, "n",
+            F.col("_st")["l"].alias("level"),
+            F.col("_st")["b"].alias("trend")]
+    for h in hs:
+        cols.append((F.col("_st")["l"]
+                     + F.lit(float(h)) * F.col("_st")["b"])
+                    .alias(f"fc_{h}"))
+    return out.select(*cols)

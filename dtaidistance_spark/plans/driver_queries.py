@@ -516,6 +516,30 @@ def q_period_detect(spark, sf_dir):
                       F.round("strength", 6).alias("strength"))
 
 
+def q_holt_hourly(spark, sf_dir):
+    """Holt double exponential smoothing (level + trend) of each
+    user's hourly spend-cents series with 1/6/24-bucket-ahead
+    forecasts (functions/stats.py::holt_linear — Holt 1957, α=β=1/2,
+    textbook init l₁=y₁, b₁=y₂−y₁).  The recurrence is a sequential
+    JVM aggregate-HOF fold in explicit bucket order; the DuckDB twin
+    replays the identical IEEE op sequence as a recursive CTE stepping
+    the same rank order, so level/trend/forecasts are bit-equal with
+    no integer scaling.  Plan: ONE hash aggregation (collect per
+    series) + an O(n) per-row fold inside codegen — no window, no
+    Python, no driver iteration."""
+    from ..functions.stats import holt_linear
+
+    out = holt_linear(_hourly_cents(spark, sf_dir), horizons=(1, 6, 24),
+                      order_col="bucket_ts")
+    return (out.where(F.col("n") >= 2)
+            .select("series_id", "n",
+                    F.round("level", 6).alias("level"),
+                    F.round("trend", 6).alias("trend"),
+                    F.round("fc_1", 6).alias("fc_1"),
+                    F.round("fc_6", 6).alias("fc_6"),
+                    F.round("fc_24", 6).alias("fc_24")))
+
+
 def q_seasonal_1h(spark, sf_dir):
     """Classical additive seasonal-trend decomposition (period 24) of
     each user's zero-filled hourly spend-cents series
@@ -2041,6 +2065,41 @@ ORACLES: dict[str, str] = {
         WHERE n >= 8 AND (n*syy - sy*sy) > 0
           AND abs((y - sy/n)
                   / sqrt((n*syy - sy*sy) / (n*(n-1)))) > 2.5
+    """,
+    "holt_hourly": """
+        WITH RECURSIVE h AS (
+          SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+                 date_trunc('hour', ts) AS bucket_ts,
+                 CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                      AS BIGINT) AS y
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT series_id, y,
+                     row_number() OVER (PARTITION BY series_id
+                                        ORDER BY bucket_ts) AS rn
+              FROM h),
+        cnt AS (SELECT series_id, max(rn) AS n FROM r GROUP BY 1),
+        rec AS (
+          SELECT r1.series_id, 1 AS t,
+                 CAST(r1.y AS DOUBLE) AS l,
+                 CAST(r2.y AS DOUBLE) - CAST(r1.y AS DOUBLE) AS b
+          FROM r r1
+          JOIN r r2 ON r2.series_id = r1.series_id AND r2.rn = 2
+          WHERE r1.rn = 1
+          UNION ALL
+          SELECT rec.series_id, rec.t + 1,
+                 (CAST(r.y AS DOUBLE) + rec.l + rec.b) / 2.0,
+                 ((((CAST(r.y AS DOUBLE) + rec.l + rec.b) / 2.0)
+                   - rec.l) + rec.b) / 2.0
+          FROM rec
+          JOIN r ON r.series_id = rec.series_id AND r.rn = rec.t + 1)
+        SELECT rec.series_id, CAST(cnt.n AS BIGINT) AS n,
+               round(rec.l, 6) AS level,
+               round(rec.b, 6) AS trend,
+               round(rec.l + 1.0 * rec.b, 6) AS fc_1,
+               round(rec.l + 6.0 * rec.b, 6) AS fc_6,
+               round(rec.l + 24.0 * rec.b, 6) AS fc_24
+        FROM rec JOIN cnt USING (series_id)
+        WHERE rec.t = cnt.n
     """,
     "seasonal_1h": """
         WITH cents AS (

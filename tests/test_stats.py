@@ -424,3 +424,75 @@ class TestSeasonalDecompose:
         plan = (seasonal_decompose(df, period=4)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestHoltLinear:
+    @staticmethod
+    def _numpy_holt(y):
+        y = np.asarray(y, dtype=float)
+        l, b = y[0], y[1] - y[0]
+        for v in y[1:]:
+            l_new = (v + l + b) / 2.0
+            b = ((l_new - l) + b) / 2.0
+            l = l_new
+        return l, b
+
+    def _run(self, spark, y, horizons=(1,)):
+        from dtaidistance_spark.functions.stats import holt_linear
+        rows = [("a", i, int(v)) for i, v in enumerate(y)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        return holt_linear(df, horizons=horizons,
+                           order_col="bucket_ts").toPandas().iloc[0]
+
+    def test_matches_numpy(self, spark, rng):
+        y = rng.integers(0, 1000, size=40)
+        out = self._run(spark, y, horizons=(1, 5))
+        l, b = self._numpy_holt(y)
+        assert out["n"] == 40
+        np.testing.assert_allclose(out["level"], l, rtol=1e-12)
+        np.testing.assert_allclose(out["trend"], b, rtol=1e-12)
+        np.testing.assert_allclose(out["fc_1"], l + b, rtol=1e-12)
+        np.testing.assert_allclose(out["fc_5"], l + 5.0 * b, rtol=1e-12)
+
+    def test_linear_series_perfect_forecast(self, spark):
+        # exactly linear input: level tracks, trend == slope, forecasts
+        # continue the line exactly
+        y = [10 + 3 * i for i in range(30)]
+        out = self._run(spark, y, horizons=(1, 10))
+        np.testing.assert_allclose(out["level"], y[-1], rtol=1e-12)
+        np.testing.assert_allclose(out["trend"], 3.0, rtol=1e-12)
+        np.testing.assert_allclose(out["fc_10"], y[-1] + 30.0, rtol=1e-12)
+
+    def test_input_order_irrelevant(self, spark, rng):
+        from dtaidistance_spark.functions.stats import holt_linear
+        y = rng.integers(0, 100, size=20)
+        rows = [("a", i, int(v)) for i, v in enumerate(y)]
+        rows_shuffled = rows[::-1]
+        a = holt_linear(_points_df(spark, rows,
+                                   ["series_id", "bucket_ts", "y"]),
+                        order_col="bucket_ts").toPandas().iloc[0]
+        b = holt_linear(_points_df(spark, rows_shuffled,
+                                   ["series_id", "bucket_ts", "y"]),
+                        order_col="bucket_ts").toPandas().iloc[0]
+        assert a["level"] == b["level"] and a["trend"] == b["trend"]
+
+    def test_short_series_null(self, spark):
+        out = self._run(spark, [7])
+        assert out["n"] == 1
+        assert pd.isna(out["level"]) and pd.isna(out["fc_1"])
+
+    def test_horizon_validation(self, spark):
+        from dtaidistance_spark.functions.stats import holt_linear
+        df = _points_df(spark, [("a", 0, 1)], ["series_id", "bucket_ts", "y"])
+        with pytest.raises(ValueError):
+            holt_linear(df, horizons=[])
+        with pytest.raises(ValueError):
+            holt_linear(df, horizons=[0, 1])
+
+    def test_plan_no_python(self, spark):
+        from dtaidistance_spark.functions.stats import holt_linear
+        rows = [("a", i, 1) for i in range(4)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        plan = (holt_linear(df, order_col="bucket_ts")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan and "BatchEval" not in plan
