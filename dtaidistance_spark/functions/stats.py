@@ -522,6 +522,13 @@ def seasonal_decompose(
         "_T",
         F.when(F.count(F.lit(1)).over(w_full) == 2 * h + 1, t_expr),
     ).withColumn("_ph", (F.col("_rn") - 1) % P)
+    # the trend-window subtree feeds THREE consumers (phase means →
+    # centers → the output join back onto rows); without a persist
+    # Spark recomputes the series exchange + frames once per branch
+    # (measured ~3× wall at sf0.1).  MEMORY_AND_DISK so a 100 TB grid
+    # spills instead of evicting; released via resources.release_all.
+    from ..resources import track_persist
+    rows = track_persist(rows.persist())
     interior = rows.filter(F.col("_T").isNotNull()).select(
         "_s", "_ph",
         (F.lit(D) * F.col("_y") - F.col("_T")).alias("_dscaled"))
