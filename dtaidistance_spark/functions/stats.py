@@ -414,6 +414,8 @@ def period_strength(
         periods = [p for p in range(2, n_total // 2 + 1)
                    if n_total % p == 0]
     for p in periods:
+        if int(p) < 2:
+            raise ValueError(f"period {p} must be >= 2")
         if n_total % int(p) != 0:
             raise ValueError(
                 f"period {p} does not divide n_total={n_total}")
@@ -526,7 +528,10 @@ def seasonal_decompose(
     # centers → the output join back onto rows); without a persist
     # Spark recomputes the series exchange + frames once per branch
     # (measured ~3× wall at sf0.1).  MEMORY_AND_DISK so a 100 TB grid
-    # spills instead of evicting; released via resources.release_all.
+    # spills instead of evicting; released via resources.release_all
+    # (long-lived sessions composing this operator over DIFFERENT
+    # inputs should call it between runs — identical replans dedupe
+    # via the CacheManager, distinct inputs accumulate until release).
     from ..resources import track_persist
     rows = track_persist(rows.persist())
     interior = rows.filter(F.col("_T").isNotNull()).select(
@@ -579,7 +584,11 @@ def holt_linear(
 
     Output one row per series: ``n``, final ``level`` / ``trend``, and
     one ``fc_{h}`` column per requested horizon.  NULL for series with
-    fewer than 2 observations.
+    fewer than 2 observations.  ``order_col`` must be UNIQUE per row
+    within a series (feed a bucketed/rolled-up series): Spark breaks
+    an order tie by ``y`` inside the sorted struct array while a
+    rank-ordered replay breaks it engine-dependently, so ties void
+    the bit-equality contract.
 
     Exactness: the recurrence is a DETERMINISTIC sequential fold in
     explicit ``order_col`` order — Spark evaluates it as a JVM

@@ -77,6 +77,40 @@ def rollup_cascade(agg: DataFrame, to_bucket: str) -> DataFrame:
     )
 
 
+def dense_grid(bounds: DataFrame, step: int) -> DataFrame:
+    """The gap-fill grid builder, shared with every consumer that
+    needs a dense per-series bucket grid (e.g. the seasonal
+    decomposition driver query): from ``(series_id, b0, b1)`` span
+    rows, emit one ``(series_id, bucket_ts)`` row per ``step``-second
+    bucket in [b0, b1].
+
+    Scale invariant (keep when editing): the grid is a TWO-LEVEL
+    explode — days first, then intra-day offsets — so no single
+    ``sequence()`` array exceeds 86400/step ≤ 1440 elements no matter
+    how long the series span is; a one-level ``sequence(b0, b1)``
+    materializes the whole span per row and dies on year-long spans.
+    """
+    days = bounds.select(
+        "series_id", "b0", "b1",
+        F.explode(
+            F.sequence(F.date_trunc("day", F.col("b0")),
+                       F.date_trunc("day", F.col("b1")),
+                       F.expr("interval 1 day"))
+        ).alias("day_ts"),
+    )
+    if step >= 86400:
+        return days.select("series_id", F.col("day_ts").alias("bucket_ts"))
+    return days.select(
+        "series_id", "b0", "b1",
+        F.explode(
+            F.sequence(F.col("day_ts"),
+                       F.col("day_ts") + F.expr("interval 86399 second"),
+                       F.expr(f"interval {step} second"))
+        ).alias("bucket_ts"),
+    ).where(F.col("bucket_ts").between(F.col("b0"), F.col("b1"))) \
+     .select("series_id", "bucket_ts")
+
+
 def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
              align: str = "series", span_cap: int | None = None) -> DataFrame:
     """Materialize missing buckets between each series' first and last
@@ -126,26 +160,7 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
     else:
         bounds = agg.groupBy("series_id").agg(
             F.min("bucket_ts").alias("b0"), F.max("bucket_ts").alias("b1"))
-    days = bounds.select(
-        "series_id", "b0", "b1",
-        F.explode(
-            F.sequence(F.date_trunc("day", F.col("b0")),
-                       F.date_trunc("day", F.col("b1")),
-                       F.expr("interval 1 day"))
-        ).alias("day_ts"),
-    )
-    if step >= 86400:
-        grid = days.select("series_id", F.col("day_ts").alias("bucket_ts"))
-    else:
-        grid = days.select(
-            "series_id", "b0", "b1",
-            F.explode(
-                F.sequence(F.col("day_ts"),
-                           F.col("day_ts") + F.expr("interval 86399 second"),
-                           F.expr(f"interval {step} second"))
-            ).alias("bucket_ts"),
-        ).where(F.col("bucket_ts").between(F.col("b0"), F.col("b1"))) \
-         .select("series_id", "bucket_ts")
+    grid = dense_grid(bounds, step)
 
     filled = (
         grid.join(agg, ["series_id", "bucket_ts"], "left")

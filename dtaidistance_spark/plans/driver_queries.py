@@ -489,8 +489,10 @@ def q_anomaly_zscore(spark, sf_dir):
 def q_period_detect(spark, sf_dir):
     """Per-user periodicity detection by phase folding
     (functions/stats.py::period_strength — Stellingwerf 1978 PDM in
-    ANOVA variance-ratio form) over the first 336 hours of each user's
-    hourly activity-count series: for each candidate period dividing
+    ANOVA variance-ratio form) over the first 336 hours of the CORPUS
+    span (one global anchor hour, so every user folds the same
+    absolute grid; a user first active after hour 336 contributes no
+    rows): for each candidate period dividing
     336 (2 h … 168 h, 18 candidates), the fraction of grid variance
     explained by the phase means, R_p = (p·ΣS_ph² − S²)/(n·Σy² − S²).
     Counts are exact int64 and absent hours are implicit zeros, so R_p
@@ -559,19 +561,7 @@ def q_seasonal_1h(spark, sf_dir):
     cents = _hourly_cents(spark, sf_dir)
     bounds = cents.groupBy("series_id").agg(
         F.min("bucket_ts").alias("b0"), F.max("bucket_ts").alias("b1"))
-    days = bounds.select(
-        "series_id", "b0", "b1",
-        F.explode(F.sequence(F.date_trunc("day", F.col("b0")),
-                             F.date_trunc("day", F.col("b1")),
-                             F.expr("interval 1 day"))).alias("day_ts"))
-    grid = (days.select(
-        "series_id", "b0", "b1",
-        F.explode(F.sequence(
-            F.col("day_ts"),
-            F.col("day_ts") + F.expr("interval 86399 second"),
-            F.expr("interval 3600 second"))).alias("bucket_ts"))
-        .where(F.col("bucket_ts").between(F.col("b0"), F.col("b1")))
-        .select("series_id", "bucket_ts"))
+    grid = R.dense_grid(bounds, step=3600)
     dense = grid.join(cents, ["series_id", "bucket_ts"], "left").select(
         "series_id", "bucket_ts",
         F.coalesce(F.col("y"), F.lit(0)).alias("y"))

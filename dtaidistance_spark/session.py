@@ -25,7 +25,17 @@ def get_spark(app_name: str = "dtaidistance_spark", cores: int | None = None,
     # UDF worker (this build: MAX_THREADS=2) only oversubscribes —
     # measured 1.2× on the 32-way matrix-profile dgemm leg.  Set in the
     # driver env BEFORE the JVM starts (local-mode workers inherit it)
-    # and as executorEnv for real clusters.
+    # and as executorEnv for real clusters.  If a JVM already exists
+    # (getOrCreate reuses it), the workers inherited the OLD env and
+    # the pin is ineffective — warn instead of silently losing it.
+    if "OPENBLAS_NUM_THREADS" not in os.environ \
+            and SparkSession.getActiveSession() is not None:
+        import warnings
+        warnings.warn(
+            "get_spark: a SparkSession already exists; "
+            "OPENBLAS_NUM_THREADS=1 cannot reach its local-mode workers "
+            "(BLAS oversubscription possible in Arrow UDF kernels)",
+            RuntimeWarning, stacklevel=2)
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")

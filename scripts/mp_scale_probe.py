@@ -30,7 +30,10 @@ for cores in (8, 32):
     p = subprocess.run([sys.executable, "-c", LEG, str(cores)],
                        capture_output=True, text=True, timeout=900)
     line = [l for l in p.stdout.splitlines() if l.startswith("RESULT")]
-    print(p.stderr[-500:] if not line else line[0])
+    if not line:
+        sys.exit(f"leg local[{cores}] produced no RESULT "
+                 f"(exit {p.returncode}); stderr tail:\n{p.stderr[-500:]}")
+    print(line[0])
     c, el, n, thr = line[0].split()[1:]
     res[int(c)] = (float(el), int(n), float(thr))
 eff = (res[8][0] / res[32][0]) / 4.0
