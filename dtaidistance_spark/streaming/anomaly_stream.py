@@ -1,0 +1,121 @@
+"""Streaming trailing-window z-score anomaly detection
+(applyInPandasWithState).
+
+The streaming twin of ``functions/stats.py::anomaly_zscore``: score
+every arriving observation against the sample mean/stddev of the
+PREVIOUS ``window`` observations of its series (the self-exclusive
+rolling z-score), emitting the flagged rows (|z| > threshold, at least
+``min_obs`` priors, nonzero variance) as they happen.  Per-series
+state is ONE ring of ≤ ``window`` integer values — independent of
+stream length — so the operator runs forever at constant memory per
+key, state-store-partitioned by series_id.
+
+Bit-exactness contract (tests assert ``==`` against the batch
+operator): the batch plan computes the bounded-frame sums in double
+over integer-valued observations, so every sufficient statistic is an
+exact integer in both implementations; the streaming step then applies
+the IDENTICAL IEEE op tree —
+
+    d2  = n·Σy² − (Σy)²        (on float64 copies of exact ints)
+    z   = (y − Σy/n) / sqrt(d2 / (n·(n−1)))
+
+— and correctly-rounded IEEE ops over identical operands are
+deterministic across the JVM and CPython, so the flagged set AND the z
+values match the batch output bit-for-bit (exact while Σy² < 2⁵³ per
+window, the same budget the batch frame carries).
+
+Ordering contract: within one micro-batch rows are sorted by event
+time before stepping; ACROSS micro-batches the state advances in
+arrival order (the same in-order-source assumption as
+``match_stream``/``sessionize_stream`` — feed a per-series-ordered
+source, e.g. the 1m rollup stream, not raw shuffled events).
+
+The reference library has no streaming surface (SURVEY.md §1.1) —
+engine-native addition, the streaming member of the stats family.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, List, Sequence, Tuple
+
+import pandas as pd
+
+__all__ = ["zscore_step", "stream_anomaly_zscore"]
+
+OUT_SCHEMA = ("series_id string, ts timestamp, y long, n_prev long, "
+              "z double")
+STATE_SCHEMA = "ys array<long>"
+
+
+def zscore_step(state: List[int], ys: Sequence[int], window: int,
+                threshold: float, min_obs: int):
+    """Advance one series' trailing window through ``ys`` (event
+    order), mutating ``state`` in place and returning the flagged
+    ``(index_in_ys, y, n_prev, z)`` rows.  Pure-Python kernel so the
+    recurrence is unit-testable without a stream; the float tree
+    mirrors functions/stats.anomaly_zscore exactly (see module
+    docstring)."""
+    out = []
+    for i, y in enumerate(ys):
+        y = int(y)
+        n = len(state)
+        if n >= min_obs:
+            sy = sum(state)                      # exact (python ints)
+            syy = sum(v * v for v in state)
+            nf = float(n)
+            syf = float(sy)
+            d2 = nf * float(syy) - syf * syf     # the batch op tree
+            if d2 > 0:
+                z = ((float(y) - syf / nf)
+                     / math.sqrt(d2 / (nf * (nf - 1.0))))
+                if abs(z) > threshold:
+                    out.append((i, y, n, z))
+        state.append(y)
+        if len(state) > window:
+            del state[0]
+    return out
+
+
+def _anomaly_fn(window: int, threshold: float, min_obs: int):
+    def fn(key: Tuple[str], pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        (sid,) = key
+        cols = ["series_id", "ts", "y", "n_prev", "z"]
+        if state.hasTimedOut:               # pragma: no cover - NoTimeout
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        ring = list(state.get[0]) if state.exists else []
+        data = pd.concat(list(pdfs)).sort_values("ts")
+        ys = data["y"].to_numpy()
+        ts = list(data["ts"])
+        flagged = zscore_step(ring, ys, window, threshold, min_obs)
+        state.update((ring,))
+        yield pd.DataFrame(
+            [(sid, ts[i], y, n, z) for (i, y, n, z) in flagged],
+            columns=cols)
+
+    return fn
+
+
+def stream_anomaly_zscore(stream, window: int = 24,
+                          threshold: float = 3.0, min_obs: int = 8):
+    """(series_id, ts, y) stream → flagged anomalies
+    (series_id, ts, y, n_prev, z), the streaming twin of
+    functions/stats.anomaly_zscore (same defaults, same flag rule,
+    bit-equal z values on integer inputs)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    if min_obs < 2:
+        raise ValueError("min_obs must be >= 2 (sample variance)")
+    return (stream
+            .groupBy("series_id")
+            .applyInPandasWithState(
+                _anomaly_fn(int(window), float(threshold), int(min_obs)),
+                outputStructType=OUT_SCHEMA,
+                stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

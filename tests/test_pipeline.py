@@ -1528,3 +1528,97 @@ class TestCodecProperties:
             assert rate == 8000 and np.array_equal(out, pcm)
 
         prop()
+
+
+class TestStreamAnomaly:
+    """streaming/anomaly_stream.py — the streaming twin of
+    functions/stats.anomaly_zscore; flagged set AND z values must equal
+    the batch operator bit-for-bit on integer inputs."""
+
+    def test_step_matches_batch_exact(self, spark, rng):
+        from dtaidistance_spark.functions.stats import anomaly_zscore
+        from dtaidistance_spark.streaming.anomaly_stream import zscore_step
+
+        y = rng.integers(0, 50, size=120)
+        y[[30, 77]] = 4000                    # guaranteed spikes
+        rows = [("a", i, int(v)) for i, v in enumerate(y)]
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        batch = (anomaly_zscore(df, window=24, threshold=2.5, min_obs=8,
+                                order_col="bucket_ts")
+                 .orderBy("bucket_ts").toPandas())
+        state = []
+        got = zscore_step(state, y, window=24, threshold=2.5, min_obs=8)
+        assert len(got) == len(batch) > 0
+        for (i, yy, n, z), (_, brow) in zip(got, batch.iterrows()):
+            assert i == brow["bucket_ts"] and yy == brow["y"]
+            assert n == brow["n_prev"]
+            assert z == brow["z"]             # bit-equal, not allclose
+
+    def test_chunking_invariance(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import zscore_step
+
+        y = [int(v) for v in rng.integers(0, 30, size=90)]
+        y[40] = 9000
+        whole_state, whole = [], []
+        whole = zscore_step(whole_state, y, 24, 2.5, 8)
+        chunk_state, chunks = [], []
+        off = 0
+        for size in (1, 7, 13, 30, 39):
+            got = zscore_step(chunk_state, y[off:off + size], 24, 2.5, 8)
+            chunks += [(i + off, yy, n, z) for (i, yy, n, z) in got]
+            off += size
+        assert chunk_state == whole_state
+        assert [(i, yy, n, z) for (i, yy, n, z) in whole] == chunks
+
+    def test_stream_matches_batch(self, spark, tmp_path, rng):
+        from dtaidistance_spark.functions.stats import anomaly_zscore
+        import pandas as pd
+
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            stream_anomaly_zscore)
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for s in range(4):
+            y = rng.integers(0, 40, size=60)
+            y[25 + s] = 5000
+            rows += [(f"s{s}", t0 + pd.Timedelta(hours=int(i)), int(v))
+                     for i, v in enumerate(y)]
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "y"])
+        src_dir = str(tmp_path / "an_src")
+        out_dir = str(tmp_path / "an_out")
+        ck_dir = str(tmp_path / "an_ck")
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "series_id string, ts timestamp, y long").parquet(src_dir)
+        q = (stream_anomaly_zscore(src, window=24, threshold=2.5,
+                                   min_obs=8)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = (spark.read.parquet(out_dir)
+               .orderBy("series_id", "ts").toPandas())
+        batch = (anomaly_zscore(
+            spark.createDataFrame(pdf), window=24, threshold=2.5,
+            min_obs=8, order_col="ts")
+            .orderBy("series_id", "ts")
+            .withColumnRenamed("ts", "ts_b").toPandas())
+        assert len(got) == len(batch) > 0
+        assert list(got["series_id"]) == list(batch["series_id"])
+        assert list(got["ts"]) == list(batch["ts_b"])
+        assert list(got["y"]) == list(batch["y"])
+        assert list(got["n_prev"]) == list(batch["n_prev"])
+        assert list(got["z"]) == list(batch["z"])   # bit-equal
+
+    def test_validation(self, spark):
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            stream_anomaly_zscore)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            stream_anomaly_zscore(None, window=1)
+        with _pt.raises(ValueError):
+            stream_anomaly_zscore(None, min_obs=1)
