@@ -1,7 +1,9 @@
-"""Streaming trailing-window z-score anomaly detection
-(applyInPandasWithState).
+"""Streaming stats-family operators (applyInPandasWithState): the
+trailing-window z-score anomaly detector and the Holt level+trend
+smoother, each the bit-equal streaming twin of its batch operator in
+``functions/stats.py``.
 
-The streaming twin of ``functions/stats.py::anomaly_zscore``: score
+Anomaly detection — the streaming twin of ``anomaly_zscore``: score
 every arriving observation against the sample mean/stddev of the
 PREVIOUS ``window`` observations of its series (the self-exclusive
 rolling z-score), emitting the flagged rows (|z| > threshold, at least
@@ -41,7 +43,8 @@ from typing import Iterator, List, Sequence, Tuple
 
 import pandas as pd
 
-__all__ = ["zscore_step", "stream_anomaly_zscore"]
+__all__ = ["zscore_step", "stream_anomaly_zscore",
+           "holt_step", "stream_holt_linear"]
 
 OUT_SCHEMA = ("series_id string, ts timestamp, y long, n_prev long, "
               "z double")
@@ -117,5 +120,84 @@ def stream_anomaly_zscore(stream, window: int = 24,
                 _anomaly_fn(int(window), float(threshold), int(min_obs)),
                 outputStructType=OUT_SCHEMA,
                 stateStructType=STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt double exponential smoothing (level + trend + forecast)
+# ---------------------------------------------------------------------------
+
+HOLT_OUT_SCHEMA = ("series_id string, ts timestamp, y long, n long, "
+                   "level double, trend double, fc_1 double")
+HOLT_STATE_SCHEMA = "n long, y1 long, l double, b double"
+
+
+def holt_step(state, ys):
+    """Advance one series' Holt α=β=1/2 recurrence through ``ys``
+    (event order).  ``state`` is ``[n, y1, l, b]`` (mutated in place;
+    ``y1`` only matters while n == 1); returns one ``(i, y, n, l, b)``
+    row per observation with the post-update state (levels are NaN
+    until the second observation initializes l₁=y₁, b₁=y₂−y₁ — the
+    same textbook init as functions/stats.holt_linear, whose exact
+    IEEE op tree this mirrors, so a batch re-run over the same prefix
+    is bit-equal at every step)."""
+    out = []
+    for i, y in enumerate(ys):
+        y = int(y)
+        n, y1, l, b = state
+        if n == 0:
+            state[:] = [1, y, float("nan"), float("nan")]
+        elif n == 1:
+            l = float(y1)
+            b = float(y) - float(y1)
+            l_new = (float(y) + l + b) / 2.0
+            b_new = ((l_new - l) + b) / 2.0
+            state[:] = [2, y1, l_new, b_new]
+        else:
+            l_new = (float(y) + l + b) / 2.0
+            b_new = ((l_new - l) + b) / 2.0
+            state[:] = [n + 1, y1, l_new, b_new]
+        out.append((i, y, state[0], state[2], state[3]))
+    return out
+
+
+def _holt_fn():
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        (sid,) = key
+        cols = ["series_id", "ts", "y", "n", "level", "trend", "fc_1"]
+        if state.hasTimedOut:               # pragma: no cover - NoTimeout
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        st = list(state.get) if state.exists else [0, 0, float("nan"),
+                                                   float("nan")]
+        data = pd.concat(list(pdfs)).sort_values("ts")
+        ts = list(data["ts"])
+        rows = holt_step(st, data["y"].to_numpy())
+        state.update((int(st[0]), int(st[1]), float(st[2]), float(st[3])))
+        yield pd.DataFrame(
+            [(sid, ts[i], y, n, l, b, l + 1.0 * b)
+             for (i, y, n, l, b) in rows], columns=cols)
+
+    return fn
+
+
+def stream_holt_linear(stream):
+    """(series_id, ts, y) stream → per-observation Holt level/trend and
+    one-step-ahead forecast, the streaming twin of
+    functions/stats.holt_linear (α=β=1/2, textbook init; bit-equal
+    states on integer inputs — same caveats on event order as
+    stream_anomaly_zscore).  Per-series state is FOUR scalars,
+    stream-length independent."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (stream
+            .groupBy("series_id")
+            .applyInPandasWithState(
+                _holt_fn(),
+                outputStructType=HOLT_OUT_SCHEMA,
+                stateStructType=HOLT_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

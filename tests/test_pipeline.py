@@ -1622,3 +1622,79 @@ class TestStreamAnomaly:
             stream_anomaly_zscore(None, window=1)
         with _pt.raises(ValueError):
             stream_anomaly_zscore(None, min_obs=1)
+
+
+class TestStreamHolt:
+    """streaming/anomaly_stream.py::stream_holt_linear — the streaming
+    twin of functions/stats.holt_linear; final state must equal the
+    batch fold bit-for-bit on integer inputs."""
+
+    def test_step_matches_batch_exact(self, spark, rng):
+        from dtaidistance_spark.functions.stats import holt_linear
+        from dtaidistance_spark.streaming.anomaly_stream import holt_step
+
+        y = [int(v) for v in rng.integers(0, 1000, size=50)]
+        rows = [("a", i, v) for i, v in enumerate(y)]
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        batch = (holt_linear(df, horizons=(1,), order_col="bucket_ts")
+                 .toPandas().iloc[0])
+        st = [0, 0, float("nan"), float("nan")]
+        out = holt_step(st, y)
+        assert out[-1][2] == 50
+        assert st[2] == batch["level"]        # bit-equal
+        assert st[3] == batch["trend"]
+        assert st[2] + 1.0 * st[3] == batch["fc_1"]
+
+    def test_chunking_invariance(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import holt_step
+
+        y = [int(v) for v in rng.integers(0, 100, size=37)]
+        a = [0, 0, float("nan"), float("nan")]
+        holt_step(a, y)
+        b = [0, 0, float("nan"), float("nan")]
+        for lo in range(0, 37, 5):
+            holt_step(b, y[lo:lo + 5])
+        assert a == b
+
+    def test_stream_matches_batch(self, spark, tmp_path, rng):
+        import pandas as pd
+
+        from dtaidistance_spark.functions.stats import holt_linear
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            stream_holt_linear)
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for s in range(3):
+            y = rng.integers(0, 500, size=40)
+            rows += [(f"s{s}", t0 + pd.Timedelta(hours=int(i)), int(v))
+                     for i, v in enumerate(y)]
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "y"])
+        src_dir = str(tmp_path / "h_src")
+        out_dir = str(tmp_path / "h_out")
+        ck_dir = str(tmp_path / "h_ck")
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "series_id string, ts timestamp, y long").parquet(src_dir)
+        q = (stream_holt_linear(src)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = (spark.read.parquet(out_dir)
+               .orderBy("series_id", "ts").toPandas())
+        assert len(got) == len(pdf)
+        final = got.groupby("series_id").tail(1).set_index("series_id")
+        batch = (holt_linear(spark.createDataFrame(pdf), horizons=(1,),
+                             order_col="ts")
+                 .toPandas().set_index("series_id"))
+        for s in batch.index:
+            assert final.loc[s, "level"] == batch.loc[s, "level"]
+            assert final.loc[s, "trend"] == batch.loc[s, "trend"]
+            assert final.loc[s, "fc_1"] == batch.loc[s, "fc_1"]
+        # pre-init rows carry NaN level/trend (first observation only)
+        firsts = got.groupby("series_id").head(1)
+        assert firsts["level"].isna().all()
