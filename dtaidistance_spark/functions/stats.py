@@ -573,14 +573,22 @@ def holt_linear(
     series_col: str = "series_id",
     order_col: str = "bucket_ts",
     y_col: str = "y",
+    phi: float = 1.0,
 ) -> DataFrame:
     """Holt's linear-trend double exponential smoothing per series
     (Holt 1957 / Hyndman-Athanasopoulos FPP §7.2) with the classic
     α = β = 1/2 and textbook initialization l₁ = y₁, b₁ = y₂ − y₁:
 
-        lₜ = (yₜ + lₜ₋₁ + bₜ₋₁) / 2
-        bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁) / 2
-        ŷₙ₊ₕ = lₙ + h·bₙ
+        lₜ = (yₜ + lₜ₋₁ + φ·bₜ₋₁) / 2
+        bₜ = ((lₜ − lₜ₋₁) + φ·bₜ₋₁) / 2
+        ŷₙ₊ₕ = lₙ + (φ + φ² + … + φʰ)·bₙ
+
+    ``phi`` is the Gardner-McKenzie (1985) trend damping: 1.0 (the
+    default) is the undamped classic — the φ factors drop out of the
+    op tree entirely, so existing replays stay bit-identical — and
+    0 < φ < 1 flattens long-horizon forecasts toward the asymptote
+    lₙ + φ/(1−φ)·bₙ (use a power-of-two φ like 0.5 to keep the φ·b
+    products exact).
 
     Output one row per series: ``n``, final ``level`` / ``trend``, and
     one ``fc_{h}`` column per requested horizon.  NULL for series with
@@ -610,6 +618,8 @@ def holt_linear(
     hs = sorted(set(int(h) for h in horizons))
     if not hs or hs[0] < 1:
         raise ValueError("horizons must be positive integers")
+    if not (0.0 < phi <= 1.0):
+        raise ValueError("phi must be in (0, 1]")
     arr = F.array_sort(F.collect_list(F.struct(
         F.col(order_col).alias("_o"), F.col(y_col).cast(_D).alias("_y"))))
     g = points.groupBy(F.col(series_col).alias("_s")).agg(
@@ -619,12 +629,24 @@ def holt_linear(
     init = F.struct(y1.alias("l"), (y2 - y1).alias("b"))
     rest = F.slice(F.col("_a"), 2, F.greatest(
         F.col("_n").cast("int") - 1, F.lit(0)))
-    state = F.aggregate(
-        rest, init,
-        lambda acc, x: F.struct(
-            ((x["_y"] + acc["l"] + acc["b"]) / F.lit(2.0)).alias("l"),
-            (((((x["_y"] + acc["l"] + acc["b"]) / F.lit(2.0))
-               - acc["l"]) + acc["b"]) / F.lit(2.0)).alias("b")))
+    if phi == 1.0:
+        # keep the undamped op tree literally free of phi factors so
+        # existing recursive-CTE replays stay bit-identical
+        def _merge(acc, x):
+            return F.struct(
+                ((x["_y"] + acc["l"] + acc["b"]) / F.lit(2.0)).alias("l"),
+                (((((x["_y"] + acc["l"] + acc["b"]) / F.lit(2.0))
+                   - acc["l"]) + acc["b"]) / F.lit(2.0)).alias("b"))
+    else:
+        ph = F.lit(float(phi))
+
+        def _merge(acc, x):
+            return F.struct(
+                ((x["_y"] + acc["l"] + ph * acc["b"])
+                 / F.lit(2.0)).alias("l"),
+                (((((x["_y"] + acc["l"] + ph * acc["b"]) / F.lit(2.0))
+                   - acc["l"]) + ph * acc["b"]) / F.lit(2.0)).alias("b"))
+    state = F.aggregate(rest, init, _merge)
     out = g.select(
         F.col("_s").alias(series_col),
         F.col("_n").cast("long").alias("n"),
@@ -633,7 +655,14 @@ def holt_linear(
             F.col("_st")["l"].alias("level"),
             F.col("_st")["b"].alias("trend")]
     for h in hs:
+        if phi == 1.0:
+            fsum = float(h)               # Σ 1^i = h, exact
+        else:
+            fsum, p = 0.0, 1.0
+            for _ in range(h):
+                p *= phi
+                fsum += p
         cols.append((F.col("_st")["l"]
-                     + F.lit(float(h)) * F.col("_st")["b"])
+                     + F.lit(fsum) * F.col("_st")["b"])
                     .alias(f"fc_{h}"))
     return out.select(*cols)

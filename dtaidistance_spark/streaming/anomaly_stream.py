@@ -1,6 +1,7 @@
 """Streaming stats-family operators (applyInPandasWithState): the
-trailing-window z-score anomaly detector and the Holt level+trend
-smoother, each the bit-equal streaming twin of its batch operator in
+trailing-window z-score anomaly detector, the Holt level+trend
+smoother, and the trailing-window normalized EWMA — each the
+bit-equal streaming twin of its batch operator in
 ``functions/stats.py``.
 
 Anomaly detection — the streaming twin of ``anomaly_zscore``: score
@@ -44,7 +45,8 @@ from typing import Iterator, List, Sequence, Tuple
 import pandas as pd
 
 __all__ = ["zscore_step", "stream_anomaly_zscore",
-           "holt_step", "stream_holt_linear"]
+           "holt_step", "stream_holt_linear",
+           "ewma_step", "stream_ewma"]
 
 OUT_SCHEMA = ("series_id string, ts timestamp, y long, n_prev long, "
               "z double")
@@ -199,5 +201,85 @@ def stream_holt_linear(stream):
                 _holt_fn(),
                 outputStructType=HOLT_OUT_SCHEMA,
                 stateStructType=HOLT_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming trailing-window normalized EWMA
+# ---------------------------------------------------------------------------
+
+EWMA_OUT_SCHEMA = ("series_id string, ts timestamp, y long, n_obs long, "
+                   "ewma double")
+EWMA_STATE_SCHEMA = "ys array<long>"
+
+
+def ewma_step(state: List[int], ys: Sequence[int], alpha: float,
+              window: int):
+    """Advance one series' trailing-window normalized EWMA (pandas
+    ``ewm(adjust=True)`` over the last ``window`` observations) through
+    ``ys`` in event order; ``state`` is the ring of the most recent
+    ≤ ``window`` values (newest last, mutated in place).  Returns one
+    ``(i, y, n_obs, ewma)`` row per observation.  With a power-of-two
+    decay every term y·(1−α)^d is exact and the ≤53-bit weighted sums
+    are order-free, so the values equal functions/stats.ewma (whose
+    join computes the same terms in arbitrary order) bit-for-bit —
+    the same exactness contract the batch operator documents."""
+    decay = 1.0 - alpha
+    out = []
+    for i, y in enumerate(ys):
+        state.append(int(y))
+        if len(state) > window:
+            del state[0]
+        num = 0.0
+        den = 0.0
+        w = 1.0
+        for v in reversed(state):            # d = 0 (newest) .. n-1
+            num += float(v) * w
+            den += w
+            w *= decay
+        out.append((i, int(y), len(state), num / den))
+    return out
+
+
+def _ewma_fn(alpha: float, window: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        (sid,) = key
+        cols = ["series_id", "ts", "y", "n_obs", "ewma"]
+        if state.hasTimedOut:               # pragma: no cover - NoTimeout
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        ring = list(state.get[0]) if state.exists else []
+        data = pd.concat(list(pdfs)).sort_values("ts")
+        ts = list(data["ts"])
+        rows = ewma_step(ring, data["y"].to_numpy(), alpha, window)
+        state.update((ring,))
+        yield pd.DataFrame(
+            [(sid, ts[i], y, n, e) for (i, y, n, e) in rows],
+            columns=cols)
+
+    return fn
+
+
+def stream_ewma(stream, alpha: float = 0.5, window: int = 16):
+    """(series_id, ts, y) stream → per-observation trailing-window
+    normalized EWMA, the streaming twin of functions/stats.ewma (same
+    defaults; bit-equal values for power-of-two decay on integer
+    inputs — same event-order caveats as stream_anomaly_zscore).
+    Per-series state is one ring of ≤ ``window`` integers."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    return (stream
+            .groupBy("series_id")
+            .applyInPandasWithState(
+                _ewma_fn(float(alpha), int(window)),
+                outputStructType=EWMA_OUT_SCHEMA,
+                stateStructType=EWMA_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1698,3 +1698,79 @@ class TestStreamHolt:
         # pre-init rows carry NaN level/trend (first observation only)
         firsts = got.groupby("series_id").head(1)
         assert firsts["level"].isna().all()
+
+
+class TestStreamEwma:
+    """streaming/anomaly_stream.py::stream_ewma — the streaming twin of
+    functions/stats.ewma; values bit-equal on power-of-two decay."""
+
+    def test_step_matches_batch_exact(self, spark, rng):
+        from dtaidistance_spark.functions.stats import ewma
+        from dtaidistance_spark.streaming.anomaly_stream import ewma_step
+
+        y = [int(v) for v in rng.integers(0, 100, size=40)]
+        rows = [("a", i, v) for i, v in enumerate(y)]
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        batch = (ewma(df, alpha=0.5, window=16, order_col="bucket_ts")
+                 .orderBy("bucket_ts").toPandas())
+        got = ewma_step([], y, alpha=0.5, window=16)
+        assert len(got) == len(batch) == len(y)
+        for (i, yy, n, e), (_, brow) in zip(got, batch.iterrows()):
+            assert n == brow["n_obs"]
+            assert e == brow["ewma"]          # bit-equal
+
+    def test_chunking_invariance(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import ewma_step
+
+        y = [int(v) for v in rng.integers(0, 50, size=33)]
+        a_state, b_state = [], []
+        whole = ewma_step(a_state, y, 0.5, 16)
+        chunks, off = [], 0
+        for size in (2, 9, 11, 11):
+            got = ewma_step(b_state, y[off:off + size], 0.5, 16)
+            chunks += [(i + off, yy, n, e) for (i, yy, n, e) in got]
+            off += size
+        assert a_state == b_state and whole == chunks
+
+    def test_stream_matches_batch(self, spark, tmp_path, rng):
+        import pandas as pd
+
+        from dtaidistance_spark.functions.stats import ewma
+        from dtaidistance_spark.streaming.anomaly_stream import stream_ewma
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for s in range(3):
+            y = rng.integers(0, 200, size=30)
+            rows += [(f"s{s}", t0 + pd.Timedelta(hours=int(i)), int(v))
+                     for i, v in enumerate(y)]
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "y"])
+        src_dir, out_dir, ck_dir = (str(tmp_path / d)
+                                    for d in ("e_src", "e_out", "e_ck"))
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "series_id string, ts timestamp, y long").parquet(src_dir)
+        q = (stream_ewma(src, alpha=0.5, window=16)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = (spark.read.parquet(out_dir)
+               .orderBy("series_id", "ts").toPandas())
+        batch = (ewma(spark.createDataFrame(pdf), alpha=0.5, window=16,
+                      order_col="ts")
+                 .orderBy("series_id", "ts").toPandas())
+        assert len(got) == len(batch) == len(pdf)
+        assert list(got["n_obs"]) == list(batch["n_obs"])
+        assert list(got["ewma"]) == list(batch["ewma"])   # bit-equal
+
+    def test_validation(self):
+        from dtaidistance_spark.streaming.anomaly_stream import stream_ewma
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            stream_ewma(None, alpha=0.0)
+        with _pt.raises(ValueError):
+            stream_ewma(None, window=0)

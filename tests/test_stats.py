@@ -496,3 +496,61 @@ class TestHoltLinear:
         plan = (holt_linear(df, order_col="bucket_ts")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestHoltDamped:
+    @staticmethod
+    def _numpy_damped(y, phi):
+        y = np.asarray(y, dtype=float)
+        l, b = y[0], y[1] - y[0]
+        for v in y[1:]:
+            l_new = (v + l + phi * b) / 2.0
+            b = ((l_new - l) + phi * b) / 2.0
+            l = l_new
+        return l, b
+
+    def _run(self, spark, y, phi, horizons=(1,)):
+        from dtaidistance_spark.functions.stats import holt_linear
+        rows = [("a", i, int(v)) for i, v in enumerate(y)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        return holt_linear(df, horizons=horizons, order_col="bucket_ts",
+                           phi=phi).toPandas().iloc[0]
+
+    def test_matches_numpy(self, spark, rng):
+        y = rng.integers(0, 500, size=30)
+        out = self._run(spark, y, phi=0.5, horizons=(1, 4))
+        l, b = self._numpy_damped(y, 0.5)
+        np.testing.assert_allclose(out["level"], l, rtol=1e-12)
+        np.testing.assert_allclose(out["trend"], b, rtol=1e-12)
+        np.testing.assert_allclose(out["fc_1"], l + 0.5 * b, rtol=1e-12)
+        np.testing.assert_allclose(
+            out["fc_4"], l + (0.5 + 0.25 + 0.125 + 0.0625) * b, rtol=1e-12)
+
+    def test_phi_one_identical_to_undamped(self, spark, rng):
+        from dtaidistance_spark.functions.stats import holt_linear
+        y = [int(v) for v in rng.integers(0, 100, size=25)]
+        rows = [("a", i, v) for i, v in enumerate(y)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        a = holt_linear(df, horizons=(3,), order_col="bucket_ts") \
+            .toPandas().iloc[0]
+        b = holt_linear(df, horizons=(3,), order_col="bucket_ts",
+                        phi=1.0).toPandas().iloc[0]
+        assert a["level"] == b["level"] and a["trend"] == b["trend"]
+        assert a["fc_3"] == b["fc_3"]
+
+    def test_damped_forecasts_bounded(self, spark):
+        # a strong linear trend: undamped forecasts grow without bound,
+        # phi-damped ones approach level + phi/(1-phi)*trend
+        y = [10 + 5 * i for i in range(40)]
+        und = self._run(spark, y, phi=1.0, horizons=(100,))
+        dmp = self._run(spark, y, phi=0.5, horizons=(100,))
+        assert und["fc_100"] > und["level"] + 400.0
+        limit = dmp["level"] + (0.5 / 0.5) * dmp["trend"]
+        np.testing.assert_allclose(dmp["fc_100"], limit, rtol=1e-9)
+
+    def test_phi_validation(self, spark):
+        from dtaidistance_spark.functions.stats import holt_linear
+        df = _points_df(spark, [("a", 0, 1)], ["series_id", "bucket_ts", "y"])
+        for bad in (0.0, -0.5, 1.5):
+            with pytest.raises(ValueError, match="phi"):
+                holt_linear(df, phi=bad)
