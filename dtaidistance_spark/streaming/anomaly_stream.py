@@ -1,8 +1,10 @@
 """Streaming stats-family operators (applyInPandasWithState): the
 trailing-window z-score anomaly detector, the Holt level+trend
-smoother, and the trailing-window normalized EWMA — each the
-bit-equal streaming twin of its batch operator in
-``functions/stats.py``.
+smoother, the trailing-window normalized EWMA (each the bit-equal
+streaming twin of its batch operator in ``functions/stats.py``), and
+Page's sequential two-sided CUSUM test (the genuinely streaming
+member of the Page/Taylor family; the batch ``cusum_changepoint`` is
+its retrospective locator sibling).
 
 Anomaly detection — the streaming twin of ``anomaly_zscore``: score
 every arriving observation against the sample mean/stddev of the
@@ -46,7 +48,8 @@ import pandas as pd
 
 __all__ = ["zscore_step", "stream_anomaly_zscore",
            "holt_step", "stream_holt_linear",
-           "ewma_step", "stream_ewma"]
+           "ewma_step", "stream_ewma",
+           "cusum_step", "stream_cusum"]
 
 OUT_SCHEMA = ("series_id string, ts timestamp, y long, n_prev long, "
               "z double")
@@ -281,5 +284,93 @@ def stream_ewma(stream, alpha: float = 0.5, window: int = 16):
                 _ewma_fn(float(alpha), int(window)),
                 outputStructType=EWMA_OUT_SCHEMA,
                 stateStructType=EWMA_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming sequential CUSUM (Page 1954 one-sided pair test)
+# ---------------------------------------------------------------------------
+
+CUSUM_OUT_SCHEMA = ("series_id string, ts timestamp, y long, "
+                    "direction string, stat double, n_since_reset long")
+CUSUM_STATE_SCHEMA = "s_hi double, s_lo double, n long"
+
+
+def cusum_step(state, ys, mu0: float, k: float, h: float):
+    """Advance Page's two-sided sequential CUSUM through ``ys`` (event
+    order): with target mean ``mu0``, slack ``k`` and decision
+    interval ``h``,
+
+        S⁺ₜ = max(0, S⁺ₜ₋₁ + (yₜ − mu0 − k))
+        S⁻ₜ = max(0, S⁻ₜ₋₁ + (mu0 − yₜ − k))
+
+    an alarm fires when either side crosses ``h``; BOTH sides reset to
+    0 after an alarm (the classic restart), so repeated shifts re-fire.
+    ``state`` is ``[s_hi, s_lo, n_since_reset]`` (mutated in place);
+    returns the alarm rows ``(i, y, direction, stat, n_since_reset)``.
+    This is the genuinely sequential test — the batch
+    ``cusum_changepoint`` is the retrospective single-changepoint
+    locator; the two answer different questions and are both part of
+    the Page/Taylor family.  Deterministic: a fixed IEEE op tree per
+    step, so any replay over the same prefix is bit-equal."""
+    out = []
+    for i, y in enumerate(ys):
+        yf = float(int(y))
+        s_hi = state[0] + (yf - mu0 - k)
+        if s_hi < 0.0:
+            s_hi = 0.0
+        s_lo = state[1] + (mu0 - yf - k)
+        if s_lo < 0.0:
+            s_lo = 0.0
+        n = state[2] + 1
+        if s_hi > h or s_lo > h:
+            direction = "up" if s_hi > h else "down"
+            out.append((i, int(y), direction,
+                        s_hi if direction == "up" else s_lo, n))
+            s_hi, s_lo, n = 0.0, 0.0, 0
+        state[:] = [s_hi, s_lo, n]
+    return out
+
+
+def _cusum_fn(mu0: float, k: float, h: float):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        (sid,) = key
+        cols = ["series_id", "ts", "y", "direction", "stat",
+                "n_since_reset"]
+        if state.hasTimedOut:               # pragma: no cover - NoTimeout
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        st = list(state.get) if state.exists else [0.0, 0.0, 0]
+        data = pd.concat(list(pdfs)).sort_values("ts")
+        ts = list(data["ts"])
+        alarms = cusum_step(st, data["y"].to_numpy(), mu0, k, h)
+        state.update((float(st[0]), float(st[1]), int(st[2])))
+        yield pd.DataFrame(
+            [(sid, ts[i], y, d, s, n) for (i, y, d, s, n) in alarms],
+            columns=cols)
+
+    return fn
+
+
+def stream_cusum(stream, mu0: float, k: float, h: float):
+    """(series_id, ts, y) stream → CUSUM alarm rows (series_id, ts, y,
+    direction up|down, crossing statistic, observations since the last
+    reset).  Page's sequential two-sided test with target ``mu0``,
+    slack ``k`` (typically δ/2 for the shift size δ you care about)
+    and decision interval ``h`` (typically 4-5 σ).  Per-series state
+    is THREE scalars — constant memory forever."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if k < 0 or h <= 0:
+        raise ValueError("need k >= 0 and h > 0")
+    return (stream
+            .groupBy("series_id")
+            .applyInPandasWithState(
+                _cusum_fn(float(mu0), float(k), float(h)),
+                outputStructType=CUSUM_OUT_SCHEMA,
+                stateStructType=CUSUM_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1774,3 +1774,110 @@ class TestStreamEwma:
             stream_ewma(None, alpha=0.0)
         with _pt.raises(ValueError):
             stream_ewma(None, window=0)
+
+
+class TestStreamCusum:
+    """streaming/anomaly_stream.py::stream_cusum — Page's sequential
+    two-sided test (textbook fold reference + stream end-to-end)."""
+
+    @staticmethod
+    def _numpy_cusum(y, mu0, k, h):
+        s_hi = s_lo = 0.0
+        n = 0
+        alarms = []
+        for i, v in enumerate(y):
+            s_hi = max(0.0, s_hi + (float(v) - mu0 - k))
+            s_lo = max(0.0, s_lo + (mu0 - float(v) - k))
+            n += 1
+            if s_hi > h or s_lo > h:
+                d = "up" if s_hi > h else "down"
+                alarms.append((i, int(v), d,
+                               s_hi if d == "up" else s_lo, n))
+                s_hi = s_lo = 0.0
+                n = 0
+        return alarms
+
+    def test_step_matches_reference(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import cusum_step
+        y = [int(v) for v in rng.integers(8, 13, size=200)]
+        y[80:] = [v + 6 for v in y[80:]]      # upward shift at 80
+        st = [0.0, 0.0, 0]
+        got = cusum_step(st, y, mu0=10.0, k=1.0, h=8.0)
+        want = self._numpy_cusum(y, 10.0, 1.0, 8.0)
+        assert got == want
+        assert got and got[0][2] == "up" and 80 <= got[0][0] <= 90
+
+    def test_down_shift_and_restart(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import cusum_step
+        y = [20] * 30 + [10] * 30 + [20] * 30 + [10] * 30
+        st = [0.0, 0.0, 0]
+        got = cusum_step(st, y, mu0=20.0, k=2.0, h=10.0)
+        dirs = [d for (_, _, d, _, _) in got]
+        assert dirs.count("down") >= 2        # re-fires after restart
+        assert all(d == "down" for d in dirs)
+
+    def test_stationary_no_alarm(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import cusum_step
+        y = [int(v) for v in rng.integers(9, 12, size=300)]
+        st = [0.0, 0.0, 0]
+        assert cusum_step(st, y, mu0=10.0, k=2.0, h=25.0) == []
+
+    def test_chunking_invariance(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import cusum_step
+        y = [int(v) for v in rng.integers(0, 30, size=120)]
+        a, b = [0.0, 0.0, 0], [0.0, 0.0, 0]
+        whole = cusum_step(a, y, 15.0, 1.0, 12.0)
+        chunks, off = [], 0
+        for size in (3, 17, 40, 60):
+            got = cusum_step(b, y[off:off + size], 15.0, 1.0, 12.0)
+            chunks += [(i + off, yy, d, s, n)
+                       for (i, yy, d, s, n) in got]
+            off += size
+        assert a == b and whole == chunks
+
+    def test_stream_matches_reference(self, spark, tmp_path, rng):
+        import pandas as pd
+
+        from dtaidistance_spark.streaming.anomaly_stream import stream_cusum
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows, want = [], {}
+        for s in range(3):
+            y = [int(v) for v in rng.integers(8, 13, size=60)]
+            y[30:] = [v + 7 for v in y[30:]]
+            rows += [(f"s{s}", t0 + pd.Timedelta(hours=int(i)), v)
+                     for i, v in enumerate(y)]
+            want[f"s{s}"] = self._numpy_cusum(y, 10.0, 1.0, 9.0)
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "y"])
+        src_dir, out_dir, ck_dir = (str(tmp_path / d)
+                                    for d in ("c_src", "c_out", "c_ck"))
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "series_id string, ts timestamp, y long").parquet(src_dir)
+        q = (stream_cusum(src, mu0=10.0, k=1.0, h=9.0)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = (spark.read.parquet(out_dir)
+               .orderBy("series_id", "ts").toPandas())
+        for s, alarms in want.items():
+            sub = got[got["series_id"] == s].reset_index(drop=True)
+            assert len(sub) == len(alarms) > 0
+            for (i, yy, d, stat, n), (_, row) in zip(alarms,
+                                                     sub.iterrows()):
+                assert row["ts"] == t0 + pd.Timedelta(hours=i)
+                assert row["y"] == yy and row["direction"] == d
+                assert row["stat"] == stat        # bit-equal
+                assert row["n_since_reset"] == n
+
+    def test_validation(self):
+        from dtaidistance_spark.streaming.anomaly_stream import stream_cusum
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            stream_cusum(None, mu0=0.0, k=-1.0, h=5.0)
+        with _pt.raises(ValueError):
+            stream_cusum(None, mu0=0.0, k=1.0, h=0.0)
