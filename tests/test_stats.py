@@ -289,8 +289,10 @@ class TestPeriodStrength:
         y[rng.integers(0, n, size=12)] = 0
         dense = [("a", i, int(v)) for i, v in enumerate(y)]
         sparse = [r for r in dense if r[2] != 0]
-        a = self._run(spark, dense, n).set_index("period")["strength"]
-        b = self._run(spark, sparse, n).set_index("period")["strength"]
+        a = (self._run(spark, dense, n).set_index("period")["strength"]
+             .sort_index())
+        b = (self._run(spark, sparse, n).set_index("period")["strength"]
+             .sort_index())
         pd.testing.assert_series_equal(a, b)
 
     def test_periodic_signal_peaks_at_true_period(self, spark):
@@ -323,8 +325,10 @@ class TestPeriodStrength:
         n = 12
         base = [("a", i, i % 3 + 1) for i in range(n)]
         noisy = base + [("a", -1, 99), ("a", n, 99), ("a", n + 5, 1)]
-        a = self._run(spark, base, n).set_index("period")["strength"]
-        b = self._run(spark, noisy, n).set_index("period")["strength"]
+        a = (self._run(spark, base, n).set_index("period")["strength"]
+             .sort_index())
+        b = (self._run(spark, noisy, n).set_index("period")["strength"]
+             .sort_index())
         pd.testing.assert_series_equal(a, b)
 
     def test_plan_no_python(self, spark):
