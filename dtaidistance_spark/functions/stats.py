@@ -30,9 +30,13 @@ contract plus the classic series diagnostics):
   detrending plus an explicit phase-ordered fold keep all three
   components bit-equal across engines.
 * ``holt_linear`` — Holt 1957 double exponential smoothing (level +
-  trend + h-step forecasts) as a sequential JVM aggregate-HOF fold
-  per series; a recursive CTE replays the identical IEEE op
-  sequence, so the states are bit-equal with no integer scaling.
+  trend + h-step forecasts, optional Gardner-McKenzie damping) as a
+  sequential JVM aggregate-HOF fold per series; a recursive CTE
+  replays the identical IEEE op sequence, so the states are
+  bit-equal with no integer scaling.
+* ``baseline_forecasts`` — the FPP §5.2 benchmark forecasters
+  (naive / seasonal-naive / drift) as exact array selections over
+  the same one-collect plan.
 
 Plans: ``linreg_stats`` is ONE map-side-partial hash aggregation;
 ``autocorr`` and ``ewma`` are equi-joins on a shifted bucket/rank key
@@ -666,3 +670,54 @@ def holt_linear(
                      + F.lit(fsum) * F.col("_st")["b"])
                     .alias(f"fc_{h}"))
     return out.select(*cols)
+
+
+def baseline_forecasts(
+    points: DataFrame,
+    horizons: Sequence[int] = (1,),
+    season: int | None = None,
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """The three standard baseline forecasters every forecasting
+    surface is benchmarked against (Hyndman-Athanasopoulos FPP §5.2),
+    one row per series with one column set per horizon h:
+
+    * ``naive_{h}``    = yₙ                       (last observation)
+    * ``snaive_{h}``   = yₙ₊ₕ₋ₘ·⌈h/m⌉             (same phase, last
+      season; requires ``season`` m — omitted when ``season`` is None)
+    * ``drift_{h}``    = yₙ + h·(yₙ − y₁)/(n − 1) (first-to-last line)
+
+    All three are pure selections/arithmetic over the sorted series
+    array — exact integer picks and one fixed IEEE tree for drift, so
+    any replay is bit-equal.  Plan: the same ONE collect aggregation
+    as ``holt_linear``; no window, no Python.  NULL drift for n < 2,
+    NULL snaive when the phase source precedes the series start.
+    """
+    hs = sorted(set(int(h) for h in horizons))
+    if not hs or hs[0] < 1:
+        raise ValueError("horizons must be positive integers")
+    if season is not None and season < 1:
+        raise ValueError("season must be >= 1")
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("_o"), F.col(y_col).cast(_D).alias("_y"))))
+    g = points.groupBy(F.col(series_col).alias("_s")).agg(
+        arr.alias("_a"), F.count(F.lit(1)).alias("_n"))
+    n = F.col("_n")
+    last = F.col("_a")[(n - 1).cast("int")]["_y"]
+    first = F.col("_a")[0]["_y"]
+    slope = F.when(n >= 2, (last - first) / (n - 1).cast(_D))
+    cols = [F.col("_s").alias(series_col), n.cast("long").alias("n")]
+    for h in hs:
+        cols.append(last.alias(f"naive_{h}"))
+        if season is not None:
+            m = int(season)
+            # index of the same phase in the most recent full season:
+            # n + h - m*ceil(h/m), 1-based -> 0-based
+            back = m * ((h + m - 1) // m)
+            idx = (n + F.lit(int(h - back)) - 1).cast("int")
+            cols.append(F.when(idx >= 0, F.col("_a")[idx]["_y"])
+                        .alias(f"snaive_{h}"))
+        cols.append((last + F.lit(float(h)) * slope).alias(f"drift_{h}"))
+    return g.select(*cols)

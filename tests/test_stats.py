@@ -558,3 +558,58 @@ class TestHoltDamped:
         for bad in (0.0, -0.5, 1.5):
             with pytest.raises(ValueError, match="phi"):
                 holt_linear(df, phi=bad)
+
+
+class TestBaselineForecasts:
+    def _run(self, spark, y, horizons=(1,), season=None):
+        from dtaidistance_spark.functions.stats import baseline_forecasts
+        rows = [("a", i, int(v)) for i, v in enumerate(y)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        return baseline_forecasts(df, horizons=horizons, season=season,
+                                  order_col="bucket_ts").toPandas().iloc[0]
+
+    def test_naive_snaive_drift(self, spark, rng):
+        m = 7
+        y = [int(v) for v in rng.integers(0, 100, size=25)]
+        out = self._run(spark, y, horizons=(1, 3, 9), season=m)
+        n = len(y)
+        for h in (1, 3, 9):
+            assert out[f"naive_{h}"] == y[-1]
+            # FPP snaive: y[n + h - m*ceil(h/m)] (1-based)
+            back = m * -(-h // m)
+            assert out[f"snaive_{h}"] == y[n + h - back - 1]
+            np.testing.assert_allclose(
+                out[f"drift_{h}"],
+                y[-1] + h * (y[-1] - y[0]) / (n - 1), rtol=1e-12)
+
+    def test_seasonal_signal_snaive_exact(self, spark):
+        m = 4
+        pattern = [10, 20, 30, 40]
+        y = pattern * 6
+        out = self._run(spark, y, horizons=(1, 2, 3, 4, 5), season=m)
+        # a pure m-periodic series: snaive forecasts continue it exactly
+        for h in (1, 2, 3, 4, 5):
+            assert out[f"snaive_{h}"] == pattern[(len(y) + h - 1) % m]
+
+    def test_single_point_edges(self, spark):
+        out = self._run(spark, [7], horizons=(2,), season=3)
+        assert out["naive_2"] == 7.0
+        assert pd.isna(out["drift_2"])
+        assert pd.isna(out["snaive_2"])     # phase source before start
+
+    def test_validation(self, spark):
+        from dtaidistance_spark.functions.stats import baseline_forecasts
+        df = _points_df(spark, [("a", 0, 1)], ["series_id", "bucket_ts", "y"])
+        with pytest.raises(ValueError):
+            baseline_forecasts(df, horizons=())
+        with pytest.raises(ValueError):
+            baseline_forecasts(df, season=0)
+
+    def test_plan_no_python(self, spark):
+        from dtaidistance_spark.functions.stats import baseline_forecasts
+        rows = [("a", i, 1) for i in range(5)]
+        df = _points_df(spark, rows, ["series_id", "bucket_ts", "y"])
+        plan = (baseline_forecasts(df, horizons=(1,), season=2,
+                                   order_col="bucket_ts")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan and "BatchEval" not in plan
