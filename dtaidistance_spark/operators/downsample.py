@@ -109,3 +109,36 @@ def downsample_m4(points: DataFrame, n_buckets: int,
                     (F.col("_rl") == 1).alias("is_last"),
                     (F.col("_rmin") == 1).alias("is_min"),
                     (F.col("_rmax") == 1).alias("is_max")))
+
+
+def smooth_asap(points: DataFrame, max_window: int = 100,
+                series_col: str = "series_id",
+                ts_col: str = "bucket_ts",
+                value_col: str = "value") -> DataFrame:
+    """ASAP smoothing (Rong & Bailis, VLDB 2017; kernels/asap.py):
+    per series, pick the sliding-mean window that minimizes roughness
+    while preserving kurtosis, and emit the smoothed series — one row
+    per valid window position, stamped with the chosen ``window``.
+    The i-th smoothed value is anchored to the timestamp of the
+    window's FIRST point (positions are contiguous, so any other
+    anchoring is a fixed shift).  One ``applyInPandas`` per series
+    (the window search is global to the series), single hash exchange
+    — the same per-series-kernel plan shape as LTTB."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    base = points.select(series_col, ts_col, value_col)
+    schema = StructType(list(base.schema.fields)
+                        + [StructField("window", IntegerType(), False)])
+
+    def pick(pdf):
+        from ..kernels.asap import asap_smooth
+
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        v = pdf[value_col].values.astype("float64")
+        w, s = asap_smooth(v, max_window)
+        out = pdf.iloc[: len(s)][[series_col, ts_col]].copy()
+        out[value_col] = s
+        out["window"] = w
+        return out
+
+    return base.groupBy(series_col).applyInPandas(pick, schema=schema)

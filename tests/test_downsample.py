@@ -93,3 +93,84 @@ class TestLttbOperator:
             sub = got[got["series_id"] == sid]
             assert sub["value"].tolist() == exp["value"].tolist()
             assert list(sub["bucket_ts"]) == list(exp["bucket_ts"])
+
+
+class TestAsap:
+    def test_sliding_mean_and_metrics(self):
+        import numpy as np
+
+        from dtaidistance_spark.kernels.asap import (kurtosis, roughness,
+                                                     sliding_mean)
+
+        v = np.array([1.0, 2.0, 6.0, 2.0, 1.0])
+        np.testing.assert_allclose(sliding_mean(v, 2),
+                                   [1.5, 4.0, 4.0, 1.5])
+        np.testing.assert_allclose(sliding_mean(v, 1), v)
+        assert roughness(np.array([1.0, 1.0, 1.0])) == 0.0
+        # kurtosis of a big spike >> kurtosis of a flat-ish series
+        spike = np.zeros(100); spike[50] = 50.0
+        assert kurtosis(spike) > 20.0 > kurtosis(np.arange(100.0))
+
+    def test_periodic_noise_picks_period_and_reduces_roughness(self):
+        import numpy as np
+
+        from dtaidistance_spark.kernels.asap import (asap_smooth,
+                                                     roughness)
+
+        rng = np.random.default_rng(7)
+        n, p = 400, 20
+        v = (np.tile(np.sin(np.linspace(0, 2 * np.pi, p, endpoint=False)),
+                     n // p) * 5.0 + rng.normal(0, 1.0, n))
+        w, s = asap_smooth(v, max_window=60)
+        assert w > 1                       # it chose to smooth
+        assert roughness(s) < 0.5 * roughness(v)
+
+    def test_spike_preservation_vs_oversmoothing(self):
+        import numpy as np
+
+        from dtaidistance_spark.kernels.asap import (asap_window,
+                                                     kurtosis,
+                                                     sliding_mean)
+
+        rng = np.random.default_rng(11)
+        v = rng.normal(0, 1.0, 300)
+        v[150] = 60.0                      # the anomaly ASAP must keep
+        w = asap_window(v, max_window=50)
+        assert kurtosis(sliding_mean(v, w)) >= kurtosis(v)
+
+    def test_short_and_constant_series(self):
+        import numpy as np
+
+        from dtaidistance_spark.kernels.asap import asap_window
+
+        assert asap_window(np.array([1.0, 2.0]), 10) == 1
+        assert asap_window(np.full(50, 3.0), 10) in (1, 2)  # any is fine
+
+    def test_operator_matches_kernel(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from dtaidistance_spark.kernels.asap import asap_smooth
+        from dtaidistance_spark.operators.downsample import smooth_asap
+
+        rng = np.random.default_rng(3)
+        t0 = pd.Timestamp("2024-01-01")
+        rows, expect = [], {}
+        for sid in ("a", "b"):
+            v = (np.tile([0.0, 5.0, 0.0, -5.0], 30)
+                 + rng.normal(0, 0.5, 120))
+            rows += [(sid, t0 + pd.Timedelta(hours=i), float(x))
+                     for i, x in enumerate(v)]
+            expect[sid] = asap_smooth(v, 40)
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["series_id", "bucket_ts",
+                                        "value"]))
+        out = (smooth_asap(df, max_window=40)
+               .orderBy("series_id", "bucket_ts").toPandas())
+        for sid in ("a", "b"):
+            w, s = expect[sid]
+            sub = out[out["series_id"] == sid]
+            assert set(sub["window"]) == {w}
+            np.testing.assert_allclose(sub["value"].to_numpy(), s,
+                                       rtol=1e-12)
+            assert len(sub) == 120 - w + 1
