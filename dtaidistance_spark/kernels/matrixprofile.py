@@ -101,3 +101,50 @@ def matrix_profile_1d(values, m: int, excl: int | None = None,
         best_d[lo:hi] = d[np.arange(hi - lo), j]
     best_j[~np.isfinite(best_d)] = -1
     return best_d, best_j
+
+
+def topk_motifs(d, j, k: int, excl: int):
+    """Greedy top-k motif extraction from a profile (Yeh et al.
+    ICDM'16 §4.3): repeatedly take the admissible window with the
+    LOWEST profile value (earliest index on ties), report the pair
+    (i, j_i), then exclude the trivial-match zones ±excl around BOTH
+    members before the next pick.  Returns [(rank, i, j, dist)] with
+    0-based indices; fewer than k rows when the profile is exhausted."""
+    import numpy as np
+
+    d = np.asarray(d, dtype=float).copy()
+    j = np.asarray(j)
+    n = len(d)
+    d[j < 0] = np.inf
+    out = []
+    for r in range(int(k)):
+        if not np.isfinite(d).any():
+            break
+        i = int(np.argmin(d))           # first-min = earliest on ties
+        out.append((r, i, int(j[i]), float(d[i])))
+        for c in (i, int(j[i])):
+            d[max(0, c - excl):min(n, c + excl + 1)] = np.inf
+    return out
+
+
+def topk_discords(d, j, k: int, excl: int):
+    """Greedy top-k discord extraction: repeatedly take the admissible
+    window with the HIGHEST profile value (earliest on ties — the
+    subsequence farthest from everything else), then exclude ±excl
+    around it.  Returns [(rank, i, dist)], 0-based."""
+    import numpy as np
+
+    d = np.asarray(d, dtype=float).copy()
+    j = np.asarray(j)
+    n = len(d)
+    d[j < 0] = -np.inf
+    out = []
+    for r in range(int(k)):
+        if not (d > -np.inf).any():
+            break
+        i = int(np.argmax(d))
+        if not np.isfinite(d[i]):
+            break
+        out.append((r, i, float(d[i])))
+        d[max(0, i - excl):min(n, i + excl + 1)] = -np.inf
+    return out

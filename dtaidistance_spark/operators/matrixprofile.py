@@ -55,3 +55,61 @@ def matrix_profile(series: DataFrame, m: int, excl: int | None = None,
             .mapInPandas(prof,
                          "series_id string, i int, "
                          "mp_dist double, mp_idx int"))
+
+
+def _profile_head(profile: DataFrame, k: int, excl: int, kind: str):
+    schema = ("series_id string, rank int, i int, j int, dist double"
+              if kind == "motif" else
+              "series_id string, rank int, i int, dist double")
+
+    def pick(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from ..kernels.matrixprofile import topk_discords, topk_motifs
+
+        pdf = pdf.sort_values("i").reset_index(drop=True)
+        n = int(pdf["i"].max())
+        d = np.full(n, np.inf)
+        j = np.full(n, -1, dtype=np.int64)
+        d[pdf["i"].values - 1] = pdf["mp_dist"].values
+        j[pdf["i"].values - 1] = pdf["mp_idx"].values - 1
+        sid = pdf["series_id"].iloc[0]
+        if kind == "motif":
+            rows = [(sid, r, i + 1, jj + 1, v)
+                    for (r, i, jj, v) in topk_motifs(d, j, k, excl)]
+            cols = ["series_id", "rank", "i", "j", "dist"]
+        else:
+            rows = [(sid, r, i + 1, v)
+                    for (r, i, v) in topk_discords(d, j, k, excl)]
+            cols = ["series_id", "rank", "i", "dist"]
+        return pd.DataFrame(rows, columns=cols)
+
+    return profile.groupBy("series_id").applyInPandas(pick, schema=schema)
+
+
+def motif_topk(profile: DataFrame, k: int = 3,
+               excl: int | None = None, m: int | None = None) -> DataFrame:
+    """Greedy top-k motifs per series from a ``matrix_profile`` result
+    (kernels/matrixprofile.py::topk_motifs — lowest profile value,
+    then both members' ±excl trivial-match zones suppressed).  The
+    profile rows per series are tiny (n−m+1), so this is one cheap
+    ``applyInPandas`` over the already-distributed profile; pass the
+    same ``excl`` the profile used (default m//2 when ``m`` given)."""
+    if excl is None:
+        if m is None:
+            raise ValueError("pass excl or m")
+        excl = max(1, int(m) // 2)
+    return _profile_head(profile, int(k), int(excl), "motif")
+
+
+def discord_topk(profile: DataFrame, k: int = 3,
+                 excl: int | None = None, m: int | None = None) -> DataFrame:
+    """Greedy top-k discords per series from a ``matrix_profile``
+    result (highest profile value, ±excl suppression after each
+    pick)."""
+    if excl is None:
+        if m is None:
+            raise ValueError("pass excl or m")
+        excl = max(1, int(m) // 2)
+    return _profile_head(profile, int(k), int(excl), "discord")

@@ -120,3 +120,79 @@ class TestOperator:
         df = spark.createDataFrame([("a", list(map(float, range(24))))],
                                    "series_id string, values array<double>")
         assert matrix_profile(df, m=24).count() == 0
+
+
+class TestMotifDiscord:
+    @staticmethod
+    def _planted(n=300, m=16, seed=5):
+        """Periodic background + a near-identical planted pair (the
+        motif) + a shape anomaly (the discord).  NB the profile is
+        z-normalized, so the discord must differ in SHAPE — a mean
+        shift would be invisible."""
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        t = np.arange(n)
+        v = np.sin(2 * np.pi * t / 16.0) * 2.0 + rng.normal(0, 0.3, n)
+        pat = np.sin(np.linspace(0, 4 * np.pi, m)) * np.linspace(3, 1, m)
+        v[40:40 + m] = pat + rng.normal(0, 0.02, m)   # motif pair
+        v[200:200 + m] = pat + rng.normal(0, 0.02, m)
+        v[120:120 + m] = rng.normal(0, 1.0, m)        # shape discord
+        return v, m
+
+    def test_kernel_finds_planted_motif_and_discord(self):
+        import numpy as np
+
+        from dtaidistance_spark.kernels.matrixprofile import (
+            matrix_profile_1d, topk_discords, topk_motifs)
+
+        v, m = self._planted()
+        d, j = matrix_profile_1d(v, m)
+        excl = m // 2
+        motifs = topk_motifs(d, j, 2, excl)
+        r, i, jj, dist = motifs[0]
+        assert {min(i, jj) // 10, max(i, jj) // 10} == {4, 20}
+        discords = topk_discords(d, j, 2, excl)
+        assert abs(discords[0][1] - 120) <= m     # the planted anomaly
+        # suppression: rank-1 picks are outside every rank-0 zone
+        if len(motifs) > 1:
+            for c in (motifs[1][1], motifs[1][2]):
+                assert abs(c - i) > excl and abs(c - jj) > excl
+        if len(discords) > 1:
+            assert abs(discords[1][1] - discords[0][1]) > excl
+
+    def test_operator_matches_kernel(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from dtaidistance_spark.kernels.matrixprofile import (
+            matrix_profile_1d, topk_discords, topk_motifs)
+        from dtaidistance_spark.operators.matrixprofile import (
+            discord_topk, matrix_profile, motif_topk)
+
+        v, m = self._planted()
+        df = spark.createDataFrame(
+            pd.DataFrame({"series_id": ["a"],
+                          "values": [[float(x) for x in v]]}))
+        prof = matrix_profile(df, m=m)
+        got_m = (motif_topk(prof, k=2, m=m)
+                 .orderBy("rank").toPandas())
+        got_d = (discord_topk(prof, k=2, m=m)
+                 .orderBy("rank").toPandas())
+        d, j = matrix_profile_1d(v, m)
+        want_m = topk_motifs(d, j, 2, m // 2)
+        want_d = topk_discords(d, j, 2, m // 2)
+        assert len(got_m) == len(want_m)
+        for (r, i, jj, dist), (_, row) in zip(want_m, got_m.iterrows()):
+            assert (row["rank"], row["i"], row["j"]) == (r, i + 1, jj + 1)
+            assert row["dist"] == dist
+        assert len(got_d) == len(want_d)
+        for (r, i, dist), (_, row) in zip(want_d, got_d.iterrows()):
+            assert (row["rank"], row["i"]) == (r, i + 1)
+            assert row["dist"] == dist
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from dtaidistance_spark.operators.matrixprofile import motif_topk
+        with _pt.raises(ValueError, match="excl or m"):
+            motif_topk(None, k=1)
