@@ -237,3 +237,48 @@ def series_arrays(agg: DataFrame, bucket: str, value_col: str = "sum",
         .select("series_id", "t0", F.lit(step).alias("step_s"),
                 F.col("n").cast("int").alias("n"), "values")
     )
+
+
+def rollup_distinct(points: DataFrame, bucket: str = "1h",
+                    key_col: str = "series_id",
+                    group_col: str | None = None,
+                    lg_k: int = 12) -> DataFrame:
+    """Per-bucket DISTINCT-count tier as a MERGEABLE HyperLogLog
+    sketch (Spark's Apache DataSketches `hll_sketch_agg`): exact
+    distinct counts cannot cascade (distinct-per-hour does not sum to
+    distinct-per-day), but HLL register states union losslessly —
+    register-wise max — so `cascade_distinct` re-aggregates tiers
+    without ever touching the raw points again, exactly like the
+    numeric rollup cascade.  That property is what makes corpus-wide
+    cardinality questions (distinct users/day over 100 TB of events)
+    one tier-sized shuffle instead of a raw re-scan.
+
+    Output: (group, bucket_ts, sketch binary, distinct_est long).
+    ``group_col=None`` gives one corpus-wide row per bucket.
+    DataSketches HLL is exact through its sparse regime (hundreds of
+    items at the default lg_k=12) and ±~1.6%/√(2^lg_k) beyond.
+    """
+    trunc, _ = BUCKET_SPEC[bucket]
+    keys = [bucket_col(F.col("ts"), bucket).alias("bucket_ts")]
+    if group_col is not None:
+        keys.insert(0, F.col(group_col))
+    agg = points.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(key_col), F.lit(int(lg_k)))
+        .alias("sketch"))
+    return agg.withColumn(
+        "distinct_est", F.hll_sketch_estimate(F.col("sketch")))
+
+
+def cascade_distinct(agg: DataFrame, to_bucket: str,
+                     group_col: str | None = None) -> DataFrame:
+    """Merge a finer distinct-sketch tier into a coarser one via
+    `hll_union_agg` — the register-wise max union, so the cascaded
+    sketch is IDENTICAL to a direct sketch of the raw points (the
+    mergeability invariant tests pin with ==)."""
+    keys = [bucket_col(F.col("bucket_ts"), to_bucket).alias("bucket_ts")]
+    if group_col is not None:
+        keys.insert(0, F.col(group_col))
+    out = agg.groupBy(*keys).agg(
+        F.hll_union_agg(F.col("sketch")).alias("sketch"))
+    return out.withColumn(
+        "distinct_est", F.hll_sketch_estimate(F.col("sketch")))

@@ -185,3 +185,78 @@ class TestSeriesArrays:
         agg_one = agg.where(f"series_id = '{one['series_id']}'") \
             .orderBy("bucket_ts").toPandas()
         np.testing.assert_allclose(one["values"], agg_one["cnt"].astype(float))
+
+
+class TestDistinctSketchRollup:
+    def _points(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F  # noqa: F401
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        # users hit in overlapping hourly patterns; distinct/day is NOT
+        # the sum of distinct/hour
+        for h in range(48):
+            for u in range(h % 7 + 1):
+                rows.append((f"u{u}", t0 + pd.Timedelta(hours=h, minutes=u)))
+        for u in range(200):        # one burst hour with many users
+            rows.append((f"b{u}", t0 + pd.Timedelta(hours=5, minutes=30)))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts"]))
+
+    def test_estimates_exact_in_sparse_regime(self, spark):
+        from pyspark.sql import functions as F
+
+        from dtaidistance_spark.operators.rollup import rollup_distinct
+        pts = self._points(spark)
+        hourly = rollup_distinct(pts, "1h", key_col="user_id").toPandas()
+        exact = (pts.groupBy(F.date_trunc("hour", "ts").alias("bucket_ts"))
+                 .agg(F.countDistinct("user_id").alias("d"))
+                 .toPandas().set_index("bucket_ts")["d"])
+        got = hourly.set_index("bucket_ts")["distinct_est"].sort_index()
+        assert (got == exact.sort_index()).all()   # sparse regime: exact
+
+    def test_cascade_equals_direct_sketch(self, spark):
+        """The mergeability invariant: unioning the hourly sketches IS
+        the daily sketch — estimates equal bit-for-bit, which exact
+        distinct counts can never do (they don't cascade at all)."""
+        from dtaidistance_spark.operators.rollup import (cascade_distinct,
+                                                         rollup_distinct)
+        pts = self._points(spark)
+        hourly = rollup_distinct(pts, "1h", key_col="user_id")
+        daily_cascaded = (cascade_distinct(hourly, "1d")
+                          .toPandas().set_index("bucket_ts")
+                          ["distinct_est"].sort_index())
+        daily_direct = (rollup_distinct(pts, "1d", key_col="user_id")
+                        .toPandas().set_index("bucket_ts")
+                        ["distinct_est"].sort_index())
+        assert (daily_cascaded == daily_direct).all()
+        # and it is NOT the sum of hourly distincts (the naive error)
+        naive = (hourly.toPandas()
+                 .assign(day=lambda d: d["bucket_ts"].dt.floor("D"))
+                 .groupby("day")["distinct_est"].sum())
+        assert (naive.values > daily_direct.values).any()
+
+    def test_error_bound_large_cardinality(self, spark):
+        from pyspark.sql import functions as F
+
+        from dtaidistance_spark.operators.rollup import rollup_distinct
+        n = 50000
+        pts = spark.range(n).select(
+            F.concat(F.lit("u"), F.col("id").cast("string"))
+            .alias("user_id"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"))
+        est = (rollup_distinct(pts, "1h", key_col="user_id")
+               .toPandas()["distinct_est"].iloc[0])
+        assert abs(est / n - 1.0) < 0.05
+
+    def test_grouped_and_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from dtaidistance_spark.operators.rollup import rollup_distinct
+        pts = self._points(spark).withColumn("region", F.lit("eu"))
+        out = rollup_distinct(pts, "1d", key_col="user_id",
+                              group_col="region")
+        pdf = out.toPandas()
+        assert set(pdf["region"]) == {"eu"} and len(pdf) == 2
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
