@@ -282,3 +282,87 @@ def cascade_distinct(agg: DataFrame, to_bucket: str,
         F.hll_union_agg(F.col("sketch")).alias("sketch"))
     return out.withColumn(
         "distinct_est", F.hll_sketch_estimate(F.col("sketch")))
+
+
+def rollup_quantile_sketch(points: DataFrame, bucket: str = "1h",
+                           value_col: str = "value",
+                           group_col: str | None = None,
+                           k: int = 200) -> DataFrame:
+    """Per-bucket MERGEABLE quantile tier as a KLL double sketch
+    (Spark's DataSketches `kll_sketch_agg_double`): exact percentiles
+    cannot cascade (p99-per-hour says nothing about p99-per-day), but
+    KLL sketches merge with preserved rank-error bounds, so
+    `cascade_quantile_sketch` re-aggregates tiers without touching raw
+    points — the same economics as the numeric cascade and
+    `rollup_distinct`.  This is the tier-structured big brother of the
+    `approx_percentile` swap-in the latency_quantiles query documents.
+
+    Output: (group?, bucket_ts, sketch, n).  KLL is EXACT while a
+    bucket holds ≤ k values (the sketch retains them all) and has
+    ~1.65% one-sided rank error at the default k=200 beyond.
+    """
+    keys = [bucket_col(F.col("ts"), bucket).alias("bucket_ts")]
+    if group_col is not None:
+        keys.insert(0, F.col(group_col))
+    agg = points.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"),
+                                F.lit(int(k))).alias("sketch"))
+    return agg.withColumn("n", F.kll_sketch_get_n_double(F.col("sketch")))
+
+
+def cascade_quantile_sketch(agg: DataFrame, to_bucket: str,
+                            group_col: str | None = None) -> DataFrame:
+    """Merge a finer KLL tier into a coarser one
+    (`kll_merge_agg_double`)."""
+    keys = [bucket_col(F.col("bucket_ts"), to_bucket).alias("bucket_ts")]
+    if group_col is not None:
+        keys.insert(0, F.col(group_col))
+    out = agg.groupBy(*keys).agg(
+        F.kll_merge_agg_double(F.col("sketch")).alias("sketch"))
+    return out.withColumn("n", F.kll_sketch_get_n_double(F.col("sketch")))
+
+
+def quantiles_from_sketch(agg: DataFrame,
+                          qs=(0.5, 0.95, 0.99)) -> DataFrame:
+    """Read quantile columns (p50, p95, …) off a KLL tier row."""
+    cols = [c for c in agg.columns if c != "sketch"]
+    for q in qs:
+        name = f"p{int(round(q * 100))}"
+        cols.append(F.kll_sketch_get_quantile_double(
+            F.col("sketch"), F.lit(float(q))).alias(name))
+    return agg.select(*cols)
+
+
+def retention_sketch(points: DataFrame, key_col: str,
+                     horizon_days: int = 7,
+                     ts_col: str = "ts") -> DataFrame:
+    """Sketch-based N-day retention (Theta set algebra): per day d,
+    the distinct actives, how many of them are also active on day
+    d+horizon (`theta_intersection` of the two days' sketches), and
+    how many are not (`theta_difference` — the churned set).  The
+    exact-join formulation (the `retention_7d` driver query) re-scans
+    and self-joins raw events; this tier answers the same question
+    from one row per day — at 100 TB the join disappears entirely.
+    Theta sketches are EXACT below their nominal-entries threshold
+    (4096 default), so small-corpus outputs equal the exact counts.
+
+    Output: (day, active_est, retained_est, churned_est).
+    """
+    daily = (points.groupBy(
+        F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .agg(F.theta_sketch_agg(F.col(key_col).cast("string"))
+             .alias("sk")))
+    nxt = daily.select(
+        (F.col("day") - F.expr(f"interval {int(horizon_days)} day"))
+        .alias("day"),
+        F.col("sk").alias("sk_next"))
+    j = daily.join(nxt, "day", "inner")
+    return j.select(
+        "day",
+        F.theta_sketch_estimate(F.col("sk")).alias("active_est"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk"), F.col("sk_next")))
+        .alias("retained_est"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk"), F.col("sk_next")))
+        .alias("churned_est"))

@@ -260,3 +260,81 @@ class TestDistinctSketchRollup:
         assert set(pdf["region"]) == {"eu"} and len(pdf) == 2
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestQuantileSketchRollup:
+    def test_exact_in_small_regime_and_cascade(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from dtaidistance_spark.operators.rollup import (
+            cascade_quantile_sketch, quantiles_from_sketch,
+            rollup_quantile_sketch)
+
+        rng = np.random.default_rng(2)
+        rows = []
+        t0 = pd.Timestamp("2024-01-01")
+        vals = {}
+        for h in range(6):
+            v = rng.integers(0, 1000, size=50)   # 50 <= k: sketch exact
+            vals[h] = v
+            rows += [(t0 + pd.Timedelta(hours=h, minutes=i % 60),
+                      float(x)) for i, x in enumerate(v)]
+        pts = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["ts", "value"]))
+        hourly = rollup_quantile_sketch(pts, "1h", k=200)
+        got = (quantiles_from_sketch(hourly, qs=(0.5,))
+               .toPandas().set_index("bucket_ts").sort_index())
+        for h in range(6):
+            # DataSketches quantile def: smallest item whose rank >= q
+            v = np.sort(vals[h])
+            assert got["p50"].iloc[h] in v
+            r = (v <= got["p50"].iloc[h]).mean()
+            assert 0.45 <= r <= 0.56
+        # cascade to 1d: merged n equals total count; p50 within rank
+        # error of the exact pooled median
+        daily = cascade_quantile_sketch(hourly, "1d")
+        drow = quantiles_from_sketch(daily, qs=(0.5,)).toPandas().iloc[0]
+        assert drow["n"] == 300
+        pooled = np.sort(np.concatenate(list(vals.values())))
+        rank = (pooled <= drow["p50"]).mean()
+        assert 0.40 <= rank <= 0.60
+
+    def test_error_bound_large(self, spark):
+        from pyspark.sql import functions as F
+
+        from dtaidistance_spark.operators.rollup import (
+            quantiles_from_sketch, rollup_quantile_sketch)
+
+        pts = spark.range(100000).select(
+            F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.col("id").cast("double").alias("value"))
+        out = quantiles_from_sketch(
+            rollup_quantile_sketch(pts, "1h", k=200),
+            qs=(0.99,)).toPandas().iloc[0]
+        assert abs(out["p99"] / 99000.0 - 1.0) < 0.04
+
+
+class TestRetentionSketch:
+    def test_matches_exact_in_sparse_regime(self, spark):
+        from pyspark.sql import functions as F
+
+        from dtaidistance_spark.operators.rollup import retention_sketch
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        # day 0: users 0..99; day 7: users 50..129 -> retained 50
+        for u in range(100):
+            rows.append((f"u{u}", t0 + pd.Timedelta(minutes=u)))
+        for u in range(50, 130):
+            rows.append((f"u{u}", t0 + pd.Timedelta(days=7, minutes=u)))
+        pts = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts"]))
+        out = (retention_sketch(pts, key_col="user_id", horizon_days=7)
+               .toPandas())
+        assert len(out) == 1
+        row = out.iloc[0]
+        assert row["day"] == t0
+        assert row["active_est"] == 100      # theta exact below 4096
+        assert row["retained_est"] == 50
+        assert row["churned_est"] == 50
