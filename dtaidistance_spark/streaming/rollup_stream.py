@@ -154,3 +154,30 @@ def stream_to_snapshots(spark: SparkSession, input_dir: str, schema: str,
          .start())
     q.awaitTermination()
     return q
+
+
+def stream_rollup_distinct(stream: DataFrame, key_col: str,
+                           bucket: str = "1 hour",
+                           ts_col: str = "ts",
+                           watermark: str = "10 minutes",
+                           lg_k: int = 12) -> DataFrame:
+    """Streaming distinct-count tier: per event-time bucket, a
+    MERGEABLE HyperLogLog sketch of the distinct ``key_col`` values
+    plus its estimate (the streaming twin of
+    operators/rollup.rollup_distinct — `hll_sketch_agg` is an
+    algebraic aggregate, so it runs inside the watermarked windowed
+    aggregation exactly like cnt/sum, with bounded per-window state).
+    The emitted binary sketches union downstream with
+    `cascade_distinct`, so the streaming tier feeds the same
+    distinct-per-day cascade as the batch tier — no raw retention
+    needed."""
+    return (
+        stream
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), bucket).alias("w"))
+        .agg(F.hll_sketch_agg(F.col(key_col), F.lit(int(lg_k)))
+             .alias("sketch"))
+        .select(F.col("w.start").alias("bucket_ts"), "sketch",
+                F.hll_sketch_estimate(F.col("sketch"))
+                .alias("distinct_est"))
+    )

@@ -338,3 +338,56 @@ class TestRetentionSketch:
         assert row["active_est"] == 100      # theta exact below 4096
         assert row["retained_est"] == 50
         assert row["churned_est"] == 50
+
+
+class TestStreamDistinct:
+    def test_stream_sketches_feed_batch_cascade(self, spark, tmp_path):
+        """Streaming hourly HLL sketches == the batch tier, and the
+        emitted sketches cascade to the identical daily estimates."""
+        from pyspark.sql import functions as F
+
+        from dtaidistance_spark.operators.rollup import (cascade_distinct,
+                                                         rollup_distinct)
+        from dtaidistance_spark.streaming.rollup_stream import (
+            stream_rollup_distinct)
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for h in range(30):
+            for u in range(h % 9 + 1):
+                rows.append((f"u{u + h % 3}",
+                             t0 + pd.Timedelta(hours=h, minutes=u)))
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        src_dir, out_dir, ck_dir = (str(tmp_path / d)
+                                    for d in ("d_src", "d_out", "d_ck"))
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "user_id string, ts timestamp").parquet(src_dir)
+        q = (stream_rollup_distinct(src, key_col="user_id")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = spark.read.parquet(out_dir)
+        batch = rollup_distinct(spark.createDataFrame(pdf), "1h",
+                                key_col="user_id")
+        g = got.orderBy("bucket_ts").toPandas()
+        b = batch.orderBy("bucket_ts").toPandas()
+        # append mode emits only watermark-closed windows
+        merged = g.merge(b, on="bucket_ts", suffixes=("_s", "_b"))
+        assert len(merged) == len(g) > 0
+        assert (merged["distinct_est_s"]
+                == merged["distinct_est_b"]).all()
+        # the streamed sketches feed the SAME daily cascade
+        daily_s = (cascade_distinct(got, "1d")
+                   .orderBy("bucket_ts").toPandas())
+        daily_b = (cascade_distinct(
+            batch.filter(F.col("bucket_ts")
+                         .isin([pd.Timestamp(x) for x in
+                                g["bucket_ts"]])), "1d")
+            .orderBy("bucket_ts").toPandas())
+        assert (daily_s["distinct_est"].values
+                == daily_b["distinct_est"].values).all()
