@@ -16,6 +16,7 @@ regardless of the input scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def downsample_lttb(points: DataFrame, n_out: int,
@@ -124,11 +125,19 @@ def smooth_asap(points: DataFrame, max_window: int = 100,
     anchoring is a fixed shift).  One ``applyInPandas`` per series
     (the window search is global to the series), single hash exchange
     — the same per-series-kernel plan shape as LTTB."""
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
 
-    base = points.select(series_col, ts_col, value_col)
-    schema = StructType(list(base.schema.fields)
-                        + [StructField("window", IntegerType(), False)])
+    base = points.select(series_col, ts_col,
+                         F.col(value_col).cast("double").alias(value_col))
+    # value column forced to double: the smoothed means are fractional,
+    # and an integer-typed passthrough schema would let Arrow truncate
+    # them silently
+    schema = StructType(
+        [f if f.name != value_col
+         else StructField(value_col, DoubleType(), True)
+         for f in base.schema.fields]
+        + [StructField("window", IntegerType(), False)])
 
     def pick(pdf):
         from ..kernels.asap import asap_smooth

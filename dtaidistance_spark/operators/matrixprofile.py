@@ -68,7 +68,6 @@ def _profile_head(profile: DataFrame, k: int, excl: int, kind: str):
 
         from ..kernels.matrixprofile import topk_discords, topk_motifs
 
-        pdf = pdf.sort_values("i").reset_index(drop=True)
         n = int(pdf["i"].max())
         d = np.full(n, np.inf)
         j = np.full(n, -1, dtype=np.int64)
@@ -95,11 +94,12 @@ def motif_topk(profile: DataFrame, k: int = 3,
     then both members' ±excl trivial-match zones suppressed).  The
     profile rows per series are tiny (n−m+1), so this is one cheap
     ``applyInPandas`` over the already-distributed profile; pass the
-    same ``excl`` the profile used (default m//2 when ``m`` given)."""
+    same ``excl`` the profile used — when only ``m`` is given the
+    default mirrors ``matrix_profile_1d``'s own m//4 zone."""
     if excl is None:
         if m is None:
             raise ValueError("pass excl or m")
-        excl = max(1, int(m) // 2)
+        excl = max(1, int(m) // 4)
     return _profile_head(profile, int(k), int(excl), "motif")
 
 
@@ -107,9 +107,9 @@ def discord_topk(profile: DataFrame, k: int = 3,
                  excl: int | None = None, m: int | None = None) -> DataFrame:
     """Greedy top-k discords per series from a ``matrix_profile``
     result (highest profile value, ±excl suppression after each
-    pick)."""
+    pick; the ``m``-derived default matches the profile's m//4)."""
     if excl is None:
         if m is None:
             raise ValueError("pass excl or m")
-        excl = max(1, int(m) // 2)
+        excl = max(1, int(m) // 4)
     return _profile_head(profile, int(k), int(excl), "discord")

@@ -258,7 +258,6 @@ def rollup_distinct(points: DataFrame, bucket: str = "1h",
     DataSketches HLL is exact through its sparse regime (hundreds of
     items at the default lg_k=12) and ±~1.6%/√(2^lg_k) beyond.
     """
-    trunc, _ = BUCKET_SPEC[bucket]
     keys = [bucket_col(F.col("ts"), bucket).alias("bucket_ts")]
     if group_col is not None:
         keys.insert(0, F.col(group_col))
@@ -326,8 +325,13 @@ def quantiles_from_sketch(agg: DataFrame,
                           qs=(0.5, 0.95, 0.99)) -> DataFrame:
     """Read quantile columns (p50, p95, …) off a KLL tier row."""
     cols = [c for c in agg.columns if c != "sketch"]
+    names = []
     for q in qs:
-        name = f"p{int(round(q * 100))}"
+        # collision-safe label: p50, p95, p99, p99_9, p0_5 ...
+        name = "p" + f"{float(q) * 100:g}".replace(".", "_")
+        if name in names:
+            raise ValueError(f"duplicate quantile label {name}")
+        names.append(name)
         cols.append(F.kll_sketch_get_quantile_double(
             F.col("sketch"), F.lit(float(q))).alias(name))
     return agg.select(*cols)
@@ -356,13 +360,19 @@ def retention_sketch(points: DataFrame, key_col: str,
         (F.col("day") - F.expr(f"interval {int(horizon_days)} day"))
         .alias("day"),
         F.col("sk").alias("sk_next"))
-    j = daily.join(nxt, "day", "inner")
+    # LEFT join: a day whose d+horizon has no events at all is full
+    # churn (retained 0), not a missing row — an inner join would
+    # silently drop the worst-retention days
+    j = daily.join(nxt, "day", "left")
+    active = F.theta_sketch_estimate(F.col("sk"))
     return j.select(
         "day",
-        F.theta_sketch_estimate(F.col("sk")).alias("active_est"),
-        F.theta_sketch_estimate(
-            F.theta_intersection(F.col("sk"), F.col("sk_next")))
+        active.alias("active_est"),
+        F.when(F.col("sk_next").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk"), F.col("sk_next"))))
         .alias("retained_est"),
-        F.theta_sketch_estimate(
-            F.theta_difference(F.col("sk"), F.col("sk_next")))
+        F.when(F.col("sk_next").isNull(), active)
+        .otherwise(F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk"), F.col("sk_next"))))
         .alias("churned_est"))

@@ -65,12 +65,15 @@ def zscore_step(state: List[int], ys: Sequence[int], window: int,
     mirrors functions/stats.anomaly_zscore exactly (see module
     docstring)."""
     out = []
+    # O(1) running sums: python ints are arbitrary precision, so
+    # add-on-append / subtract-on-evict stays EXACT — identical values
+    # to a from-scratch rescan, without the O(window) per-step cost
+    sy = sum(state)
+    syy = sum(v * v for v in state)
     for i, y in enumerate(ys):
         y = int(y)
         n = len(state)
         if n >= min_obs:
-            sy = sum(state)                      # exact (python ints)
-            syy = sum(v * v for v in state)
             nf = float(n)
             syf = float(sy)
             d2 = nf * float(syy) - syf * syf     # the batch op tree
@@ -80,8 +83,12 @@ def zscore_step(state: List[int], ys: Sequence[int], window: int,
                 if abs(z) > threshold:
                     out.append((i, y, n, z))
         state.append(y)
+        sy += y
+        syy += y * y
         if len(state) > window:
-            del state[0]
+            old_v = state.pop(0)
+            sy -= old_v
+            syy -= old_v * old_v
     return out
 
 

@@ -179,8 +179,9 @@ class TestMotifDiscord:
         got_d = (discord_topk(prof, k=2, m=m)
                  .orderBy("rank").toPandas())
         d, j = matrix_profile_1d(v, m)
-        want_m = topk_motifs(d, j, 2, m // 2)
-        want_d = topk_discords(d, j, 2, m // 2)
+        # the m-derived default exclusion zone mirrors the profile's m//4
+        want_m = topk_motifs(d, j, 2, m // 4)
+        want_d = topk_discords(d, j, 2, m // 4)
         assert len(got_m) == len(want_m)
         for (r, i, jj, dist), (_, row) in zip(want_m, got_m.iterrows()):
             assert (row["rank"], row["i"], row["j"]) == (r, i + 1, jj + 1)

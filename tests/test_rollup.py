@@ -331,13 +331,18 @@ class TestRetentionSketch:
         pts = spark.createDataFrame(
             pd.DataFrame(rows, columns=["user_id", "ts"]))
         out = (retention_sketch(pts, key_col="user_id", horizon_days=7)
-               .toPandas())
-        assert len(out) == 1
+               .toPandas().sort_values("day").reset_index(drop=True))
+        assert len(out) == 2                 # day 7 kept as full churn
         row = out.iloc[0]
         assert row["day"] == t0
         assert row["active_est"] == 100      # theta exact below 4096
         assert row["retained_est"] == 50
         assert row["churned_est"] == 50
+        last = out.iloc[1]                   # no day-14 events at all
+        assert last["day"] == t0 + pd.Timedelta(days=7)
+        assert last["active_est"] == 80
+        assert last["retained_est"] == 0
+        assert last["churned_est"] == 80
 
 
 class TestStreamDistinct:
