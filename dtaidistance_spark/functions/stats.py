@@ -37,6 +37,10 @@ contract plus the classic series diagnostics):
 * ``baseline_forecasts`` — the FPP §5.2 benchmark forecasters
   (naive / seasonal-naive / drift) as exact array selections over
   the same one-collect plan.
+* ``cross_corr`` — the cross-correlation function (CCF) between
+  series pairs at integer bucket lags: ``autocorr``'s two-series
+  generalization, the classic lead/lag diagnostic, with the pair
+  list broadcast onto the scan.
 
 Plans: ``linreg_stats`` is ONE map-side-partial hash aggregation;
 ``autocorr`` and ``ewma`` are equi-joins on a shifted bucket/rank key
@@ -721,3 +725,66 @@ def baseline_forecasts(
                         .alias(f"snaive_{h}"))
         cols.append((last + F.lit(float(h)) * slope).alias(f"drift_{h}"))
     return g.select(*cols)
+
+
+def cross_corr(
+    points: DataFrame,
+    pairs,
+    lags: Sequence[int] = (0,),
+    series_col: str = "series_id",
+    idx_col: str = "idx",
+    y_col: str = "y",
+) -> DataFrame:
+    """Cross-correlation function (CCF) between series pairs at
+    integer bucket lags — the two-series generalization of
+    ``autocorr``: for each requested pair (a, b) and lag k, the
+    Pearson correlation over {(yᵃᵢ, yᵇᵢ₊ₖ) : both buckets present}
+    (gaps drop pairs, the same time-lag semantics).  A positive peak
+    at lag k > 0 means b FOLLOWS a by k buckets — the classic
+    lead/lag diagnostic between two metrics.
+
+    ``pairs`` is a list of (a, b) tuples or a DataFrame with columns
+    ``a``/``b`` (broadcast onto the scan — keep it to the pairs you
+    actually want; all-pairs across a huge corpus is a quadratic ask
+    and belongs to the distance-matrix machinery).  Output one row per
+    (a, b, lag): ``n_pairs`` and ``ccf`` (NULL on zero variance or
+    fewer than 2 pairs).
+
+    Plan: pair list broadcast-joined onto both sides, bounded lag
+    explode, ONE shuffled equi-join on (b, idx+lag) and ONE hash
+    aggregation — |pairs|·|lags| · series-length rows, no window.
+    Exactness: same contract as ``autocorr`` (integer y → exact
+    sufficient sums → one fixed IEEE tree).
+    """
+    if not isinstance(pairs, DataFrame):
+        spark = points.sparkSession
+        pairs = spark.createDataFrame(
+            [(str(a), str(b)) for a, b in pairs], ["a", "b"])
+    lag_arr = F.array(*[F.lit(int(k)) for k in lags])
+    left = (points.select(
+                F.col(series_col).alias("a"),
+                F.col(idx_col).cast("long").alias("_i"),
+                F.col(y_col).cast(_D).alias("_ya"))
+            .join(F.broadcast(pairs), "a")
+            .withColumn("lag", F.explode(lag_arr))
+            .withColumn("_j", F.col("_i") + F.col("lag")))
+    right = points.select(
+        F.col(series_col).alias("b"),
+        F.col(idx_col).cast("long").alias("_j"),
+        F.col(y_col).cast(_D).alias("_yb"))
+    joined = left.join(right, ["b", "_j"])
+    g = joined.groupBy("a", "b", "lag").agg(
+        F.count(F.lit(1)).cast(_D).alias("_n"),
+        F.sum("_ya").alias("_sx"),
+        F.sum("_yb").alias("_sy"),
+        F.sum(F.col("_ya") * F.col("_ya")).alias("_sxx"),
+        F.sum(F.col("_yb") * F.col("_yb")).alias("_syy"),
+        F.sum(F.col("_ya") * F.col("_yb")).alias("_sxy"),
+    )
+    return g.select(
+        "a", "b", "lag",
+        F.col("_n").cast("long").alias("n_pairs"),
+        _corr_expr(F.col("_n"), F.col("_sx"), F.col("_sy"),
+                   F.col("_sxx"), F.col("_syy"), F.col("_sxy"))
+        .alias("ccf"),
+    )

@@ -613,3 +613,55 @@ class TestBaselineForecasts:
                                    order_col="bucket_ts")
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Python" not in plan and "BatchEval" not in plan
+
+
+class TestCrossCorr:
+    def test_matches_numpy_and_lead_lag(self, spark, rng):
+        from dtaidistance_spark.functions.stats import cross_corr
+
+        n = 60
+        ya = [int(v) for v in rng.integers(0, 100, size=n)]
+        yb = [0, 0, 0] + ya[:-3]         # b follows a by 3 buckets
+        rows = ([("a", i, v) for i, v in enumerate(ya)]
+                + [("b", i, v) for i, v in enumerate(yb)])
+        df = _points_df(spark, rows, ["series_id", "idx", "y"])
+        out = (cross_corr(df, [("a", "b")], lags=[0, 1, 2, 3, 4])
+               .toPandas().set_index("lag").sort_index())
+        # peak exactly at lag 3, correlation 1 (pure shift)
+        np.testing.assert_allclose(out.loc[3, "ccf"], 1.0, rtol=1e-12)
+        assert out.loc[3, "n_pairs"] == n - 3
+        assert out["ccf"].idxmax() == 3
+        # lag 0 matches numpy's plain Pearson on the overlap
+        expect = np.corrcoef(ya, yb)[0, 1]
+        np.testing.assert_allclose(out.loc[0, "ccf"], expect, rtol=1e-12)
+
+    def test_gaps_drop_pairs_and_self_pair(self, spark):
+        from dtaidistance_spark.functions.stats import autocorr, cross_corr
+
+        rows = [("a", i, v) for i, v in
+                [(0, 1), (1, 3), (2, 2), (5, 8), (6, 4)]]
+        df = _points_df(spark, rows, ["series_id", "idx", "y"])
+        # (a, a) at lag k must equal autocorr at lag k
+        cc = (cross_corr(df, [("a", "a")], lags=[1])
+              .toPandas().iloc[0])
+        ac = autocorr(df, [1], "series_id", "idx", "y").toPandas().iloc[0]
+        assert cc["n_pairs"] == ac["n_pairs"] == 3
+        assert cc["ccf"] == ac["acf"]
+
+    def test_pairs_dataframe_and_plan(self, spark):
+        from dtaidistance_spark.functions.stats import cross_corr
+
+        rows = ([("a", i, i % 5) for i in range(20)]
+                + [("b", i, (i + 1) % 5) for i in range(20)]
+                + [("c", i, 7) for i in range(20)])
+        df = _points_df(spark, rows, ["series_id", "idx", "y"])
+        pairs = spark.createDataFrame([("a", "b"), ("a", "c")],
+                                      ["a", "b"])
+        out = cross_corr(df, pairs, lags=[0]).toPandas() \
+            .set_index(["a", "b"])
+        assert pd.isna(out.loc[("a", "c"), "ccf"])   # zero variance
+        assert out.loc[("a", "b"), "n_pairs"] == 20
+        plan = (cross_corr(df, pairs, lags=[0])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Python" not in plan
+        assert "BroadcastHashJoin" in plan           # pair list broadcast
