@@ -148,3 +148,37 @@ class TestMinHashEstimateQuality:
         err = (m["jaccard_est"] - m["jaccard"]).abs()
         assert err.mean() <= 0.08
         assert err.max() <= 0.2
+
+
+class TestCorrelatedSeries:
+    def test_planted_pair_found_and_reranked(self, spark, rng):
+        import numpy as np
+
+        from dtaidistance_spark.operators.ann import correlated_series_topk
+
+        n = 128
+        base = np.cumsum(rng.normal(0, 1.0, n))      # a random walk
+        rows = []
+        # s0 and s1: strongly correlated (shared walk + small noise);
+        # s2..s9: independent walks
+        for sid, v in (("s0", base + rng.normal(0, 0.1, n)),
+                       ("s1", base * 2.0 + rng.normal(0, 0.1, n))):
+            rows += [(sid, i, int(round(x * 100)))
+                     for i, x in enumerate(v)]
+        for s in range(2, 10):
+            w = np.cumsum(rng.normal(0, 1.0, n))
+            rows += [(f"s{s}", i, int(round(x * 100)))
+                     for i, x in enumerate(w)]
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        out = correlated_series_topk(df, n_segments=16, k=3).toPandas()
+        best = (out[out["a"] == "s0"]
+                .sort_values("ccf", ascending=False).iloc[0])
+        assert best["b"] == "s1"
+        # the exact re-rank equals numpy's Pearson on the raw buckets
+        ya = np.array([r[2] for r in rows if r[0] == "s0"], dtype=float)
+        yb = np.array([r[2] for r in rows if r[0] == "s1"], dtype=float)
+        np.testing.assert_allclose(best["ccf"],
+                                   round(np.corrcoef(ya, yb)[0, 1], 6),
+                                   atol=1.1e-6)
+        # and the PAA-cosine candidate score agrees directionally
+        assert best["cosine_paa"] > 0.9
