@@ -42,8 +42,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and sweep-verified by scripts/check_oracles.py every round.
     return {
         # time-series rollup engine (north rule)
-        "rollup_1m": DQ.q_rollup_1m,
-        "rollup_1h_cascade": DQ.q_rollup_1h_cascade,
+        # rollup_1m + rollup_1h_cascade (4 rounds hash-green each,
+        # r1-r4, the last multi-round holders in the window) rotated
+        # below the fold end-r5 for ccf_pairs + correlated_topk; the
+        # 1m tier → cascade → 1h machinery keeps its in-window record
+        # via tier_sink_roundtrip, whose DuckDB oracle IS the plain 1h
+        # rollup SQL hash-checked through the full storage stack
         # rollup_1d_cascade (4 rounds hash-green r1-r4) rotated below
         # the fold closing-r5 for sax_mindist — the 1d tier is the
         # same cascade operator at a coarser tier, and the 1m→1h
@@ -99,6 +103,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # each) rotate below the fold to make room
         "trend_daily": DQ.q_trend_daily,
         "acf_hourly": DQ.q_acf_hourly,
+        # cross-correlation between fixed user pairs at ±1/±24 h bucket
+        # lags (end r5, functions/stats.py::cross_corr — autocorr's
+        # two-series lead/lag generalization; broadcast pair list +
+        # bounded lag explode + one keyed join)
+        "ccf_pairs": DQ.q_ccf_pairs,
+        # per-user top-3 correlated peers without the quadratic raw
+        # scan (end r5, operators/ann.py::correlated_series_topk):
+        # exact-integer z-PAA sketch → cosine ANN candidates → exact
+        # Pearson re-rank; full three-stage SQL replay as the oracle
+        "correlated_topk": DQ.q_correlated_topk,
         "ewma_hourly": DQ.q_ewma_hourly,
         "changepoint_cusum": DQ.q_changepoint_cusum,
         # fixed-width value histogram (TimescaleDB histogram() contract,
@@ -253,6 +267,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out closing-r5 for period_detect (hash-green r3+r4;
         # the DP-CTE family keeps three in-window entries)
         "dtw_block_pairs": DQ.q_dtw_block_pairs,
+        # rotated out end-r5 for ccf_pairs + correlated_topk (4 rounds
+        # hash-green each r1-r4; the tier machinery stays pinned
+        # in-window via tier_sink_roundtrip's plain-rollup oracle)
+        "rollup_1m": DQ.q_rollup_1m,
+        "rollup_1h_cascade": DQ.q_rollup_1h_cascade,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

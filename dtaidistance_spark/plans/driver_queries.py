@@ -418,6 +418,61 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def _hourly_counts(spark, sf_dir):
+    """Per-user hourly turn-rate points (series_id, idx, y) — the
+    integer-count series the acf/ccf/correlation queries share
+    (identical to q_acf_hourly's inline build; exact sufficient
+    statistics per functions/stats.py's module contract)."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(
+        F.concat(F.lit("user"), F.col("user_id").cast("string")
+                 ).alias("series_id"),
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .alias("idx"))
+        .agg(F.count(F.lit(1)).alias("y")))
+
+
+_CCF_PAIRS = [("user1", "user2"), ("user3", "user4"), ("user5", "user6"),
+              ("user7", "user8"), ("user2", "user1"), ("user1", "user1")]
+_CCF_LAGS = [-24, -1, 0, 1, 24]
+
+
+def q_ccf_pairs(spark, sf_dir):
+    """Cross-correlation function between fixed user pairs at bucket
+    lags ±1/±24 h (functions/stats.py::cross_corr — autocorr's
+    two-series generalization, the classic lead/lag diagnostic).  The
+    pair list is broadcast onto the scan, the lag expansion is a
+    bounded literal explode, then ONE shuffled equi-join on
+    (b, idx+lag) + ONE hash aggregation; integer hourly counts keep
+    the Pearson sufficient statistics exact in both engines.  The
+    (user2,user1) mirror pins the lag-sign asymmetry and
+    (user1,user1) pins the autocorr equivalence."""
+    from ..functions.stats import cross_corr
+
+    out = cross_corr(_hourly_counts(spark, sf_dir), _CCF_PAIRS,
+                     lags=_CCF_LAGS)
+    return out.select("a", "b", "lag", "n_pairs",
+                      F.round("ccf", 6).alias("ccf"))
+
+
+def q_correlated_topk(spark, sf_dir):
+    """Each user's top-3 most-correlated peers WITHOUT the quadratic
+    raw-series scan (operators/ann.py::correlated_series_topk): exact
+    integer z-PAA sketch (functions/sax.py) → brute cosine top-k over
+    the tiny 16-dim vector space as the candidate generator (swap
+    lsh_topk/ivf_topk at 100 TB) → EXACT Pearson re-rank of only the
+    surviving candidates (functions/stats.py::cross_corr, lag 0).
+    All-pairs work touches sketch vectors ~10³× smaller than the
+    series; the raw-bucket scan stays linear.  Cross-engine exactness:
+    integer segment sums → one fixed IEEE tree for z and cosine
+    (rounded 1e-6, ties broken on peer id), integer sufficient stats
+    for the re-rank."""
+    from ..operators.ann import correlated_series_topk
+
+    return correlated_series_topk(_hourly_counts(spark, sf_dir),
+                                  n_segments=16, k=3)
+
+
 def q_ewma_hourly(spark, sf_dir):
     """Trailing-16-observation normalized EWMA (alpha=0.5) of each
     user's hourly spend-cents series (functions/stats.py::ewma — the
@@ -2618,6 +2673,109 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Shared hourly turn-rate points twin of _hourly_counts (identical to
+# the acf_hourly oracle's h CTE).
+_HOURLY_COUNTS_SQL = """
+    SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+           epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+           CAST(count(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1, 2"""
+
+# CCF twin: pair VALUES + lag unnest, the same (b, idx+lag) equi-join
+# and sufficient-stat Pearson tree as functions/stats.py::cross_corr.
+ORACLES["ccf_pairs"] = f"""
+    WITH h AS ({_HOURLY_COUNTS_SQL}),
+    pr AS (SELECT * FROM (VALUES
+           {', '.join(f"('{a}', '{b}')" for a, b in _CCF_PAIRS)})
+           AS t(a, b)),
+    l AS (SELECT unnest([{', '.join(str(k) for k in _CCF_LAGS)}])
+            AS lag),
+    p AS (
+      SELECT pr.a, pr.b, l.lag, ha.y AS ya, hb.y AS yb
+      FROM pr CROSS JOIN l
+      JOIN h ha ON ha.series_id = pr.a
+      JOIN h hb ON hb.series_id = pr.b AND hb.idx = ha.idx + l.lag),
+    g AS (
+      SELECT a, b, lag, CAST(count(*) AS DOUBLE) AS n,
+             sum(ya) AS sx, sum(yb) AS sy, sum(ya*ya) AS sxx,
+             sum(yb*yb) AS syy, sum(ya*yb) AS sxy
+      FROM p GROUP BY 1, 2, 3)
+    SELECT a, b, CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           round(CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+                 THEN (n*sxy - sx*sy)
+                      / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                 END, 6) AS ccf
+    FROM g
+"""
+
+
+def _cos16_sql(a: str, b: str) -> str:
+    dot = f"list_sum(list_apply(range(1, 17), i -> {a}[i] * {b}[i]))"
+    na = f"sqrt(list_sum(list_apply(range(1, 17), i -> {a}[i] * {a}[i])))"
+    nb = f"sqrt(list_sum(list_apply(range(1, 17), i -> {b}[i] * {b}[i])))"
+    return f"{dot} / ({na} * {nb})"
+
+
+# correlated_topk twin: the operator's three stages replayed —
+# (1) 16-segment z-PAA sketch over each series' existing buckets in
+# idx order (functions/sax.py::paa_sax formulas: m = n div 16,
+# trailing n mod 16 points drop, identical z expression tree; flat
+# series with all-zero z vectors are excluded on both sides),
+# (2) brute cosine top-3 over the sketch vectors (rounded 1e-6, ties
+# on peer id), (3) exact sufficient-stat Pearson re-rank over the
+# candidates' common buckets at lag 0.
+ORACLES["correlated_topk"] = f"""
+    WITH h AS ({_HOURLY_COUNTS_SQL}),
+    el AS (SELECT series_id, count(*) // 16 AS m FROM h
+           GROUP BY 1 HAVING count(*) >= 16),
+    rk AS (SELECT h.series_id,
+                  row_number() OVER (PARTITION BY h.series_id
+                                     ORDER BY h.idx) - 1 AS pos,
+                  h.y
+           FROM h JOIN el USING (series_id)),
+    seg AS (SELECT rk.series_id, CAST(rk.pos // el.m AS INT) AS k,
+                   sum(rk.y) AS sv
+            FROM rk JOIN el ON rk.series_id = el.series_id
+                           AND rk.pos < el.m * 16
+            GROUP BY 1, 2),
+    st AS (SELECT series_id, sum(sv) AS s1, sum(sv*sv) AS s2
+           FROM seg GROUP BY 1),
+    z AS (SELECT seg.series_id, seg.k,
+                 CASE WHEN 16.0 * st.s2 - st.s1 * st.s1 > 0.0
+                      THEN (seg.sv - st.s1 / 16.0)
+                           / sqrt((16.0 * st.s2 - st.s1 * st.s1)
+                                  / 256.0)
+                      ELSE 0.0 END AS zv
+          FROM seg JOIN st USING (series_id)),
+    vec AS (SELECT series_id, list(zv ORDER BY k) AS v
+            FROM z GROUP BY 1 HAVING sum(zv * zv) > 0.0),
+    sc AS (SELECT q.series_id AS a, c.series_id AS b,
+                  round({_cos16_sql('q.v', 'c.v')}, 6) AS cosine_paa
+           FROM vec q JOIN vec c ON q.series_id != c.series_id),
+    topk AS (SELECT a, b, cosine_paa,
+                    row_number() OVER (PARTITION BY a
+                                       ORDER BY cosine_paa DESC,
+                                                b ASC) AS rnk
+             FROM sc QUALIFY rnk <= 3),
+    p AS (SELECT t.a, t.b, ha.y AS ya, hb.y AS yb
+          FROM topk t
+          JOIN h ha ON ha.series_id = t.a
+          JOIN h hb ON hb.series_id = t.b AND hb.idx = ha.idx),
+    g AS (SELECT a, b, CAST(count(*) AS DOUBLE) AS n,
+                 sum(ya) AS sx, sum(yb) AS sy, sum(ya*ya) AS sxx,
+                 sum(yb*yb) AS syy, sum(ya*yb) AS sxy
+          FROM p GROUP BY 1, 2)
+    SELECT t.a, t.b, t.cosine_paa, CAST(g.n AS BIGINT) AS n_pairs,
+           round(CASE WHEN (g.n*g.sxx - g.sx*g.sx) > 0
+                       AND (g.n*g.syy - g.sy*g.sy) > 0
+                 THEN (g.n*g.sxy - g.sx*g.sy)
+                      / (sqrt(g.n*g.sxx - g.sx*g.sx)
+                         * sqrt(g.n*g.syy - g.sy*g.sy))
+                 END, 6) AS ccf
+    FROM topk t JOIN g ON g.a = t.a AND g.b = t.b
+"""
 
 # Matrix-profile twin: the shared hourly-grid sv CTE (the word-table
 # CTEs after it are unreferenced and pruned), 32-series restriction,
