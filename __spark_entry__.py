@@ -272,6 +272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window via tier_sink_roundtrip's plain-rollup oracle)
         "rollup_1m": DQ.q_rollup_1m,
         "rollup_1h_cascade": DQ.q_rollup_1h_cascade,
+        # Misra-Gries heavy-hitters tier (end r5, completes the
+        # mergeable-sketch family: HLL/KLL/Theta/MG).  Below the fold
+        # only because the 50-entry window is saturated with
+        # first-record r5 queries (none eligible for rotation under
+        # the 3-4-round rule); fully SQL-oracled + sweep-verified
+        "freq_topk_1d": DQ.q_freq_topk_1d,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

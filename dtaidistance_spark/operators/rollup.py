@@ -376,3 +376,135 @@ def retention_sketch(points: DataFrame, key_col: str,
         .otherwise(F.theta_sketch_estimate(
             F.theta_difference(F.col("sk"), F.col("sk_next"))))
         .alias("churned_est"))
+
+
+def _mg_compress(entries_col: str, k: int):
+    """Misra-Gries compression of an exact (key, cnt) entries array:
+    sort by (cnt desc, key asc), offset := the (k+1)-th largest count
+    (0 if ≤ k distinct), keep ``cnt - offset > 0`` survivors.  Ties at
+    the cut decide only WHICH keys survive via the count VALUE (every
+    entry with cnt ≤ offset drops), so the surviving set and counters
+    are deterministic regardless of sort stability.  Returns
+    (entries, offset) column expressions."""
+    srt = (f"array_sort(transform({entries_col}, "
+           f"e -> struct(-e.cnt AS neg, e.key AS key, e.cnt AS cnt)))")
+    offset = (f"CASE WHEN size({entries_col}) > {k} "
+              f"THEN {srt}[{k}].cnt ELSE CAST(0 AS BIGINT) END")
+    kept = (f"filter(transform(slice({srt}, 1, {k}), "
+            f"e -> struct(e.key AS key, "
+            f"CAST(e.cnt - ({offset}) AS BIGINT) AS cnt)), "
+            f"e -> e.cnt > 0)")
+    return kept, offset
+
+
+def rollup_freq_sketch(points: DataFrame, bucket: str = "1h",
+                       key_col: str = "series_id",
+                       group_col: str | None = None,
+                       k: int = 8) -> DataFrame:
+    """Per-bucket heavy-hitters tier as a MERGEABLE Misra-Gries
+    summary (Agarwal et al., "Mergeable summaries", PODS 2012) — the
+    frequency member of the sketch-tier family next to
+    `rollup_distinct` (HLL), `rollup_quantile_sketch` (KLL) and
+    `retention_sketch` (Theta): exact top-k keys cannot cascade
+    (hourly top-k says nothing about the daily top-k), but MG
+    summaries merge losslessly within their error budget — pointwise
+    counter sums, then one re-compression — so `cascade_freq_sketch`
+    answers "top talkers per day" from one row per hour without ever
+    re-scanning raw events.
+
+    The summary is ≤ k counters built from the bucket's EXACT key
+    counts (one map-side-partial shuffle) and compressed by
+    subtracting the (k+1)-th largest count: each kept counter
+    under-estimates its key's true count by at most ``err``, every key
+    with true count > ``err`` is present, and with ≤ k distinct keys
+    the summary is exact (``err`` 0).  All column algebra — sort /
+    slice / filter higher-order functions over the entries array, no
+    Python, and the whole construction is deterministic (ties at the
+    cut are decided by count values alone), which is what lets a SQL
+    twin replay it hash-exactly.  Spark's built-in `count_min_sketch`
+    is the rejected alternative: mergeable, but point-query-only (no
+    key enumeration), and its width/depth memory dwarfs k counters.
+
+    Output: (group?, bucket_ts, entries array<struct<key,cnt>>,
+    err long, n long) — ``entries`` the surviving lower-bound
+    counters, ``err`` the cumulative subtracted offset (true count ∈
+    [cnt, cnt + err] for kept keys; absent keys have true ≤ err),
+    ``n`` the exact bucket item total (so err ≤ n/(k+1) is checkable
+    per row).
+    """
+    keys = [bucket_col(F.col("ts"), bucket).alias("bucket_ts")]
+    if group_col is not None:
+        keys.insert(0, F.col(group_col))
+    cnts = points.groupBy(*keys,
+                          F.col(key_col).cast("string").alias("key")
+                          ).agg(F.count(F.lit(1)).alias("cnt"))
+    gcols = ([group_col] if group_col is not None else [])
+    per_bucket = cnts.groupBy(*gcols, "bucket_ts").agg(
+        F.collect_list(F.struct("key", "cnt")).alias("raw"),
+        F.sum("cnt").alias("n"))
+    kept, offset = _mg_compress("raw", int(k))
+    return per_bucket.select(
+        *([group_col] if group_col is not None else []),
+        "bucket_ts",
+        F.expr(kept).alias("entries"),
+        F.expr(offset).alias("err"),
+        F.col("n").cast("long").alias("n"))
+
+
+def cascade_freq_sketch(agg: DataFrame, to_bucket: str,
+                        group_col: str | None = None,
+                        k: int = 8) -> DataFrame:
+    """Merge a finer Misra-Gries tier into a coarser one: explode the
+    entries, pointwise-sum counters per key, re-compress with the same
+    k; ``err`` adds the children's cumulative offsets to the new
+    compression offset, so the [cnt, cnt + err] bracket stays sound
+    through any cascade depth (the PODS'12 merge bound)."""
+    gcols = ([group_col] if group_col is not None else [])
+    keys = [bucket_col(F.col("bucket_ts"), to_bucket).alias("bucket_ts")]
+    if group_col is not None:
+        keys.insert(0, F.col(group_col))
+    # per-child row identity is (group?, bucket_ts): err/n counted once
+    # per child, entry sums over the exploded counters
+    ex = agg.select(*gcols, "bucket_ts", "err", "n",
+                    F.explode_outer("entries").alias("e"))
+    summed = (ex.groupBy(*keys, F.col("e.key").alias("key"))
+              .agg(F.sum("e.cnt").alias("cnt")))
+    per_parent_entries = (summed.where(F.col("key").isNotNull())
+                          .groupBy(*gcols, "bucket_ts")
+                          .agg(F.collect_list(F.struct("key", "cnt"))
+                               .alias("raw")))
+    child_tot = (agg.select(*gcols,
+                            bucket_col(F.col("bucket_ts"), to_bucket)
+                            .alias("bucket_ts"), "err", "n")
+                 .groupBy(*gcols, "bucket_ts")
+                 .agg(F.sum("err").alias("err_in"),
+                      F.sum("n").alias("n")))
+    j = child_tot.join(per_parent_entries,
+                       gcols + ["bucket_ts"], "left")
+    raw = "coalesce(raw, array())"
+    kept, offset = _mg_compress(raw, int(k))
+    return j.select(
+        *gcols, "bucket_ts",
+        F.expr(kept).alias("entries"),
+        (F.col("err_in") + F.expr(offset)).cast("long").alias("err"),
+        F.col("n").cast("long").alias("n"))
+
+
+def freq_topk(agg: DataFrame, n_top: int = 5,
+              group_col: str | None = None) -> DataFrame:
+    """Read the top-N heavy hitters off a Misra-Gries tier row:
+    (group?, bucket_ts, rank, key, est, est_hi, n) with ``est`` the
+    lower-bound counter, ``est_hi = est + err`` the upper bound, ranked
+    by (est desc, key asc) — deterministic, so SQL twins hash-match."""
+    gcols = ([group_col] if group_col is not None else [])
+    ex = agg.select(*gcols, "bucket_ts", "err", "n",
+                    F.explode("entries").alias("e"))
+    w = W.partitionBy(*(gcols + ["bucket_ts"])).orderBy(
+        F.desc(F.col("e.cnt")), F.asc(F.col("e.key")))
+    return (ex.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(n_top))
+            .select(*gcols, "bucket_ts", "rank",
+                    F.col("e.key").alias("key"),
+                    F.col("e.cnt").alias("est"),
+                    (F.col("e.cnt") + F.col("err")).alias("est_hi"),
+                    "n"))

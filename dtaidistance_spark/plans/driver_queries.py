@@ -418,6 +418,31 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_freq_topk_1d(spark, sf_dir):
+    """Daily top-5 heavy hitters from the MERGEABLE Misra-Gries
+    frequency tier (operators/rollup.py::rollup_freq_sketch — the
+    PODS'12 mergeable-summaries member that completes the sketch
+    family next to HLL distinct / KLL quantiles / Theta retention):
+    hourly k=8 summaries of per-user activity, cascaded to the day by
+    pointwise counter sums + one re-compression, WITHOUT re-scanning
+    raw events — at 100 TB the daily top-talkers question touches one
+    row per hour.  Every stage is deterministic JVM column algebra
+    (ties at the compression cut are decided by count values alone),
+    so the SQL twin replays exact-counts → offset-subtract → merge →
+    re-compress → rank hash-exactly; est is the lower-bound counter,
+    est_hi = est + cumulative offset the sound upper bound."""
+    from ..operators.rollup import (cascade_freq_sketch, freq_topk,
+                                    rollup_freq_sketch)
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string"))
+        .alias("series_id"), "ts")
+    hourly = rollup_freq_sketch(ev, "1h", k=8)
+    daily = cascade_freq_sketch(hourly, "1d", k=8)
+    return freq_topk(daily, 5).select(
+        "bucket_ts", "rank", "key", "est", "est_hi", "n")
+
+
 def _hourly_counts(spark, sf_dir):
     """Per-user hourly turn-rate points (series_id, idx, y) — the
     integer-count series the acf/ccf/correlation queries share
@@ -2673,6 +2698,56 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Misra-Gries tier twin: exact hourly counts → (k+1)-th-largest offset
+# subtraction (rank-9 row's VALUE, tie-safe) → survivor counters →
+# daily pointwise merge → re-compression → top-5 rank, mirroring
+# rollup_freq_sketch/cascade_freq_sketch/freq_topk stage for stage.
+ORACLES["freq_topk_1d"] = """
+    WITH c AS (
+      SELECT date_trunc('hour', ts) AS h,
+             'user' || CAST(user_id AS VARCHAR) AS key,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2),
+    hr AS (SELECT h, key, cnt,
+                  row_number() OVER (PARTITION BY h
+                                     ORDER BY cnt DESC, key ASC) AS rn
+           FROM c),
+    off AS (SELECT h, coalesce(max(CASE WHEN rn = 9 THEN cnt END), 0)
+                     AS off,
+                  sum(cnt) AS n
+            FROM hr GROUP BY 1),
+    surv AS (SELECT hr.h, hr.key, hr.cnt - off.off AS cnt
+             FROM hr JOIN off USING (h)
+             WHERE hr.rn <= 8 AND hr.cnt - off.off > 0),
+    dsum AS (SELECT date_trunc('day', h) AS day, key, sum(cnt) AS cnt
+             FROM surv GROUP BY 1, 2),
+    din AS (SELECT date_trunc('day', h) AS day, sum(off) AS err_in,
+                   sum(n) AS n
+            FROM off GROUP BY 1),
+    dr AS (SELECT day, key, cnt,
+                  row_number() OVER (PARTITION BY day
+                                     ORDER BY cnt DESC, key ASC) AS rn
+           FROM dsum),
+    doff AS (SELECT day, coalesce(max(CASE WHEN rn = 9 THEN cnt END),
+                                  0) AS off
+             FROM dr GROUP BY 1),
+    ds AS (SELECT dr.day, dr.key, dr.cnt - doff.off AS cnt,
+                  doff.off AS off2
+           FROM dr JOIN doff USING (day)
+           WHERE dr.rn <= 8 AND dr.cnt - doff.off > 0),
+    ranked AS (SELECT ds.day, ds.key, ds.cnt, ds.off2,
+                      row_number() OVER (PARTITION BY ds.day
+                                         ORDER BY ds.cnt DESC,
+                                                  ds.key ASC) AS rank
+               FROM ds)
+    SELECT r.day AS bucket_ts, CAST(r.rank AS INTEGER) AS rank, r.key,
+           CAST(r.cnt AS BIGINT) AS est,
+           CAST(r.cnt + din.err_in + r.off2 AS BIGINT) AS est_hi,
+           CAST(din.n AS BIGINT) AS n
+    FROM ranked r JOIN din ON din.day = r.day
+    WHERE r.rank <= 5
+"""
 
 # Shared hourly turn-rate points twin of _hourly_counts (identical to
 # the acf_hourly oracle's h CTE).

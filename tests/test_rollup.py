@@ -396,3 +396,104 @@ class TestStreamDistinct:
             .orderBy("bucket_ts").toPandas())
         assert (daily_s["distinct_est"].values
                 == daily_b["distinct_est"].values).all()
+
+
+class TestFreqSketchRollup:
+    """Misra-Gries heavy-hitters tier (operators/rollup.py
+    rollup_freq_sketch / cascade_freq_sketch / freq_topk) — the
+    frequency member of the mergeable-sketch family; the PODS'12
+    merge bound [cnt, cnt + err] is asserted against exact counts."""
+
+    def _points(self, spark, per_hour):
+        """per_hour: {hour: {key: count}} → (series_id, ts) rows."""
+        import pandas as pd
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for h, kc in per_hour.items():
+            for key, c in kc.items():
+                rows += [(key, t0 + pd.Timedelta(hours=h, seconds=i))
+                         for i in range(c)]
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["series_id", "ts"]))
+
+    def test_exact_when_within_capacity(self, spark):
+        pts = self._points(spark, {0: {"a": 5, "b": 3}, 1: {"c": 2}})
+        from dtaidistance_spark.operators.rollup import rollup_freq_sketch
+        out = (rollup_freq_sketch(pts, "1h", k=4).toPandas()
+               .sort_values("bucket_ts").reset_index(drop=True))
+        assert (out["err"] == 0).all()
+        h0 = {e["key"]: e["cnt"] for e in out.loc[0, "entries"]}
+        assert h0 == {"a": 5, "b": 3}
+        assert out.loc[0, "n"] == 8
+        h1 = {e["key"]: e["cnt"] for e in out.loc[1, "entries"]}
+        assert h1 == {"c": 2}
+
+    def test_compression_bounds_and_coverage(self, spark):
+        # 12 keys, zipf-ish; k=4 forces compression
+        true = {f"k{i}": 40 // (i + 1) + 1 for i in range(12)}
+        pts = self._points(spark, {0: true})
+        from dtaidistance_spark.operators.rollup import rollup_freq_sketch
+        k = 4
+        row = rollup_freq_sketch(pts, "1h", k=k).toPandas().iloc[0]
+        n = sum(true.values())
+        assert row["n"] == n
+        assert len(row["entries"]) <= k
+        assert row["err"] <= n // (k + 1)
+        kept = {e["key"]: e["cnt"] for e in row["entries"]}
+        for key, est in kept.items():      # bracket: est <= true <= est+err
+            assert est <= true[key] <= est + row["err"]
+        for key, t in true.items():        # coverage: heavy keys survive
+            if t > row["err"]:
+                assert key in kept
+
+    def test_cascade_identity_in_exact_regime(self, spark):
+        pts = self._points(spark, {0: {"a": 5, "b": 3},
+                                   1: {"a": 2, "c": 4},
+                                   25: {"b": 7}})
+        from dtaidistance_spark.operators.rollup import (
+            cascade_freq_sketch, rollup_freq_sketch)
+        k = 8   # capacity never exceeded -> cascade == direct, err 0
+        hourly = rollup_freq_sketch(pts, "1h", k=k)
+        casc = (cascade_freq_sketch(hourly, "1d", k=k).toPandas()
+                .sort_values("bucket_ts").reset_index(drop=True))
+        direct = (rollup_freq_sketch(pts, "1d", k=k).toPandas()
+                  .sort_values("bucket_ts").reset_index(drop=True))
+        assert (casc["err"] == 0).all()
+        for i in range(len(casc)):
+            assert ({e["key"]: e["cnt"] for e in casc.loc[i, "entries"]}
+                    == {e["key"]: e["cnt"]
+                        for e in direct.loc[i, "entries"]})
+            assert casc.loc[i, "n"] == direct.loc[i, "n"]
+
+    def test_cascade_bound_survives_compression(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(7)
+        per_hour = {}
+        true_daily = {}
+        for h in range(24):
+            kc = {}
+            for i in range(10):
+                key = f"k{i}"
+                c = int(rng.integers(1, 8)) + (30 if i < 2 else 0)
+                kc[key] = c
+                true_daily[key] = true_daily.get(key, 0) + c
+            per_hour[h] = kc
+        pts = self._points(spark, per_hour)
+        from dtaidistance_spark.operators.rollup import (
+            cascade_freq_sketch, freq_topk, rollup_freq_sketch)
+        k = 4
+        hourly = rollup_freq_sketch(pts, "1h", k=k)
+        day = cascade_freq_sketch(hourly, "1d", k=k).toPandas().iloc[0]
+        assert day["n"] == sum(true_daily.values())
+        kept = {e["key"]: e["cnt"] for e in day["entries"]}
+        for key, est in kept.items():
+            assert est <= true_daily[key] <= est + day["err"]
+        for key, t in true_daily.items():
+            if t > day["err"]:
+                assert key in kept
+        # the two planted heavy keys must be the top-2, in order
+        top = freq_topk(cascade_freq_sketch(hourly, "1d", k=k), 2
+                        ).toPandas().sort_values("rank")
+        assert list(top["key"]) == sorted(
+            ["k0", "k1"], key=lambda s: (-true_daily[s], s))
+        assert (top["est_hi"] == top["est"] + day["err"]).all()
