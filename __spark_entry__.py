@@ -278,6 +278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # first-record r5 queries (none eligible for rotation under
         # the 3-4-round rule); fully SQL-oracled + sweep-verified
         "freq_topk_1d": DQ.q_freq_topk_1d,
+        # Hampel rolling-median outlier repair (end r5) — the robust
+        # companion of in-window anomaly_zscore; below the fold for
+        # the same window-saturation reason
+        "hampel_1h": DQ.q_hampel_1h,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

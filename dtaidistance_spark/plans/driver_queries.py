@@ -418,6 +418,23 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_hampel_1h(spark, sf_dir):
+    """Hampel rolling-median outlier repair over each user's hourly
+    turn-rate series (functions/preprocessing.py::hampel, ±3
+    observations, 3 robust σ): the 50%-breakdown companion of the
+    mean/σ `anomaly_zscore` scan — a spike cannot inflate the
+    median/MAD it is judged against.  ONE exchange builds the ordered
+    arrays; the filter itself is within-row HOF column algebra
+    (slice/array_sort/element_at per position), no Python.  Integer
+    counts make the odd-window median and MAD exact halves, so the
+    decision threshold is one fixed IEEE tree and the DuckDB twin
+    (identical list slicing + the same 3.0·1.4826 constant fold)
+    hash-matches, booleans included."""
+    from ..functions.preprocessing import hampel
+
+    return hampel(_hourly_counts(spark, sf_dir), window=3, nsigma=3.0)
+
+
 def q_freq_topk_1d(spark, sf_dir):
     """Daily top-5 heavy hitters from the MERGEABLE Misra-Gries
     frequency tier (operators/rollup.py::rollup_freq_sketch — the
@@ -2698,6 +2715,41 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Hampel twin: per-series ordered value lists, the same full-window
+# slice → sort → middle-element median/MAD and the identical
+# 3.0·1.4826 constant-folded threshold; edge positions (truncated
+# windows) pass through with NULL med/mad, unjudged.
+_HAMPEL_MED = "list_sort(list_slice(vals, p - 2, p + 4))[4]"
+ORACLES["hampel_1h"] = f"""
+    WITH h AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    arr AS (SELECT series_id, list(y ORDER BY idx) AS vals,
+                   list(idx ORDER BY idx) AS idxs, count(*) AS n
+            FROM h GROUP BY 1),
+    pos AS (SELECT series_id, vals, idxs, n,
+                   unnest(generate_series(0, CAST(n - 1 AS INT))) AS p
+            FROM arr),
+    st AS (SELECT series_id, idxs[p + 1] AS idx, vals[p + 1] AS y,
+                  CASE WHEN p >= 3 AND p <= n - 4
+                       THEN {_HAMPEL_MED} END AS med,
+                  CASE WHEN p >= 3 AND p <= n - 4
+                       THEN list_sort(list_apply(
+                              list_slice(vals, p - 2, p + 4),
+                              v -> abs(v - {_HAMPEL_MED})))[4]
+                       END AS mad
+           FROM pos)
+    SELECT series_id, idx, y, med, mad,
+           coalesce(abs(y - med) > 3.0 * 1.4826 * mad, false)
+             AS is_outlier,
+           CASE WHEN coalesce(abs(y - med) > 3.0 * 1.4826 * mad,
+                              false)
+                THEN med ELSE y END AS y_clean
+    FROM st
+"""
 
 # Misra-Gries tier twin: exact hourly counts → (k+1)-th-largest offset
 # subtraction (rank-9 row's VALUE, tie-safe) → survivor counters →

@@ -76,9 +76,14 @@ class TestKernel:
         motif = rng.integers(0, 30, 16).astype(float)
         x[40:56] = motif
         x[200:216] = motif
+        # tolerance 1e-6, not 1e-9: the z-norm distance is a sqrt of a
+        # catastrophically-cancelling dot-product expression, so an
+        # identical pair can read ~1e-8 depending on the surrounding
+        # data (observed with a shifted session-rng stream); non-motif
+        # profile values are O(1), so 1e-6 still separates cleanly
         d, j = matrix_profile_1d(x, 16)
-        assert d[40] < 1e-9 and j[40] == 200
-        assert d[200] < 1e-9 and j[200] == 40
+        assert d[40] < 1e-6 and j[40] == 200
+        assert d[200] < 1e-6 and j[200] == 40
 
     def test_too_short_series(self):
         d, j = matrix_profile_1d(np.arange(5, dtype=float), 8)

@@ -665,3 +665,74 @@ class TestCrossCorr:
                 ._jdf.queryExecution().executedPlan().toString())
         assert "Python" not in plan
         assert "BroadcastHashJoin" in plan           # pair list broadcast
+
+
+class TestHampel:
+    """functions/preprocessing.py::hampel — rolling-median outlier
+    repair, checked against a pure-numpy replay of the same contract
+    (full ±w positional windows, 1.4826 consistency constant)."""
+
+    @staticmethod
+    def _numpy_hampel(vals, w, nsigma):
+        import numpy as np
+        v = np.asarray(vals, dtype=float)
+        n = len(v)
+        out = []
+        for p in range(n):
+            if p < w or p > n - 1 - w:
+                out.append((None, None, False, v[p]))
+                continue
+            win = v[p - w:p + w + 1]
+            med = float(np.sort(win)[w])
+            mad = float(np.sort(np.abs(win - med))[w])
+            is_out = bool(abs(v[p] - med) > nsigma * 1.4826 * mad)
+            out.append((med, mad, is_out, med if is_out else v[p]))
+        return out
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(11)
+        rows = []
+        expect = {}
+        for s in range(4):
+            vals = list(rng.integers(0, 20, 40))
+            for spike_at in (7, 23):              # planted spikes
+                vals[spike_at] += 500
+            rows += [(f"s{s}", i, int(v)) for i, v in enumerate(vals)]
+            expect[f"s{s}"] = self._numpy_hampel(vals, 3, 3.0)
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        from dtaidistance_spark.functions.preprocessing import hampel
+        got = hampel(df, window=3, nsigma=3.0).toPandas()
+        assert len(got) == 160
+        for _, r in got.iterrows():
+            med, mad, is_out, clean = expect[r["series_id"]][r["idx"]]
+            if med is None:
+                assert r["med"] is None or r["med"] != r["med"]
+                assert not r["is_outlier"]
+            else:
+                assert r["med"] == med and r["mad"] == mad
+                assert bool(r["is_outlier"]) == is_out
+            assert r["y_clean"] == clean
+
+    def test_spikes_repaired_calm_points_untouched(self, spark):
+        rows = [("s", i, 10) for i in range(21)]
+        rows[10] = ("s", 10, 1000)
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        from dtaidistance_spark.functions.preprocessing import hampel
+        got = (hampel(df, window=2, nsigma=3.0).toPandas()
+               .set_index("idx").sort_index())
+        assert bool(got.loc[10, "is_outlier"])
+        assert got.loc[10, "y_clean"] == 10.0
+        others = got.drop(index=10)
+        assert not others["is_outlier"].any()
+        assert (others["y_clean"] == others["y"]).all()
+
+    def test_mad_zero_keeps_constant_series(self, spark):
+        # constant window => MAD 0; strict > keeps equal-to-median
+        # points in, so a flat series is never "repaired"
+        rows = [("s", i, 5) for i in range(11)]
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        from dtaidistance_spark.functions.preprocessing import hampel
+        got = hampel(df, window=3, nsigma=3.0).toPandas()
+        assert not got["is_outlier"].any()
+        assert (got["y_clean"] == 5.0).all()
