@@ -282,6 +282,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # companion of in-window anomaly_zscore; below the fold for
         # the same window-saturation reason
         "hampel_1h": DQ.q_hampel_1h,
+        # Theil-Sen median-of-slopes robust trend (end r5) — the
+        # robust companion of in-window trend_daily; same note
+        "theilsen_daily": DQ.q_theilsen_daily,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

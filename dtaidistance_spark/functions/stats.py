@@ -788,3 +788,75 @@ def cross_corr(
                    F.col("_sxx"), F.col("_syy"), F.col("_sxy"))
         .alias("ccf"),
     )
+
+
+def _median_expr(arr_sql: str) -> str:
+    """Median of a double-array SQL expression: sort, middle element
+    (odd) or the average of the two middles (even) — the explicit
+    element-pick form, so a SQL twin replays the identical IEEE ops
+    instead of trusting an engine's quantile interpolation."""
+    s = f"array_sort({arr_sql})"
+    return (f"CASE WHEN size({arr_sql}) = 0 THEN CAST(NULL AS DOUBLE) "
+            f"WHEN size({arr_sql}) % 2 = 1 "
+            f"THEN element_at({s}, CAST((size({arr_sql}) + 1) div 2 "
+            f"                          AS INT)) "
+            f"ELSE (element_at({s}, CAST(size({arr_sql}) div 2 AS INT)) "
+            f"      + element_at({s}, CAST(size({arr_sql}) div 2 + 1 "
+            f"                             AS INT))) / 2.0 "
+            f"END")
+
+
+def theilsen_trend(
+    points: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group Theil-Sen robust line fit — the median of all
+    pairwise slopes (yⱼ−yᵢ)/(xⱼ−xᵢ), intercept the median of the
+    per-point residuals yᵢ − slope·xᵢ (Theil 1950 / Sen 1968): the
+    29%-breakdown companion of ``linreg_stats``, immune to the
+    outliers that drag a least-squares line (one bad day bends OLS;
+    the slope median shrugs it off).
+
+    Intended for BOUNDED groups — the slope set is quadratic in group
+    size, so fit per (series, day) over hourly points (≤ 276 slopes),
+    not per series over a year; the tier cascade is the tool that
+    makes groups bounded.  Plan: ONE exchange builds the per-group
+    point array; the pair expansion, sort and median picks are
+    within-row higher-order functions — no Python, no second shuffle.
+
+    Exactness: integer-valued inputs make every slope one double
+    quotient of exact integers and the median an element pick (or an
+    exact /2.0 average), so SQL twins replaying the same expression
+    hash-match.  Vertical pairs (xᵢ = xⱼ) are excluded slope-wise;
+    slope/intercept NULL when no valid pair exists.
+
+    Output: (group_cols…, n long, slope, intercept).
+    """
+    x = F.col(x_col).cast(_D)
+    y = F.col(y_col).cast(_D)
+    arr = (points.groupBy(*group_cols).agg(
+        F.array_sort(F.collect_list(F.struct(x.alias("x"), y.alias("y"))))
+        .alias("a"))
+        .select(*group_cols,
+                F.expr("transform(a, p -> p.x)").alias("xs"),
+                F.expr("transform(a, p -> p.y)").alias("ys"))
+        .withColumn("n", F.size("xs")))
+    slopes = (
+        "flatten(transform(sequence(0, greatest(n - 2, 0)), i -> "
+        "CASE WHEN n >= 2 AND i <= n - 2 THEN "
+        "filter(transform(sequence(i + 1, n - 1), j -> "
+        "CASE WHEN element_at(xs, j + 1) != element_at(xs, i + 1) "
+        "THEN (element_at(ys, j + 1) - element_at(ys, i + 1)) "
+        "     / (element_at(xs, j + 1) - element_at(xs, i + 1)) END), "
+        "s -> s IS NOT NULL) ELSE array() END))")
+    df = (arr.withColumn("_slopes", F.expr(slopes))
+          .withColumn("slope", F.expr(_median_expr("_slopes"))))
+    resid = ("CASE WHEN slope IS NULL THEN "
+             "CAST(array() AS array<double>) ELSE "
+             "zip_with(ys, xs, (yv, xv) -> yv - slope * xv) END")
+    return (df.withColumn("_resid", F.expr(resid))
+            .withColumn("intercept", F.expr(_median_expr("_resid")))
+            .select(*group_cols, F.col("n").cast("long").alias("n"),
+                    "slope", "intercept"))

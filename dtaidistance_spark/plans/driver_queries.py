@@ -418,6 +418,31 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_theilsen_daily(spark, sf_dir):
+    """Per-user per-day Theil-Sen robust trend over the hourly
+    turn-rate points (functions/stats.py::theilsen_trend): the median
+    of all pairwise slopes, intercept the median of residuals — the
+    29%-breakdown companion of in-window trend_daily's least-squares
+    fit (one burst hour bends OLS; the slope median shrugs it off).
+    Groups are day-bounded (≤ 24 points → ≤ 276 slopes), so the
+    quadratic pair expansion is within-row HOF column algebra after
+    ONE exchange.  x is the hour-of-day offset (idx mod 24), y the
+    integer count: every slope is one exact-integer quotient and the
+    median an element pick, so the DuckDB twin (pair self-join +
+    ordered list + the same middle-element formula) hash-matches."""
+    from ..functions.stats import theilsen_trend
+
+    h = _hourly_counts(spark, sf_dir).select(
+        "series_id",
+        F.expr("idx div 24").alias("day_idx"),
+        F.expr("idx % 24").alias("x"),
+        F.col("y"))
+    out = theilsen_trend(h, ["series_id", "day_idx"])
+    return out.select("series_id", "day_idx", "n",
+                      F.round("slope", 6).alias("slope"),
+                      F.round("intercept", 6).alias("intercept"))
+
+
 def q_hampel_1h(spark, sf_dir):
     """Hampel rolling-median outlier repair over each user's hourly
     turn-rate series (functions/preprocessing.py::hampel, ±3
@@ -2715,6 +2740,52 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Theil-Sen twin: pair self-join (rn_j > rn_i via idx ordering) →
+# ordered slope list → the identical middle-element median formula,
+# residual medians the same way with the slope joined back.
+ORACLES["theilsen_daily"] = """
+    WITH h AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             (epoch_us(date_trunc('hour', ts)) // 3600000000) // 24
+               AS day_idx,
+             (epoch_us(date_trunc('hour', ts)) // 3600000000) % 24
+               AS x,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2, 3),
+    pr AS (SELECT a.series_id, a.day_idx,
+                  (b.y - a.y) / (b.x - a.x) AS sl
+           FROM h a JOIN h b
+             ON b.series_id = a.series_id AND b.day_idx = a.day_idx
+            AND b.x > a.x),
+    sl AS (SELECT series_id, day_idx, list(sl ORDER BY sl) AS ls,
+                  count(*) AS m
+           FROM pr GROUP BY 1, 2),
+    grp AS (SELECT series_id, day_idx, count(*) AS n
+            FROM h GROUP BY 1, 2),
+    med AS (SELECT series_id, day_idx,
+                   CASE WHEN m % 2 = 1 THEN ls[CAST((m + 1) // 2 AS INT)]
+                        ELSE (ls[CAST(m // 2 AS INT)]
+                              + ls[CAST(m // 2 + 1 AS INT)]) / 2.0
+                   END AS slope
+            FROM sl),
+    rs AS (SELECT h.series_id, h.day_idx,
+                  list(h.y - med.slope * h.x
+                       ORDER BY h.y - med.slope * h.x) AS lr,
+                  count(*) AS r
+           FROM h JOIN med USING (series_id, day_idx)
+           GROUP BY 1, 2)
+    SELECT g.series_id, g.day_idx, CAST(g.n AS BIGINT) AS n,
+           round(med.slope, 6) AS slope,
+           round(CASE WHEN rs.r % 2 = 1
+                      THEN lr[CAST((rs.r + 1) // 2 AS INT)]
+                      ELSE (lr[CAST(rs.r // 2 AS INT)]
+                            + lr[CAST(rs.r // 2 + 1 AS INT)]) / 2.0
+                 END, 6) AS intercept
+    FROM grp g
+    LEFT JOIN med USING (series_id, day_idx)
+    LEFT JOIN rs USING (series_id, day_idx)
+"""
 
 # Hampel twin: per-series ordered value lists, the same full-window
 # slice → sort → middle-element median/MAD and the identical

@@ -736,3 +736,60 @@ class TestHampel:
         got = hampel(df, window=3, nsigma=3.0).toPandas()
         assert not got["is_outlier"].any()
         assert (got["y_clean"] == 5.0).all()
+
+
+class TestTheilSen:
+    """functions/stats.py::theilsen_trend — median-of-pairwise-slopes
+    robust fit, checked against a pure-numpy replay."""
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(23)
+        rows, expect = [], {}
+        for s in range(5):
+            xs = sorted(rng.choice(40, size=12, replace=False))
+            ys = [int(3 * x + rng.integers(-4, 5)) for x in xs]
+            ys[rng.integers(0, 12)] += 800          # one wild outlier
+            rows += [(f"s{s}", int(x), int(y)) for x, y in zip(xs, ys)]
+            sl = sorted((ys[j] - ys[i]) / (xs[j] - xs[i])
+                        for i in range(12) for j in range(i + 1, 12))
+            m = len(sl)
+            slope = (sl[m // 2] if m % 2 == 1
+                     else (sl[m // 2 - 1] + sl[m // 2]) / 2.0)
+            rs = sorted(y - slope * x for x, y in zip(xs, ys))
+            r = len(rs)
+            inter = (rs[r // 2] if r % 2 == 1
+                     else (rs[r // 2 - 1] + rs[r // 2]) / 2.0)
+            expect[f"s{s}"] = (slope, inter)
+        df = spark.createDataFrame(rows, ["series_id", "x", "y"])
+        from dtaidistance_spark.functions.stats import theilsen_trend
+        got = theilsen_trend(df, ["series_id"]).toPandas()
+        for _, row in got.iterrows():
+            slope, inter = expect[row["series_id"]]
+            assert row["slope"] == slope         # identical IEEE tree
+            assert row["intercept"] == inter
+            assert row["n"] == 12
+
+    def test_outlier_immune_where_ols_is_not(self, spark):
+        from dtaidistance_spark.functions.stats import (linreg_stats,
+                                                        theilsen_trend)
+        xs = list(range(20))
+        ys = [2 * x + 1 for x in xs]
+        ys[10] = 10_000
+        df = spark.createDataFrame(
+            [("s", x, y) for x, y in zip(xs, ys)],
+            ["series_id", "x", "y"])
+        ts = theilsen_trend(df, ["series_id"]).toPandas().iloc[0]
+        ols = linreg_stats(df, ["series_id"]).toPandas().iloc[0]
+        assert ts["slope"] == 2.0 and ts["intercept"] == 1.0
+        assert abs(ols["slope"] - 2.0) > 5      # OLS dragged hard
+
+    def test_degenerate_groups_null(self, spark):
+        from dtaidistance_spark.functions.stats import theilsen_trend
+        df = spark.createDataFrame(
+            [("one", 1, 5), ("vert", 3, 1), ("vert", 3, 9)],
+            ["series_id", "x", "y"])
+        got = (theilsen_trend(df, ["series_id"]).toPandas()
+               .set_index("series_id"))
+        assert got.loc["one", "slope"] != got.loc["one", "slope"]
+        assert got.loc["vert", "slope"] != got.loc["vert", "slope"]
