@@ -438,13 +438,26 @@ def rollup_freq_sketch(points: DataFrame, bucket: str = "1h",
     cnts = points.groupBy(*keys,
                           F.col(key_col).cast("string").alias("key")
                           ).agg(F.count(F.lit(1)).alias("cnt"))
+    return freq_sketch_from_counts(cnts, k=k, group_col=group_col)
+
+
+def freq_sketch_from_counts(cnts: DataFrame, k: int = 8,
+                            group_col: str | None = None) -> DataFrame:
+    """Compress an EXACT per-(bucket, key) count tier — however it was
+    produced: the batch groupBy in `rollup_freq_sketch`, or the
+    finalized per-window count rows a streaming ingest emits
+    (streaming/rollup_stream.py::stream_rollup_key_counts) — into the
+    ≤ k-counter Misra-Gries summaries.  Because both paths compress
+    identical exact counts, the streamed tier's summaries equal the
+    batch tier's row for row.  Input columns: (group?, bucket_ts,
+    key, cnt)."""
     gcols = ([group_col] if group_col is not None else [])
     per_bucket = cnts.groupBy(*gcols, "bucket_ts").agg(
         F.collect_list(F.struct("key", "cnt")).alias("raw"),
         F.sum("cnt").alias("n"))
     kept, offset = _mg_compress("raw", int(k))
     return per_bucket.select(
-        *([group_col] if group_col is not None else []),
+        *gcols,
         "bucket_ts",
         F.expr(kept).alias("entries"),
         F.expr(offset).alias("err"),

@@ -181,3 +181,27 @@ def stream_rollup_distinct(stream: DataFrame, key_col: str,
                 F.hll_sketch_estimate(F.col("sketch"))
                 .alias("distinct_est"))
     )
+
+
+def stream_rollup_key_counts(stream: DataFrame, key_col: str,
+                             bucket: str = "1 hour",
+                             ts_col: str = "ts",
+                             watermark: str = "10 minutes") -> DataFrame:
+    """Streaming ingest for the Misra-Gries heavy-hitters tier
+    (operators/rollup.py::rollup_freq_sketch): per event-time bucket,
+    the EXACT finalized (key, cnt) rows.  Unlike the HLL/KLL sketches,
+    MG compression is not an algebraic aggregate — it needs the whole
+    per-bucket count set at once — so the streaming side emits the
+    exact count tier (bounded state: one counter per live
+    (window, key)) and `freq_sketch_from_counts` compresses the
+    closed windows downstream; the resulting summaries are IDENTICAL
+    to the batch tier's because both compress the same exact counts,
+    and they feed the same `cascade_freq_sketch` daily merge."""
+    return (
+        stream
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), bucket).alias("w"),
+                 F.col(key_col).cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("bucket_ts"), "key", "cnt")
+    )

@@ -497,3 +497,67 @@ class TestFreqSketchRollup:
         assert list(top["key"]) == sorted(
             ["k0", "k1"], key=lambda s: (-true_daily[s], s))
         assert (top["est_hi"] == top["est"] + day["err"]).all()
+
+
+class TestStreamFreq:
+    def test_stream_counts_feed_freq_sketch_cascade(self, spark, tmp_path):
+        """Streaming per-hour key counts, compressed by the SAME
+        freq_sketch_from_counts as the batch tier, give identical MG
+        summaries on closed windows — and the streamed summaries feed
+        the identical daily cascade."""
+        from pyspark.sql import functions as F
+
+        from dtaidistance_spark.operators.rollup import (
+            cascade_freq_sketch, freq_sketch_from_counts,
+            rollup_freq_sketch)
+        from dtaidistance_spark.streaming.rollup_stream import (
+            stream_rollup_key_counts)
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for h in range(30):
+            for u in range(h % 11 + 1):     # >k distinct in busy hours
+                for _ in range(u + 1):
+                    rows.append((f"u{u}",
+                                 t0 + pd.Timedelta(hours=h, minutes=u)))
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        src_dir, out_dir, ck_dir = (str(tmp_path / d)
+                                    for d in ("f_src", "f_out", "f_ck"))
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "user_id string, ts timestamp").parquet(src_dir)
+        q = (stream_rollup_key_counts(src, key_col="user_id")
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        counts = spark.read.parquet(out_dir)
+        k = 4
+        got = (freq_sketch_from_counts(counts, k=k)
+               .orderBy("bucket_ts").toPandas())
+        batch = rollup_freq_sketch(spark.createDataFrame(pdf), "1h",
+                                   key_col="user_id", k=k)
+        b = batch.orderBy("bucket_ts").toPandas()
+        merged = got.merge(b, on="bucket_ts", suffixes=("_s", "_b"))
+        assert len(merged) == len(got) > 0
+        for _, r in merged.iterrows():
+            assert ({e["key"]: e["cnt"] for e in r["entries_s"]}
+                    == {e["key"]: e["cnt"] for e in r["entries_b"]})
+            assert r["err_s"] == r["err_b"] and r["n_s"] == r["n_b"]
+        # streamed summaries feed the SAME daily cascade
+        closed = [pd.Timestamp(x) for x in got["bucket_ts"]]
+        daily_s = (cascade_freq_sketch(
+            freq_sketch_from_counts(counts, k=k), "1d", k=k)
+            .orderBy("bucket_ts").toPandas())
+        daily_b = (cascade_freq_sketch(
+            batch.filter(F.col("bucket_ts").isin(closed)), "1d", k=k)
+            .orderBy("bucket_ts").toPandas())
+        for i in range(len(daily_s)):
+            assert ({e["key"]: e["cnt"]
+                     for e in daily_s.loc[i, "entries"]}
+                    == {e["key"]: e["cnt"]
+                        for e in daily_b.loc[i, "entries"]})
+            assert daily_s.loc[i, "err"] == daily_b.loc[i, "err"]
