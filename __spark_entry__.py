@@ -285,6 +285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Theil-Sen median-of-slopes robust trend (end r5) — the
         # robust companion of in-window trend_daily; same note
         "theilsen_daily": DQ.q_theilsen_daily,
+        # FPP §5.8 holdout backtest (MAE/RMSE/MASE of the §5.2
+        # baselines, end r5) — the evaluation half of the forecasting
+        # family (holt_hourly is in-window); same saturation note
+        "forecast_backtest": DQ.q_forecast_backtest,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

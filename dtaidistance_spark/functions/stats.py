@@ -860,3 +860,92 @@ def theilsen_trend(
             .withColumn("intercept", F.expr(_median_expr("_resid")))
             .select(*group_cols, F.col("n").cast("long").alias("n"),
                     "slope", "intercept"))
+
+
+def forecast_accuracy(
+    points: DataFrame,
+    holdout: int,
+    season: int | None = None,
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Holdout backtest of the FPP §5.2 baseline forecasters — the
+    accuracy-evaluation half every forecasting surface needs next to
+    its forecasters (Hyndman-Athanasopoulos FPP §5.8 metrics): split
+    each series into train = all but the last ``holdout`` points and
+    test = those points, forecast h = 1..holdout from the train
+    prefix with each method, and score
+
+    * ``mae``  = mean |eₕ|
+    * ``rmse`` = √(mean eₕ²)
+    * ``mase`` = mae / scale — scale the train-set one-step (or
+      ``season``-step) naive MAE, the scale-free FPP §5.8 benchmark:
+      MASE < 1 beats the in-sample naive walk.
+
+    One row per (series, method): methods ``naive``/``drift`` and,
+    when ``season`` is given, ``snaive``.  Series shorter than
+    holdout + max(2, season + 1) points are dropped (no sound train
+    prefix).  Plan: the same ONE collect aggregation as
+    ``baseline_forecasts``/``holt_linear``, then within-row HOF
+    error/metric algebra over the per-method forecast arrays and a
+    bounded 3-row method explode — no second shuffle, no Python.
+    Exactness: naive/snaive errors are exact integer picks; drift and
+    the final means are one fixed IEEE tree each (1e-6 rounding in
+    driver twins absorbs fold-order noise in the ≤ holdout-term sums).
+    """
+    H = int(holdout)
+    if H < 1:
+        raise ValueError("holdout must be >= 1")
+    m = int(season) if season is not None else None
+    if m is not None and m < 1:
+        raise ValueError("season must be >= 1")
+    min_train = max(2, (m + 1) if m is not None else 2)
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("_o"), F.col(y_col).cast(_D).alias("_y"))))
+    g = (points.groupBy(F.col(series_col).alias(series_col)).agg(
+        arr.alias("_a"), F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= H + min_train)
+        .select(series_col,
+                F.expr("transform(_a, p -> p._y)").alias("ys"),
+                (F.col("_n") - H).cast("int").alias("nt"),
+                F.col("_n").cast("long").alias("_n")))
+    # 1-based picks over ys; train prefix ys[1..nt], test ys[nt+1..n]
+    last, first = "element_at(ys, nt)", "element_at(ys, 1)"
+    fc = {
+        "naive": f"{last}",
+        "drift": (f"{last} + CAST(h AS DOUBLE) * "
+                  f"(({last}) - ({first})) / CAST(nt - 1 AS DOUBLE)"),
+    }
+    if m is not None:
+        # same phase in the last full train season:
+        # nt + h - m*ceil(h/m)  (>= 1 once nt > m)
+        fc["snaive"] = (f"element_at(ys, nt + h "
+                        f"- {m} * CAST(ceil(h / {m}.0) AS INT))")
+    methods = F.array(*[
+        F.struct(F.lit(name).alias("method"),
+                 F.expr(f"transform(sequence(1, {H}), h -> "
+                        f"element_at(ys, nt + h) - ({expr}))")
+                 .alias("errs"))
+        for name, expr in fc.items()])
+    scale_step = m if m is not None else 1
+    scale = (f"aggregate(sequence({scale_step} + 1, nt), "
+             f"CAST(0.0 AS DOUBLE), (acc, t) -> acc + "
+             f"abs(element_at(ys, t) - element_at(ys, t - {scale_step})))"
+             f" / CAST(nt - {scale_step} AS DOUBLE)")
+    ex = (g.withColumn("_m", F.explode(methods))
+          .select(series_col,
+                  F.col("_m.method").alias("method"),
+                  F.col("nt").cast("long").alias("n_train"),
+                  F.lit(H).cast("long").alias("n_test"),
+                  F.expr("aggregate(_m.errs, CAST(0.0 AS DOUBLE), "
+                         "(a, e) -> a + abs(e))").alias("_sae"),
+                  F.expr("aggregate(_m.errs, CAST(0.0 AS DOUBLE), "
+                         "(a, e) -> a + e * e)").alias("_sse"),
+                  F.expr(scale).alias("_scale")))
+    mae = F.col("_sae") / F.lit(float(H))
+    return ex.select(
+        series_col, "method", "n_train", "n_test",
+        mae.alias("mae"),
+        F.sqrt(F.col("_sse") / F.lit(float(H))).alias("rmse"),
+        F.when(F.col("_scale") > 0, mae / F.col("_scale")).alias("mase"))

@@ -418,6 +418,28 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_forecast_backtest(spark, sf_dir):
+    """Holdout backtest of the FPP §5.2 baseline forecasters over each
+    user's hourly turn-rate series (functions/stats.py::
+    forecast_accuracy): last 24 observations held out, naive / drift /
+    seasonal-naive (period 24) forecast from the train prefix, scored
+    with MAE / RMSE / MASE (§5.8; MASE scale = train 24-step naive
+    MAE).  The evaluation half of the forecasting family — in-window
+    holt_hourly fits, this query says whether a fit beats the
+    benchmarks.  ONE collect aggregation + within-row HOF error
+    algebra + a bounded 3-row method explode; integer picks keep
+    naive/snaive errors exact, 1e-6 rounding absorbs fold-order noise
+    in the ≤ 24-term metric sums."""
+    from ..functions.stats import forecast_accuracy
+
+    out = forecast_accuracy(_hourly_counts(spark, sf_dir), holdout=24,
+                            season=24, order_col="idx")
+    return out.select("series_id", "method", "n_train", "n_test",
+                      F.round("mae", 6).alias("mae"),
+                      F.round("rmse", 6).alias("rmse"),
+                      F.round("mase", 6).alias("mase"))
+
+
 def q_theilsen_daily(spark, sf_dir):
     """Per-user per-day Theil-Sen robust trend over the hourly
     turn-rate points (functions/stats.py::theilsen_trend): the median
@@ -2740,6 +2762,64 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Forecast-backtest twin: ordered value lists, the identical
+# train/test split and per-h forecast formulas, metric sums as
+# list_sum over h-ordered lists (the fold-order twin of Spark's
+# sequential aggregate), 1e-6 rounding.
+ORACLES["forecast_backtest"] = """
+    WITH h AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    arr AS (SELECT series_id, list(y ORDER BY idx) AS ys,
+                   count(*) AS n
+            FROM h GROUP BY 1),
+    e AS (SELECT series_id, ys, CAST(n - 24 AS INT) AS nt
+          FROM arr WHERE n >= 24 + 25),
+    hs AS (SELECT unnest(generate_series(1, 24)) AS fh),
+    f AS (SELECT e.series_id, e.nt, hs.fh,
+                 ys[nt + fh] AS actual,
+                 ys[nt] AS f_naive,
+                 ys[nt] + CAST(fh AS DOUBLE) * (ys[nt] - ys[1])
+                   / CAST(nt - 1 AS DOUBLE) AS f_drift,
+                 ys[nt + fh - 24 * CAST(ceil(fh / 24.0) AS INT)]
+                   AS f_snaive
+          FROM e CROSS JOIN hs),
+    m AS (
+      SELECT series_id, 'naive' AS method, nt,
+             list(abs(actual - f_naive) ORDER BY fh) AS la,
+             list((actual - f_naive) * (actual - f_naive)
+                  ORDER BY fh) AS ls
+      FROM f GROUP BY 1, 3
+      UNION ALL
+      SELECT series_id, 'drift', nt,
+             list(abs(actual - f_drift) ORDER BY fh),
+             list((actual - f_drift) * (actual - f_drift)
+                  ORDER BY fh)
+      FROM f GROUP BY 1, 3
+      UNION ALL
+      SELECT series_id, 'snaive', nt,
+             list(abs(actual - f_snaive) ORDER BY fh),
+             list((actual - f_snaive) * (actual - f_snaive)
+                  ORDER BY fh)
+      FROM f GROUP BY 1, 3),
+    sc AS (SELECT e.series_id,
+                  list_sum(list_apply(
+                    range(25, e.nt + 1),
+                    t -> abs(ys[t] - ys[t - 24])))
+                  / CAST(e.nt - 24 AS DOUBLE) AS scale
+           FROM e)
+    SELECT m.series_id, m.method,
+           CAST(m.nt AS BIGINT) AS n_train,
+           CAST(24 AS BIGINT) AS n_test,
+           round(list_sum(la) / 24.0, 6) AS mae,
+           round(sqrt(list_sum(ls) / 24.0), 6) AS rmse,
+           round(CASE WHEN sc.scale > 0
+                 THEN (list_sum(la) / 24.0) / sc.scale END, 6) AS mase
+    FROM m JOIN sc USING (series_id)
+"""
 
 # Theil-Sen twin: pair self-join (rn_j > rn_i via idx ordering) →
 # ordered slope list → the identical middle-element median formula,

@@ -793,3 +793,66 @@ class TestTheilSen:
                .set_index("series_id"))
         assert got.loc["one", "slope"] != got.loc["one", "slope"]
         assert got.loc["vert", "slope"] != got.loc["vert", "slope"]
+
+
+class TestForecastAccuracy:
+    """functions/stats.py::forecast_accuracy — FPP §5.8 holdout
+    backtest of the §5.2 baselines, vs a pure-numpy replay."""
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(31)
+        H, m = 8, 12
+        rows, series = [], {}
+        for s in range(4):
+            ys = list(map(int, rng.integers(0, 25, 30 + 4 * s)))
+            series[f"s{s}"] = ys
+            rows += [(f"s{s}", i, v) for i, v in enumerate(ys)]
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import forecast_accuracy
+        got = forecast_accuracy(df, holdout=H, season=m).toPandas()
+        assert set(got["method"]) == {"naive", "drift", "snaive"}
+        for (sid, meth), row in got.set_index(
+                ["series_id", "method"]).iterrows():
+            ys = series[sid]
+            nt = len(ys) - H
+            if meth == "naive":
+                f = [ys[nt - 1]] * H
+            elif meth == "drift":
+                f = [ys[nt - 1] + h * (ys[nt - 1] - ys[0]) / (nt - 1)
+                     for h in range(1, H + 1)]
+            else:
+                f = [ys[nt + h - m * int(np.ceil(h / m)) - 1]
+                     for h in range(1, H + 1)]
+            e = np.array(ys[nt:], dtype=float) - np.array(f)
+            scale = np.mean([abs(ys[t] - ys[t - m])
+                             for t in range(m, nt)])
+            assert row["n_train"] == nt and row["n_test"] == H
+            np.testing.assert_allclose(row["mae"], np.mean(np.abs(e)),
+                                       rtol=1e-12)
+            np.testing.assert_allclose(
+                row["rmse"], np.sqrt(np.mean(e ** 2)), rtol=1e-12)
+            np.testing.assert_allclose(
+                row["mase"], np.mean(np.abs(e)) / scale, rtol=1e-12)
+
+    def test_perfect_seasonal_series_snaive_wins(self, spark):
+        pattern = [3, 9, 1, 7]
+        ys = pattern * 10                     # perfectly 4-seasonal
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(ys)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import forecast_accuracy
+        got = (forecast_accuracy(df, holdout=8, season=4).toPandas()
+               .set_index("method"))
+        assert got.loc["snaive", "mae"] == 0.0
+        # the in-sample seasonal naive is also perfect -> scale 0 ->
+        # MASE undefined (NULL), the FPP degenerate case
+        assert got.loc["snaive", "mase"] != got.loc["snaive", "mase"]
+        assert got.loc["naive", "mae"] > 0
+
+    def test_short_series_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("s", i, i) for i in range(5)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import forecast_accuracy
+        assert forecast_accuracy(df, holdout=4, season=None).count() == 0
