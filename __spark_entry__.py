@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # baselines, end r5) — the evaluation half of the forecasting
         # family (holt_hourly is in-window); same saturation note
         "forecast_backtest": DQ.q_forecast_backtest,
+        # per-user Markov state-transition matrix (end r5) — the
+        # sequence companion of in-window state_durations_1d; same note
+        "state_transitions": DQ.q_state_transitions,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

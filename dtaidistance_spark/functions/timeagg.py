@@ -353,3 +353,54 @@ def candlestick(
             F.max_by(value_col, key).alias("close"),
         )
     )
+
+
+def state_transitions(
+    points: DataFrame,
+    max_gap_s: int | None = None,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    state_col: str = "state",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Per-series state-transition (Markov) matrix — the sequence
+    companion of ``state_durations``' time-in-state contract: for each
+    consecutive sample pair in (``ts_col``, ``order_cols``) order, one
+    (from_state, to_state) observation; output the per-series
+    transition counts and the row-normalized first-order Markov
+    probabilities P(to | from).  ``max_gap_s`` drops pairs further
+    apart than the threshold (a session boundary — a transition across
+    a long silence is not turn-taking dynamics), mirroring the
+    sessionize gap rule.
+
+    Output: ``series_id, from_state, to_state, cnt, prob`` with
+    ``prob = cnt / Σ cnt over the from-state row``.
+
+    Plan: ONE per-series window exchange for ``lead`` (the same
+    exchange shape as ``state_durations``), then map-side-partial
+    counting; the row normalization joins the tiny per-(series, from)
+    totals back — |states|²-bounded data after the first aggregation.
+    Counts are exact integers and the probability one division, so SQL
+    twins hash-match; pass ``order_cols`` (e.g. an event id) to break
+    timestamp ties deterministically.
+    """
+    w = W.partitionBy(series_col).orderBy(ts_col, *order_cols)
+    us = _epoch_us(ts_col)
+    pr = (points.select(
+            F.col(series_col).alias("series_id"),
+            F.col(state_col).alias("from_state"),
+            us.alias("_us"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+            F.lead(us).over(w).alias("_us2"))
+          .where(F.col("to_state").isNotNull()))
+    if max_gap_s is not None:
+        pr = pr.where(F.col("_us2") - F.col("_us")
+                      <= int(max_gap_s) * 1_000_000)
+    cnt = (pr.groupBy("series_id", "from_state", "to_state")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    tot = (cnt.groupBy("series_id", "from_state")
+           .agg(F.sum("cnt").alias("_tot")))
+    return (cnt.join(tot, ["series_id", "from_state"])
+            .select("series_id", "from_state", "to_state", "cnt",
+                    (F.col("cnt").cast("double")
+                     / F.col("_tot").cast("double")).alias("prob")))

@@ -418,6 +418,29 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_state_transitions(spark, sf_dir):
+    """Per-user first-order Markov transition matrix over the event
+    stream (functions/timeagg.py::state_transitions — the sequence
+    companion of in-window state_durations_1d's time-in-state
+    contract): consecutive event-type pairs in (ts, event_id) order
+    within a 1 h gap (the sessionize boundary), counts + row-normalized
+    P(to | from).  The turn-taking-dynamics question over transcripts
+    — who follows whom — asked of the event stand-in.  ONE per-series
+    window exchange, then |states|²-bounded aggregation; exact integer
+    counts and one division keep the DuckDB lead-window twin
+    hash-exact."""
+    from ..functions.timeagg import state_transitions
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string"))
+        .alias("series_id"), "ts", "event_id",
+        F.col("event_type").alias("state"))
+    out = state_transitions(ev, max_gap_s=3600,
+                            order_cols=("event_id",))
+    return out.select("series_id", "from_state", "to_state", "cnt",
+                      F.round("prob", 6).alias("prob"))
+
+
 def q_forecast_backtest(spark, sf_dir):
     """Holdout backtest of the FPP §5.2 baseline forecasters over each
     user's hourly turn-rate series (functions/stats.py::
@@ -2762,6 +2785,29 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Markov-transition twin: the same lead window over (ts, event_id),
+# gap gate in exact integer microseconds, count + row-normalize.
+ORACLES["state_transitions"] = """
+    WITH s AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             event_type AS from_state,
+             lead(event_type) OVER w AS to_state,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    c AS (SELECT series_id, from_state, to_state, count(*) AS cnt
+          FROM s
+          WHERE to_state IS NOT NULL AND gap_us <= 3600000000
+          GROUP BY 1, 2, 3),
+    t AS (SELECT series_id, from_state, sum(cnt) AS tot
+          FROM c GROUP BY 1, 2)
+    SELECT c.series_id, c.from_state, c.to_state,
+           CAST(c.cnt AS BIGINT) AS cnt,
+           round(CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), 6)
+             AS prob
+    FROM c JOIN t USING (series_id, from_state)
+"""
 
 # Forecast-backtest twin: ordered value lists, the identical
 # train/test split and per-h forecast formulas, metric sums as

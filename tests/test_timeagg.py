@@ -342,3 +342,61 @@ class TestCandlestick:
             assert node not in plan, plan
         assert "SinglePartition" not in plan, plan
         assert "Window" not in plan, plan  # pure hash-agg, no exchange
+
+
+class TestStateTransitions:
+    def test_hand_fixture_counts_and_probs(self, spark):
+        from dtaidistance_spark.functions.timeagg import state_transitions
+        seq = ["a", "b", "a", "b", "b", "c"]   # ab, ba, ab, bb, bc
+        rows = [("s", _ts(i * 10), st) for i, st in enumerate(seq)]
+        df = spark.createDataFrame(rows, ["series_id", "ts", "state"])
+        got = (state_transitions(df).toPandas()
+               .set_index(["from_state", "to_state"]).sort_index())
+        assert got.loc[("a", "b"), "cnt"] == 2
+        assert got.loc[("a", "b"), "prob"] == 1.0
+        # pairs: (a,b),(b,a),(a,b),(b,b),(b,c) -> from-b row = a/b/c
+        # once each, so P(.|b) = 1/3
+        for to in "abc":
+            assert got.loc[("b", to), "cnt"] == 1
+            assert got.loc[("b", to), "prob"] == 1 / 3
+
+    def test_gap_rule_drops_cross_session_pairs(self, spark):
+        from dtaidistance_spark.functions.timeagg import state_transitions
+        rows = [("s", _ts(0), "a"), ("s", _ts(10), "b"),
+                ("s", _ts(5000), "c")]          # b->c gap 4990s
+        df = spark.createDataFrame(rows, ["series_id", "ts", "state"])
+        full = state_transitions(df).toPandas()
+        assert len(full) == 2
+        gated = state_transitions(df, max_gap_s=3600).toPandas()
+        assert len(gated) == 1
+        assert gated.iloc[0]["from_state"] == "a"
+        assert gated.iloc[0]["prob"] == 1.0
+
+    def test_matches_pandas_on_random_streams(self, spark):
+        from dtaidistance_spark.functions.timeagg import state_transitions
+        rng = np.random.default_rng(5)
+        rows = []
+        for s in range(6):
+            t = 0
+            for i in range(rng.integers(5, 60)):
+                t += int(rng.integers(1, 100))
+                rows.append((f"s{s}", _ts(t),
+                             "abcd"[rng.integers(0, 4)], i))
+        df = spark.createDataFrame(
+            rows, ["series_id", "ts", "state", "eid"])
+        got = state_transitions(df, order_cols=("eid",)).toPandas()
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "state",
+                                          "eid"])
+        pdf = pdf.sort_values(["series_id", "ts", "eid"])
+        pdf["to"] = pdf.groupby("series_id")["state"].shift(-1)
+        ref = (pdf.dropna(subset=["to"])
+               .groupby(["series_id", "state", "to"]).size()
+               .rename("cnt").reset_index())
+        tot = ref.groupby(["series_id", "state"])["cnt"].transform("sum")
+        ref["prob"] = ref["cnt"] / tot
+        m = got.merge(ref, left_on=["series_id", "from_state",
+                                    "to_state"],
+                      right_on=["series_id", "state", "to"])
+        assert len(m) == len(got) == len(ref)
+        assert (m["cnt_x"] == m["cnt_y"]).all()
+        assert (m["prob_x"] == m["prob_y"]).all()
