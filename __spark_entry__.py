@@ -292,6 +292,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-user Markov state-transition matrix (end r5) — the
         # sequence companion of in-window state_durations_1d; same note
         "state_transitions": DQ.q_state_transitions,
+        # local-level Kalman filter (end r5) — adaptive-gain companion
+        # of in-window holt_hourly, same fold + recursive-CTE
+        # bit-equality contract; same saturation note
+        "kalman_hourly": DQ.q_kalman_hourly,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

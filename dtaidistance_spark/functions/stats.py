@@ -949,3 +949,65 @@ def forecast_accuracy(
         mae.alias("mae"),
         F.sqrt(F.col("_sse") / F.lit(float(H))).alias("rmse"),
         F.when(F.col("_scale") > 0, mae / F.col("_scale")).alias("mase"))
+
+
+def kalman_level(
+    points: DataFrame,
+    q: float = 0.25,
+    r: float = 1.0,
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Kalman filter for the local-level state-space model (random
+    walk + observation noise; Durbin-Koopman §2.2) per series — the
+    adaptive-gain step past ``holt_linear``'s fixed α = 1/2: with
+    state variance ``q`` and observation variance ``r``, each step
+
+        p̂ₜ = pₜ₋₁ + q
+        kₜ = p̂ₜ / (p̂ₜ + r)
+        lₜ = lₜ₋₁ + kₜ·(yₜ − lₜ₋₁)
+        pₜ = (1 − kₜ)·p̂ₜ
+
+    so early observations get large gains (uncertain level) and the
+    gain converges to the steady-state root of k² r = (1−k) q — the
+    filter trusts data exactly as much as the noise ratio warrants.
+    Initialization l₁ = y₁, p₁ = 1.0.
+
+    Output one row per series: ``n``, final ``level`` (also the
+    h-step forecast — the local-level model predicts a constant),
+    final state variance ``var_p``, and ``gain_next`` (the gain the
+    next observation would receive — the steady-state diagnostic).
+
+    Exactness: the same deterministic sequential-fold contract as
+    ``holt_linear`` (JVM ``aggregate`` HOF in explicit ``order_col``
+    order == a recursive-CTE replay stepping the identical IEEE op
+    tree); ``order_col`` must be unique per series.  Plan: ONE collect
+    aggregation + an O(n) codegen fold — no window, no Python.
+    """
+    if q < 0 or r <= 0:
+        raise ValueError("need q >= 0 and r > 0")
+    qc, rc = F.lit(float(q)), F.lit(float(r))
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("_o"), F.col(y_col).cast(_D).alias("_y"))))
+    g = points.groupBy(F.col(series_col).alias(series_col)).agg(
+        arr.alias("_a"), F.count(F.lit(1)).alias("_n"))
+    init = F.struct(F.col("_a")[0]["_y"].alias("l"),
+                    F.lit(1.0).alias("p"))
+    rest = F.slice(F.col("_a"), 2, F.greatest(
+        F.col("_n").cast("int") - 1, F.lit(0)))
+
+    def _merge(acc, x):
+        gain = (acc["p"] + qc) / ((acc["p"] + qc) + rc)
+        return F.struct(
+            (acc["l"] + gain * (x["_y"] - acc["l"])).alias("l"),
+            ((F.lit(1.0) - gain) * (acc["p"] + qc)).alias("p"))
+
+    st = g.withColumn("_st", F.aggregate(rest, init, _merge))
+    gain_next = ((F.col("_st")["p"] + qc)
+                 / ((F.col("_st")["p"] + qc) + rc))
+    return st.select(
+        series_col, F.col("_n").cast("long").alias("n"),
+        F.col("_st")["l"].alias("level"),
+        F.col("_st")["p"].alias("var_p"),
+        gain_next.alias("gain_next"))

@@ -418,6 +418,26 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_kalman_hourly(spark, sf_dir):
+    """Local-level Kalman filter over each user's hourly spend-cents
+    series (functions/stats.py::kalman_level, q=0.25, r=1.0 —
+    Durbin-Koopman §2.2): the adaptive-gain step past in-window
+    holt_hourly's fixed α — early observations get large gains, the
+    gain converges to the steady-state noise-ratio root.  Same
+    execution contract as holt: ONE collect aggregation + an O(n)
+    JVM aggregate-HOF fold in explicit bucket order, and the DuckDB
+    twin replays the identical IEEE op sequence as a recursive CTE,
+    so level/variance/gain are bit-equal (1e-6 rounding only for the
+    hash)."""
+    from ..functions.stats import kalman_level
+
+    out = kalman_level(_hourly_cents(spark, sf_dir), q=0.25, r=1.0)
+    return out.select("series_id", "n",
+                      F.round("level", 6).alias("level"),
+                      F.round("var_p", 6).alias("var_p"),
+                      F.round("gain_next", 6).alias("gain_next"))
+
+
 def q_state_transitions(spark, sf_dir):
     """Per-user first-order Markov transition matrix over the event
     stream (functions/timeagg.py::state_transitions — the sequence
@@ -2785,6 +2805,41 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Kalman twin: the holt_hourly recursive-CTE pattern with the
+# local-level predict/gain/update op tree stepped in rank order.
+ORACLES["kalman_hourly"] = """
+    WITH RECURSIVE h AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             date_trunc('hour', ts) AS bucket_ts,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT series_id, y,
+                 row_number() OVER (PARTITION BY series_id
+                                    ORDER BY bucket_ts) AS rn
+          FROM h),
+    cnt AS (SELECT series_id, max(rn) AS n FROM r GROUP BY 1),
+    rec AS (
+      SELECT series_id, 1 AS t, CAST(y AS DOUBLE) AS l,
+             CAST(1.0 AS DOUBLE) AS p
+      FROM r WHERE rn = 1
+      UNION ALL
+      SELECT rec.series_id, rec.t + 1,
+             rec.l + ((rec.p + 0.25) / ((rec.p + 0.25) + 1.0))
+                     * (CAST(r.y AS DOUBLE) - rec.l),
+             (1.0 - (rec.p + 0.25) / ((rec.p + 0.25) + 1.0))
+             * (rec.p + 0.25)
+      FROM rec
+      JOIN r ON r.series_id = rec.series_id AND r.rn = rec.t + 1)
+    SELECT rec.series_id, CAST(cnt.n AS BIGINT) AS n,
+           round(rec.l, 6) AS level,
+           round(rec.p, 6) AS var_p,
+           round((rec.p + 0.25) / ((rec.p + 0.25) + 1.0), 6)
+             AS gain_next
+    FROM rec JOIN cnt USING (series_id)
+    WHERE rec.t = cnt.n
+"""
 
 # Markov-transition twin: the same lead window over (ts, event_id),
 # gap gate in exact integer microseconds, count + row-normalize.

@@ -856,3 +856,67 @@ class TestForecastAccuracy:
             ["series_id", "bucket_ts", "y"])
         from dtaidistance_spark.functions.stats import forecast_accuracy
         assert forecast_accuracy(df, holdout=4, season=None).count() == 0
+
+
+class TestKalmanLevel:
+    """functions/stats.py::kalman_level — local-level Kalman filter,
+    vs a pure-python fold and its steady-state theory."""
+
+    @staticmethod
+    def _fold(ys, q, r):
+        l, p = float(ys[0]), 1.0
+        for y in ys[1:]:
+            pp = p + q
+            k = pp / (pp + r)
+            l = l + k * (float(y) - l)
+            p = (1 - k) * pp
+        return l, p, (p + q) / ((p + q) + r)
+
+    def test_matches_python_fold_bit_exact(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(17)
+        rows, expect = [], {}
+        for s in range(5):
+            ys = list(map(int, rng.integers(0, 50, 30 + s)))
+            rows += [(f"s{s}", i, v) for i, v in enumerate(ys)]
+            expect[f"s{s}"] = self._fold(ys, 0.25, 1.0)
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import kalman_level
+        got = kalman_level(df, q=0.25, r=1.0).toPandas()
+        for _, row in got.iterrows():
+            l, p, k = expect[row["series_id"]]
+            assert row["level"] == l          # identical IEEE fold
+            assert row["var_p"] == p
+            assert row["gain_next"] == k
+
+    def test_steady_state_gain(self, spark):
+        # long series: gain converges to the root of k^2 r = (1-k) q
+        import numpy as np
+        q, r = 0.25, 1.0
+        ys = [(i * 7) % 13 for i in range(400)]
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(ys)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import kalman_level
+        got = kalman_level(df, q=q, r=r).toPandas().iloc[0]
+        # k* solves k^2 + k q/r - q/r = 0 (Durbin-Koopman steady state)
+        qr = q / r
+        k_star = (-qr + np.sqrt(qr * qr + 4 * qr)) / 2
+        assert abs(got["gain_next"] - k_star) < 1e-12
+        assert 0 < got["gain_next"] < 1
+
+    def test_constant_series_tracks_level(self, spark):
+        df = spark.createDataFrame(
+            [("s", i, 7) for i in range(50)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import kalman_level
+        got = kalman_level(df).toPandas().iloc[0]
+        assert got["level"] == 7.0
+        assert got["n"] == 50
+
+    def test_single_point_is_init_state(self, spark):
+        df = spark.createDataFrame([("s", 0, 42)],
+                                   ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import kalman_level
+        got = kalman_level(df).toPandas().iloc[0]
+        assert got["level"] == 42.0 and got["var_p"] == 1.0
