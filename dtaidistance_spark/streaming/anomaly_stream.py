@@ -49,7 +49,8 @@ import pandas as pd
 __all__ = ["zscore_step", "stream_anomaly_zscore",
            "holt_step", "stream_holt_linear",
            "ewma_step", "stream_ewma",
-           "cusum_step", "stream_cusum"]
+           "cusum_step", "stream_cusum",
+           "kalman_step", "stream_kalman_level"]
 
 OUT_SCHEMA = ("series_id string, ts timestamp, y long, n_prev long, "
               "z double")
@@ -379,5 +380,80 @@ def stream_cusum(stream, mu0: float, k: float, h: float):
                 _cusum_fn(float(mu0), float(k), float(h)),
                 outputStructType=CUSUM_OUT_SCHEMA,
                 stateStructType=CUSUM_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming local-level Kalman filter
+# ---------------------------------------------------------------------------
+
+KALMAN_OUT_SCHEMA = ("series_id string, ts timestamp, y long, n long, "
+                     "level double, var_p double, gain double")
+KALMAN_STATE_SCHEMA = "n long, l double, p double"
+
+
+def kalman_step(state, ys, q: float = 0.25, r: float = 1.0):
+    """Advance one series' local-level Kalman recurrence through
+    ``ys`` (event order).  ``state`` is ``[n, l, p]`` (mutated in
+    place); init l₁ = y₁, p₁ = 1.0, then the predict/gain/update tree
+    of functions/stats.kalman_level verbatim, so a batch re-run over
+    the same prefix is bit-equal at every step.  Returns one
+    ``(i, y, n, l, p, k)`` row per observation (``k`` the gain this
+    observation received; NaN for the init observation)."""
+    out = []
+    for i, y in enumerate(ys):
+        y = int(y)
+        n, l, p = state
+        if n == 0:
+            state[:] = [1, float(y), 1.0]
+            k = float("nan")
+        else:
+            pp = p + q
+            k = pp / (pp + r)
+            l_new = l + k * (float(y) - l)
+            p_new = (1.0 - k) * pp
+            state[:] = [n + 1, l_new, p_new]
+        out.append((i, y, state[0], state[1], state[2], k))
+    return out
+
+
+def _kalman_fn(q: float, r: float):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        (sid,) = key
+        cols = ["series_id", "ts", "y", "n", "level", "var_p", "gain"]
+        if state.hasTimedOut:               # pragma: no cover - NoTimeout
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        st = list(state.get) if state.exists else [0, float("nan"),
+                                                   float("nan")]
+        data = pd.concat(list(pdfs)).sort_values("ts")
+        ts = list(data["ts"])
+        rows = kalman_step(st, data["y"].to_numpy(), q=q, r=r)
+        state.update((int(st[0]), float(st[1]), float(st[2])))
+        yield pd.DataFrame(
+            [(sid, ts[i], y, n, l, p, k)
+             for (i, y, n, l, p, k) in rows], columns=cols)
+
+    return fn
+
+
+def stream_kalman_level(stream, q: float = 0.25, r: float = 1.0):
+    """(series_id, ts, y) stream → per-observation filtered level,
+    state variance and applied gain — the streaming twin of
+    functions/stats.kalman_level (bit-equal states on integer inputs;
+    same event-order caveats as stream_anomaly_zscore).  Per-series
+    state is THREE scalars, stream-length independent — the cheapest
+    stateful operator in the family."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (stream
+            .groupBy("series_id")
+            .applyInPandasWithState(
+                _kalman_fn(q, r),
+                outputStructType=KALMAN_OUT_SCHEMA,
+                stateStructType=KALMAN_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1881,3 +1881,79 @@ class TestStreamCusum:
             stream_cusum(None, mu0=0.0, k=-1.0, h=5.0)
         with _pt.raises(ValueError):
             stream_cusum(None, mu0=0.0, k=1.0, h=0.0)
+
+
+class TestStreamKalman:
+    """streaming/anomaly_stream.py::stream_kalman_level — the streaming
+    twin of functions/stats.kalman_level; states bit-equal to the
+    batch fold at every prefix."""
+
+    def test_step_matches_batch_exact(self, spark, rng):
+        from dtaidistance_spark.functions.stats import kalman_level
+        from dtaidistance_spark.streaming.anomaly_stream import kalman_step
+
+        y = [int(v) for v in rng.integers(0, 1000, size=50)]
+        rows = [("a", i, v) for i, v in enumerate(y)]
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        batch = (kalman_level(df, q=0.25, r=1.0, order_col="bucket_ts")
+                 .toPandas().iloc[0])
+        st = [0, float("nan"), float("nan")]
+        out = kalman_step(st, y, q=0.25, r=1.0)
+        assert out[-1][2] == 50
+        assert st[1] == batch["level"]        # bit-equal
+        assert st[2] == batch["var_p"]
+        assert ((st[2] + 0.25) / ((st[2] + 0.25) + 1.0)
+                == batch["gain_next"])
+
+    def test_chunking_invariance(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import kalman_step
+
+        y = [int(v) for v in rng.integers(0, 100, size=37)]
+        a = [0, float("nan"), float("nan")]
+        kalman_step(a, y)
+        b = [0, float("nan"), float("nan")]
+        for lo in range(0, 37, 5):
+            kalman_step(b, y[lo:lo + 5])
+        assert a == b
+
+    def test_stream_matches_batch(self, spark, tmp_path, rng):
+        import pandas as pd
+
+        from dtaidistance_spark.functions.stats import kalman_level
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            stream_kalman_level)
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for s in range(3):
+            y = rng.integers(0, 500, size=40)
+            rows += [(f"s{s}", t0 + pd.Timedelta(hours=int(i)), int(v))
+                     for i, v in enumerate(y)]
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "y"])
+        src_dir = str(tmp_path / "k_src")
+        out_dir = str(tmp_path / "k_out")
+        ck_dir = str(tmp_path / "k_ck")
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "series_id string, ts timestamp, y long").parquet(src_dir)
+        q = (stream_kalman_level(src)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = (spark.read.parquet(out_dir)
+               .orderBy("series_id", "ts").toPandas())
+        assert len(got) == len(pdf)
+        final = got.groupby("series_id").tail(1).set_index("series_id")
+        batch = (kalman_level(spark.createDataFrame(pdf), order_col="ts")
+                 .toPandas().set_index("series_id"))
+        for s in batch.index:
+            assert final.loc[s, "level"] == batch.loc[s, "level"]
+            assert final.loc[s, "var_p"] == batch.loc[s, "var_p"]
+        # the init observation receives no gain; later rows do
+        firsts = got.groupby("series_id").head(1)
+        assert firsts["gain"].isna().all()
+        assert got.groupby("series_id").tail(1)["gain"].notna().all()
