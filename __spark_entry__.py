@@ -296,6 +296,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # of in-window holt_hourly, same fold + recursive-CTE
         # bit-equality contract; same saturation note
         "kalman_hourly": DQ.q_kalman_hourly,
+        # cohort retention triangle (end r5) — day-N generalization of
+        # retention_7d, exact companion of retention_sketch; same note
+        "cohort_retention": DQ.q_cohort_retention,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -521,3 +521,51 @@ def freq_topk(agg: DataFrame, n_top: int = 5,
                     F.col("e.cnt").alias("est"),
                     (F.col("e.cnt") + F.col("err")).alias("est_hi"),
                     "n"))
+
+
+def cohort_retention(points: DataFrame, key_col: str,
+                     max_offset_days: int = 14,
+                     ts_col: str = "ts") -> DataFrame:
+    """Cohort retention triangle — the day-N generalization of the
+    single-offset `retention_7d` question: users are cohorted by their
+    FIRST active day, and for each (cohort day, offset 0..K) the
+    matrix reports how many of that cohort were active again k days
+    later and the retention rate.  The classic product-analytics
+    read-out (Amplitude/Mixpanel retention grid) over the event
+    stream.
+
+    Plan: distinct (key, day) activity (ONE shuffle, map-side
+    partial), per-key min-day cohort assignment off that same tier
+    (second small agg), one equi-join back on the key, bounded offset
+    filter, then a (cohort, offset)-keyed count — because activity is
+    already distinct per (key, day), the count IS the distinct-user
+    count, no countDistinct shuffle.  All exact integer counts + one
+    division, so SQL twins hash-match.  At 100 TB the join is keyed
+    by user over the day-deduplicated tier (~10³× smaller than raw
+    events), and `retention_sketch` remains the no-join Theta
+    alternative when approximate answers suffice.
+
+    Output: (cohort_day, offset_d, n_active, n_cohort, rate) for
+    offsets 0..max_offset_days (offset 0 row pins rate 1.0 by
+    construction).
+    """
+    K = int(max_offset_days)
+    if K < 0:
+        raise ValueError("max_offset_days must be >= 0")
+    act = (points.select(
+        F.col(key_col).alias("key"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"))
+        .distinct())
+    cohort = act.groupBy("key").agg(F.min("day").alias("cohort_day"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    j = (act.join(cohort, "key")
+         .withColumn("offset_d",
+                     F.datediff(F.col("day"), F.col("cohort_day")))
+         .where(F.col("offset_d") <= K))
+    grid = (j.groupBy("cohort_day", "offset_d")
+            .agg(F.count(F.lit(1)).alias("n_active")))
+    return (grid.join(sizes, "cohort_day")
+            .select("cohort_day", "offset_d", "n_active", "n_cohort",
+                    (F.col("n_active").cast("double")
+                     / F.col("n_cohort").cast("double")).alias("rate")))

@@ -418,6 +418,24 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle over the event stream
+    (operators/rollup.py::cohort_retention): users cohorted by first
+    active day, per (cohort, offset 0..14) the returning-user count
+    and rate — the day-N generalization of the single-offset
+    retention_7d question and the exact-count companion of the
+    no-join retention_sketch Theta tier.  Activity is day-deduplicated
+    in the first shuffle, so the per-offset count needs no
+    countDistinct; exact integer counts + one division keep the
+    DuckDB twin hash-exact."""
+    from ..operators.rollup import cohort_retention
+
+    ev = _events(spark, sf_dir)
+    out = cohort_retention(ev, "user_id", max_offset_days=14)
+    return out.select("cohort_day", "offset_d", "n_active", "n_cohort",
+                      F.round("rate", 6).alias("rate"))
+
+
 def q_kalman_hourly(spark, sf_dir):
     """Local-level Kalman filter over each user's hourly spend-cents
     series (functions/stats.py::kalman_level, q=0.25, r=1.0 —
@@ -2805,6 +2823,29 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Cohort-retention twin: distinct (user, day) activity → min-day
+# cohorts → offset join → counts, the same staging.
+ORACLES["cohort_retention"] = """
+    WITH act AS (
+      SELECT DISTINCT user_id AS key, date_trunc('day', ts) AS day
+      FROM events),
+    cohort AS (SELECT key, min(day) AS cohort_day FROM act GROUP BY 1),
+    sizes AS (SELECT cohort_day, count(*) AS n_cohort
+              FROM cohort GROUP BY 1),
+    j AS (SELECT c.cohort_day,
+                 date_diff('day', c.cohort_day, a.day) AS offset_d
+          FROM act a JOIN cohort c USING (key)
+          WHERE date_diff('day', c.cohort_day, a.day) <= 14),
+    grid AS (SELECT cohort_day, offset_d, count(*) AS n_active
+             FROM j GROUP BY 1, 2)
+    SELECT g.cohort_day, CAST(g.offset_d AS INTEGER) AS offset_d,
+           CAST(g.n_active AS BIGINT) AS n_active,
+           CAST(s.n_cohort AS BIGINT) AS n_cohort,
+           round(CAST(g.n_active AS DOUBLE)
+                 / CAST(s.n_cohort AS DOUBLE), 6) AS rate
+    FROM grid g JOIN sizes s USING (cohort_day)
+"""
 
 # Kalman twin: the holt_hourly recursive-CTE pattern with the
 # local-level predict/gain/update op tree stepped in rank order.

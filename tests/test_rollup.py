@@ -561,3 +561,57 @@ class TestStreamFreq:
                     == {e["key"]: e["cnt"]
                         for e in daily_b.loc[i, "entries"]})
             assert daily_s.loc[i, "err"] == daily_b.loc[i, "err"]
+
+
+class TestCohortRetention:
+    def test_hand_fixture_triangle(self, spark):
+        from dtaidistance_spark.operators.rollup import cohort_retention
+        t0 = pd.Timestamp("2024-03-01")
+        act = {  # user -> active day offsets from t0; first = cohort
+            "u1": [0, 1, 7],
+            "u2": [0, 7],
+            "u3": [0],
+            "u4": [1, 2],          # cohort day 1
+        }
+        rows = []
+        for u, days in act.items():
+            for d in days:
+                # two events the same day must not double-count
+                rows.append((u, t0 + pd.Timedelta(days=d, hours=3)))
+                rows.append((u, t0 + pd.Timedelta(days=d, hours=9)))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts"]))
+        got = (cohort_retention(df, "user_id", max_offset_days=7)
+               .toPandas().set_index(["cohort_day", "offset_d"])
+               .sort_index())
+        c0 = pd.Timestamp("2024-03-01")
+        c1 = pd.Timestamp("2024-03-02")
+        assert got.loc[(c0, 0), "n_cohort"] == 3
+        assert got.loc[(c0, 0), "rate"] == 1.0
+        assert got.loc[(c0, 1), "n_active"] == 1      # u1
+        assert got.loc[(c0, 7), "n_active"] == 2      # u1, u2
+        assert got.loc[(c0, 7), "rate"] == 2 / 3
+        assert got.loc[(c1, 0), "n_cohort"] == 1      # u4
+        assert got.loc[(c1, 1), "n_active"] == 1
+        # no offsets beyond K, no empty offsets materialized
+        assert got.index.get_level_values("offset_d").max() <= 7
+        assert (c0, 2) not in got.index
+
+    def test_offset_zero_always_full(self, spark, rng):
+        from dtaidistance_spark.operators.rollup import cohort_retention
+        t0 = pd.Timestamp("2024-03-01")
+        rows = []
+        for u in range(40):
+            base = int(rng.integers(0, 5))
+            for d in sorted(set(int(x) for x in
+                                rng.integers(0, 10, size=5))):
+                rows.append((f"u{u}", t0 + pd.Timedelta(days=base + d)))
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["user_id", "ts"]))
+        got = cohort_retention(df, "user_id", max_offset_days=14).toPandas()
+        z = got[got["offset_d"] == 0]
+        assert (z["n_active"] == z["n_cohort"]).all()
+        assert (z["rate"] == 1.0).all()
+        assert (got["rate"] <= 1.0).all()
+        # cohort sizes sum to the distinct-user total
+        assert z["n_cohort"].sum() == 40
