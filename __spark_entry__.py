@@ -299,6 +299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cohort retention triangle (end r5) — day-N generalization of
         # retention_7d, exact companion of retention_sketch; same note
         "cohort_retention": DQ.q_cohort_retention,
+        # ordered conversion funnel within a 7-day window (end r5) —
+        # ordered companion of state_transitions; same note
+        "funnel": DQ.q_funnel,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -404,3 +404,70 @@ def state_transitions(
             .select("series_id", "from_state", "to_state", "cnt",
                     (F.col("cnt").cast("double")
                      / F.col("_tot").cast("double")).alias("prob")))
+
+
+def funnel_conversion(
+    points: DataFrame,
+    steps,
+    within_s: int | None = None,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    state_col: str = "state",
+) -> DataFrame:
+    """Ordered funnel conversion over an event stream — the classic
+    product-analytics read-out next to ``state_transitions``'
+    unordered dynamics: step i is reached at the EARLIEST event of
+    type ``steps[i]`` at-or-after the step i−1 reach time (ties on
+    the timestamp count — the reach rule is a pure ``min`` over
+    ``ts ≥ prev``, so no event-order tiebreak is needed), optionally
+    bounded to ``within_s`` seconds of the step-0 time (the
+    conversion-window form).
+
+    Output one row per step: ``step_idx, step, n_reached,
+    rate_from_start, rate_from_prev`` — counts of series reaching the
+    step and the two conversion-rate conventions.
+
+    Plan: |steps| chained min-aggregations joined on the series key —
+    each input is pre-filtered to ONE step's event type before its
+    shuffle, so every stage moves only that step's events; the final
+    count is one tiny aggregate.  Exact integer counts and one
+    division per rate keep SQL twins hash-exact.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("need at least 2 funnel steps")
+    us = _epoch_us(ts_col)
+    ev = points.select(F.col(series_col).alias("_k"),
+                       F.col(state_col).alias("_st"), us.alias("_us"))
+    reach = (ev.where(F.col("_st") == steps[0])
+             .groupBy("_k").agg(F.min("_us").alias("_t0")))
+    tcols = ["_t0"]
+    for i, s in enumerate(steps[1:], start=1):
+        prev = tcols[-1]
+        cand = (ev.where(F.col("_st") == s)
+                .join(reach.select("_k", F.col(prev).alias("_p"),
+                                   F.col("_t0").alias("_w0")), "_k")
+                .where(F.col("_us") >= F.col("_p")))
+        if within_s is not None:
+            cand = cand.where(F.col("_us") <= F.col("_w0")
+                              + int(within_s) * 1_000_000)
+        ri = cand.groupBy("_k").agg(F.min("_us").alias(f"_t{i}"))
+        reach = reach.join(ri, "_k", "left")
+        tcols.append(f"_t{i}")
+    counts = reach.agg(*[F.count(F.col(c)).alias(f"n{i}")
+                         for i, c in enumerate(tcols)])
+    rows = None
+    for i, s in enumerate(steps):
+        n_i = F.col(f"n{i}").cast("long")
+        n_start = F.col("n0").cast("long")
+        n_prev = F.col(f"n{max(i - 1, 0)}").cast("long")
+        r = counts.select(
+            F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
+            n_i.alias("n_reached"),
+            F.when(n_start > 0,
+                   n_i.cast("double") / n_start.cast("double"))
+            .alias("rate_from_start"),
+            F.when(n_prev > 0, n_i.cast("double") / n_prev.cast("double"))
+            .alias("rate_from_prev"))
+        rows = r if rows is None else rows.unionAll(r)
+    return rows

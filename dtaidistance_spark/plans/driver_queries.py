@@ -418,6 +418,28 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_funnel(spark, sf_dir):
+    """signup → view → purchase conversion funnel within a 7-day
+    window (functions/timeagg.py::funnel_conversion): step i is
+    reached at the earliest step-i event at-or-after the step i−1
+    reach time — the ordered companion of state_transitions' unordered
+    dynamics and the classic product-analytics read-out.  Each stage
+    pre-filters to one step's event type before its keyed shuffle;
+    exact counts + one division per rate keep the chained-CTE DuckDB
+    twin hash-exact."""
+    from ..functions.timeagg import funnel_conversion
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("series_id"), "ts",
+        F.col("event_type").alias("state"))
+    out = funnel_conversion(ev, ["signup", "view", "purchase"],
+                            within_s=7 * 86400)
+    return out.select(
+        "step_idx", "step", "n_reached",
+        F.round("rate_from_start", 6).alias("rate_from_start"),
+        F.round("rate_from_prev", 6).alias("rate_from_prev"))
+
+
 def q_cohort_retention(spark, sf_dir):
     """Cohort retention triangle over the event stream
     (operators/rollup.py::cohort_retention): users cohorted by first
@@ -2823,6 +2845,50 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Funnel twin: the same chained min-reach CTEs (ts >= prev reach,
+# within 7 days of step 0) and the two rate conventions.
+ORACLES["funnel"] = """
+    WITH ev AS (SELECT user_id AS k, event_type AS st,
+                       epoch_us(ts) AS us
+                FROM events),
+    r0 AS (SELECT k, min(us) AS t0 FROM ev
+           WHERE st = 'signup' GROUP BY 1),
+    r1 AS (SELECT e.k, min(e.us) AS t1
+           FROM ev e JOIN r0 ON r0.k = e.k
+           WHERE e.st = 'view' AND e.us >= r0.t0
+             AND e.us <= r0.t0 + 604800000000
+           GROUP BY 1),
+    r2 AS (SELECT e.k, min(e.us) AS t2
+           FROM ev e JOIN r1 ON r1.k = e.k JOIN r0 ON r0.k = e.k
+           WHERE e.st = 'purchase' AND e.us >= r1.t1
+             AND e.us <= r0.t0 + 604800000000
+           GROUP BY 1),
+    c AS (SELECT (SELECT count(*) FROM r0) AS n0,
+                 (SELECT count(*) FROM r1) AS n1,
+                 (SELECT count(*) FROM r2) AS n2)
+    SELECT 0 AS step_idx, 'signup' AS step,
+           CAST(n0 AS BIGINT) AS n_reached,
+           round(CASE WHEN n0 > 0 THEN CAST(n0 AS DOUBLE)
+                      / CAST(n0 AS DOUBLE) END, 6) AS rate_from_start,
+           round(CASE WHEN n0 > 0 THEN CAST(n0 AS DOUBLE)
+                      / CAST(n0 AS DOUBLE) END, 6) AS rate_from_prev
+    FROM c
+    UNION ALL
+    SELECT 1, 'view', CAST(n1 AS BIGINT),
+           round(CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE)
+                      / CAST(n0 AS DOUBLE) END, 6),
+           round(CASE WHEN n0 > 0 THEN CAST(n1 AS DOUBLE)
+                      / CAST(n0 AS DOUBLE) END, 6)
+    FROM c
+    UNION ALL
+    SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+           round(CASE WHEN n0 > 0 THEN CAST(n2 AS DOUBLE)
+                      / CAST(n0 AS DOUBLE) END, 6),
+           round(CASE WHEN n1 > 0 THEN CAST(n2 AS DOUBLE)
+                      / CAST(n1 AS DOUBLE) END, 6)
+    FROM c
+"""
 
 # Cohort-retention twin: distinct (user, day) activity → min-day
 # cohorts → offset join → counts, the same staging.

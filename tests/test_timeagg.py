@@ -400,3 +400,71 @@ class TestStateTransitions:
         assert len(m) == len(got) == len(ref)
         assert (m["cnt_x"] == m["cnt_y"]).all()
         assert (m["prob_x"] == m["prob_y"]).all()
+
+
+class TestFunnelConversion:
+    def test_hand_fixture(self, spark):
+        from dtaidistance_spark.functions.timeagg import funnel_conversion
+        rows = [
+            # u1: full funnel a -> b -> c in order
+            ("u1", _ts(0), "a"), ("u1", _ts(10), "b"), ("u1", _ts(20), "c"),
+            # u2: a then c BEFORE b -> reaches b, c only after b? c at 5
+            # precedes b at 30 -> b reached at 30, no c after 30
+            ("u2", _ts(0), "a"), ("u2", _ts(5), "c"), ("u2", _ts(30), "b"),
+            # u3: a only
+            ("u3", _ts(0), "a"),
+            # u4: never does a -> not in funnel despite b, c
+            ("u4", _ts(0), "b"), ("u4", _ts(1), "c"),
+        ]
+        df = spark.createDataFrame(rows, ["series_id", "ts", "state"])
+        got = (funnel_conversion(df, ["a", "b", "c"]).toPandas()
+               .set_index("step_idx").sort_index())
+        assert list(got["n_reached"]) == [3, 2, 1]
+        assert got.loc[0, "rate_from_start"] == 1.0
+        assert got.loc[1, "rate_from_start"] == 2 / 3
+        assert got.loc[2, "rate_from_start"] == 1 / 3
+        assert got.loc[2, "rate_from_prev"] == 1 / 2
+
+    def test_equal_timestamp_counts(self, spark):
+        from dtaidistance_spark.functions.timeagg import funnel_conversion
+        rows = [("u", _ts(0), "a"), ("u", _ts(0), "b")]   # same instant
+        df = spark.createDataFrame(rows, ["series_id", "ts", "state"])
+        got = (funnel_conversion(df, ["a", "b"]).toPandas()
+               .set_index("step_idx"))
+        assert got.loc[1, "n_reached"] == 1        # ts >= prev is >=
+
+    def test_conversion_window(self, spark):
+        from dtaidistance_spark.functions.timeagg import funnel_conversion
+        rows = [("u1", _ts(0), "a"), ("u1", _ts(50), "b"),
+                ("u2", _ts(0), "a"), ("u2", _ts(5000), "b")]
+        df = spark.createDataFrame(rows, ["series_id", "ts", "state"])
+        got = (funnel_conversion(df, ["a", "b"], within_s=3600)
+               .toPandas().set_index("step_idx"))
+        assert got.loc[1, "n_reached"] == 1        # u2 outside window
+
+    def test_matches_pandas_on_random_streams(self, spark):
+        from dtaidistance_spark.functions.timeagg import funnel_conversion
+        rng = np.random.default_rng(9)
+        rows = []
+        for u in range(60):
+            t = 0
+            for _ in range(rng.integers(2, 15)):
+                t += int(rng.integers(1, 500))
+                rows.append((f"u{u}", _ts(t), "abc"[rng.integers(0, 3)]))
+        df = spark.createDataFrame(rows, ["series_id", "ts", "state"])
+        got = (funnel_conversion(df, ["a", "b", "c"]).toPandas()
+               .set_index("step_idx"))
+        # reference: per-user sequential min-ts >= prev
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "state"])
+        n = [0, 0, 0]
+        for _, g in pdf.groupby("series_id"):
+            prev = None
+            for i, s in enumerate("abc"):
+                c = g[(g["state"] == s)]
+                if prev is not None:
+                    c = c[c["ts"] >= prev]
+                if len(c) == 0:
+                    break
+                prev = c["ts"].min()
+                n[i] += 1
+        assert list(got["n_reached"]) == n
