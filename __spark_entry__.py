@@ -302,6 +302,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordered conversion funnel within a 7-day window (end r5) —
         # ordered companion of state_transitions; same note
         "funnel": DQ.q_funnel,
+        # two-level binary segmentation (end r5) — recursive extension
+        # of in-window changepoint_cusum; same note
+        "changepoint_binseg": DQ.q_changepoint_binseg,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -1011,3 +1011,60 @@ def kalman_level(
         F.col("_st")["l"].alias("level"),
         F.col("_st")["p"].alias("var_p"),
         gain_next.alias("gain_next"))
+
+
+def binary_segmentation(
+    points: DataFrame,
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Two-level binary segmentation (Scott-Knott / the classic
+    recursive extension of the CUSUM scan): the root changepoint from
+    ``cusum_changepoint``, then the SAME scan inside each resulting
+    half — up to three changepoints per series, the standard answer
+    when one shift is not enough (e.g. a ramp-up and a later
+    regression in the same week).
+
+    Output one row per (series, level, segment):
+    ``level`` 1 (whole series, segment 0) or 2 (segment 0 = left of
+    the root cp inclusive, 1 = right), with the segment-relative
+    ``cp_<order>``, position ``k``, signed peak ``cusum`` and segment
+    length ``n``.  Level-2 rows exist only for segments with ≥ 2
+    points (a 1-point segment has a trivial zero scan and is
+    dropped).
+
+    Plan: the level-1 scan is the existing two-window pass; the
+    level-2 scan re-runs it with the segment id folded into the
+    partition key (one broadcast-size join to tag segments, one more
+    series exchange) — same per-row cost as running CUSUM twice.
+    Determinism: both levels inherit the bit-exact argmax contract
+    (earliest k on ties) from ``cusum_changepoint``; the composite
+    partition key uses '\\x1f' so series ids containing '#' stay
+    unambiguous.
+    """
+    cp_col = "cp_" + order_col
+    lvl1 = cusum_changepoint(points, series_col, order_col, y_col)
+    l1 = lvl1.select(
+        F.col(series_col), F.lit(1).alias("level"),
+        F.lit(0).alias("segment"), F.col(cp_col),
+        F.col("k"), F.col("cusum"), F.col("n"))
+    tagged = (points.join(
+        lvl1.select(series_col, F.col(cp_col).alias("_cp")), series_col)
+        .withColumn("_seg",
+                    F.when(F.col(order_col) <= F.col("_cp"), F.lit(0))
+                    .otherwise(F.lit(1)))
+        .withColumn("_ck", F.concat_ws("\x1f",
+                                       F.col(series_col).cast("string"),
+                                       F.col("_seg").cast("string"))))
+    lvl2 = cusum_changepoint(
+        tagged.select(F.col("_ck").alias(series_col), order_col, y_col),
+        series_col, order_col, y_col)
+    l2 = (lvl2.where(F.col("n") >= 2)
+          .withColumn("_parts", F.split(F.col(series_col), "\x1f"))
+          .select(
+              F.col("_parts")[0].alias(series_col),
+              F.lit(2).alias("level"),
+              F.col("_parts")[1].cast("int").alias("segment"),
+              F.col(cp_col), F.col("k"), F.col("cusum"), F.col("n")))
+    return l1.unionAll(l2)

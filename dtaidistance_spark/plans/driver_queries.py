@@ -418,6 +418,22 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_changepoint_binseg(spark, sf_dir):
+    """Two-level binary segmentation of each user's hourly spend-cents
+    series (functions/stats.py::binary_segmentation): the in-window
+    changepoint_cusum root scan, then the same scan inside each half —
+    up to three changepoints per series, the standard recursive answer
+    when one shift is not enough.  Both levels inherit the bit-exact
+    argmax contract, so the DuckDB twin (the cusum CTE applied twice
+    with the segment folded into the partition key) hash-matches."""
+    from ..functions.stats import binary_segmentation
+
+    out = binary_segmentation(_hourly_cents(spark, sf_dir))
+    return out.select("series_id", "level", "segment",
+                      F.col("cp_bucket_ts"), "k",
+                      F.round("cusum", 6).alias("cusum"), "n")
+
+
 def q_funnel(spark, sf_dir):
     """signup → view → purchase conversion funnel within a 7-day
     window (functions/timeagg.py::funnel_conversion): step i is
@@ -2845,6 +2861,62 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Binary-segmentation twin: the changepoint_cusum CTE applied at the
+# root, segments tagged by the root cp, then the same scan per
+# (series, segment); level-2 rows only for segments with >= 2 points.
+ORACLES["changepoint_binseg"] = f"""
+    WITH h AS ({_HOURLY_CENTS_SQL}),
+    s AS (
+      SELECT series_id, bucket_ts, y,
+             row_number() OVER (PARTITION BY series_id
+                                ORDER BY bucket_ts) AS k,
+             sum(y) OVER (PARTITION BY series_id ORDER BY bucket_ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sk,
+             sum(y) OVER (PARTITION BY series_id) AS sn,
+             count(*) OVER (PARTITION BY series_id) AS n
+      FROM h),
+    c AS (SELECT *,
+                 sk - CAST(k AS DOUBLE) * (sn / CAST(n AS DOUBLE))
+                   AS cusum
+          FROM s),
+    l1 AS (SELECT series_id, bucket_ts AS cp, k, cusum, n FROM c
+           QUALIFY row_number() OVER (PARTITION BY series_id
+                                      ORDER BY abs(cusum) DESC,
+                                               k ASC) = 1),
+    tag AS (SELECT h.series_id, h.bucket_ts, h.y,
+                   CASE WHEN h.bucket_ts <= l1.cp THEN 0 ELSE 1 END
+                     AS seg
+            FROM h JOIN l1 USING (series_id)),
+    s2 AS (
+      SELECT series_id, seg, bucket_ts, y,
+             row_number() OVER (PARTITION BY series_id, seg
+                                ORDER BY bucket_ts) AS k,
+             sum(y) OVER (PARTITION BY series_id, seg
+                          ORDER BY bucket_ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sk,
+             sum(y) OVER (PARTITION BY series_id, seg) AS sn,
+             count(*) OVER (PARTITION BY series_id, seg) AS n
+      FROM tag),
+    c2 AS (SELECT *,
+                  sk - CAST(k AS DOUBLE) * (sn / CAST(n AS DOUBLE))
+                    AS cusum
+           FROM s2),
+    l2 AS (SELECT series_id, seg, bucket_ts AS cp, k, cusum, n FROM c2
+           QUALIFY row_number() OVER (PARTITION BY series_id, seg
+                                      ORDER BY abs(cusum) DESC,
+                                               k ASC) = 1)
+    SELECT series_id, 1 AS level, 0 AS segment, cp AS cp_bucket_ts,
+           CAST(k AS BIGINT) AS k, round(cusum, 6) AS cusum,
+           CAST(n AS BIGINT) AS n
+    FROM l1
+    UNION ALL
+    SELECT series_id, 2, CAST(seg AS INTEGER), cp,
+           CAST(k AS BIGINT), round(cusum, 6), CAST(n AS BIGINT)
+    FROM l2 WHERE n >= 2
+"""
 
 # Funnel twin: the same chained min-reach CTEs (ts >= prev reach,
 # within 7 days of step 0) and the two rate conventions.

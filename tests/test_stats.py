@@ -920,3 +920,83 @@ class TestKalmanLevel:
         from dtaidistance_spark.functions.stats import kalman_level
         got = kalman_level(df).toPandas().iloc[0]
         assert got["level"] == 42.0 and got["var_p"] == 1.0
+
+
+class TestBinarySegmentation:
+    """functions/stats.py::binary_segmentation — two-level CUSUM
+    segmentation vs a numpy replay of the same argmax."""
+
+    @staticmethod
+    def _cusum_argmax(ys):
+        import numpy as np
+        y = np.asarray(ys, dtype=float)
+        n = len(y)
+        sk = np.cumsum(y)
+        c = sk - np.arange(1, n + 1) * (sk[-1] / n)
+        k = int(np.lexsort((np.arange(n), -np.abs(c)))[0])  # earliest max
+        return k + 1, float(c[k])
+
+    def test_two_planted_shifts_recovered(self, spark):
+        ys = [0] * 30 + [50] * 30 + [100] * 30   # shifts at 30, 60
+        rows = [("s", i, v) for i, v in enumerate(ys)]
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import binary_segmentation
+        got = (binary_segmentation(df).toPandas()
+               .set_index(["level", "segment"]).sort_index())
+        k1, c1 = self._cusum_argmax(ys)
+        assert got.loc[(1, 0), "k"] == k1
+        assert got.loc[(1, 0), "cusum"] == c1
+        left, right = ys[:k1], ys[k1:]
+        kl, cl = self._cusum_argmax(left)
+        kr, cr = self._cusum_argmax(right)
+        assert got.loc[(2, 0), "k"] == kl
+        assert got.loc[(2, 0), "cusum"] == cl
+        assert got.loc[(2, 1), "k"] == kr
+        assert got.loc[(2, 1), "cusum"] == cr
+        # with these magnitudes both true shifts are found
+        cps = sorted([got.loc[(1, 0), "k"],
+                      got.loc[(2, 0), "k"] if got.loc[(1, 0), "k"] < 30
+                      else got.loc[(1, 0), "k"] + got.loc[(2, 1), "k"]])
+        assert 30 in set([got.loc[(1, 0), "k"],
+                          got.loc[(1, 0), "k"] + got.loc[(2, 1), "k"], kl])
+        assert 60 in set([got.loc[(1, 0), "k"],
+                          got.loc[(1, 0), "k"] + got.loc[(2, 1), "k"], kl])
+
+    def test_matches_numpy_on_random_series(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(13)
+        rows, series = [], {}
+        for s in range(5):
+            ys = list(map(int, rng.integers(0, 100, 40)))
+            series[f"s{s}"] = ys
+            rows += [(f"s{s}", i, v) for i, v in enumerate(ys)]
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import binary_segmentation
+        got = (binary_segmentation(df).toPandas()
+               .set_index(["series_id", "level", "segment"]))
+        for sid, ys in series.items():
+            k1, c1 = self._cusum_argmax(ys)
+            assert got.loc[(sid, 1, 0), "k"] == k1
+            assert got.loc[(sid, 1, 0), "cusum"] == c1
+            kl, cl = self._cusum_argmax(ys[:k1])
+            kr, cr = self._cusum_argmax(ys[k1:])
+            if len(ys[:k1]) >= 2:
+                assert got.loc[(sid, 2, 0), "k"] == kl
+                assert got.loc[(sid, 2, 0), "cusum"] == cl
+            if len(ys[k1:]) >= 2:
+                assert got.loc[(sid, 2, 1), "k"] == kr
+                assert got.loc[(sid, 2, 1), "cusum"] == cr
+
+    def test_one_point_segment_dropped(self, spark):
+        # argmax at k=1 -> left segment has a single point -> no
+        # (2, 0) row
+        ys = [100, 0, 0, 0, 0]
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(ys)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import binary_segmentation
+        got = (binary_segmentation(df).toPandas()
+               .set_index(["level", "segment"]))
+        assert got.loc[(1, 0), "k"] == 1
+        assert (2, 0) not in got.index
+        assert (2, 1) in got.index
