@@ -305,6 +305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # two-level binary segmentation (end r5) — recursive extension
         # of in-window changepoint_cusum; same note
         "changepoint_binseg": DQ.q_changepoint_binseg,
+        # rolling windowed Pearson between the ccf pairs (end r5) —
+        # the decoupling diagnostic refining ccf_pairs; same note
+        "rolling_corr": DQ.q_rolling_corr,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

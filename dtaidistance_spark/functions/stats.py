@@ -1068,3 +1068,67 @@ def binary_segmentation(
               F.col("_parts")[1].cast("int").alias("segment"),
               F.col(cp_col), F.col("k"), F.col("cusum"), F.col("n")))
     return l1.unionAll(l2)
+
+
+def rolling_corr(
+    points: DataFrame,
+    pairs,
+    window: int = 24,
+    series_col: str = "series_id",
+    idx_col: str = "idx",
+    y_col: str = "y",
+) -> DataFrame:
+    """Rolling Pearson correlation between series pairs over a
+    trailing window of common buckets — the windowed refinement of
+    ``cross_corr``'s single global coefficient: one output row per
+    (pair, common bucket) with the correlation over the last
+    ``window`` co-observed buckets, the classic drift /
+    relationship-breakdown diagnostic (a pair that decouples shows
+    its rolling corr collapsing long before the global number moves).
+
+    ``pairs`` is a list of (a, b) tuples or a DataFrame with columns
+    ``a``/``b`` (broadcast).  Pairing is the time-lag-0 inner join of
+    ``cross_corr``: only buckets where BOTH series have a value
+    enter, and the window counts co-observed buckets (observation
+    indexed, the ``ewma`` convention), not wall-clock.
+
+    Plan: broadcast pair join, ONE shuffled equi-join on (b, idx),
+    then five running sufficient-statistic sums over a single
+    per-pair window frame — one exchange, no self-join per output
+    row.  Exactness: integer inputs → the trailing sums are exact
+    (each is a sum of ≤ window exact integers in a ROWS frame, which
+    both engines accumulate identically), and the correlation is the
+    module's fixed num/(√d1·√d2) tree; NULL until ``window`` pairs
+    exist and on zero variance.
+    """
+    win = int(window)
+    if win < 2:
+        raise ValueError("window must be >= 2")
+    if not isinstance(pairs, DataFrame):
+        spark = points.sparkSession
+        pairs = spark.createDataFrame(
+            [(str(a), str(b)) for a, b in pairs], ["a", "b"])
+    left = (points.select(
+                F.col(series_col).alias("a"),
+                F.col(idx_col).cast("long").alias("idx"),
+                F.col(y_col).cast(_D).alias("_ya"))
+            .join(F.broadcast(pairs), "a"))
+    right = points.select(
+        F.col(series_col).alias("b"),
+        F.col(idx_col).cast("long").alias("idx"),
+        F.col(y_col).cast(_D).alias("_yb"))
+    j = left.join(right, ["b", "idx"])
+    w = (W.partitionBy("a", "b").orderBy("idx")
+         .rowsBetween(-(win - 1), W.currentRow))
+    n = F.count(F.lit(1)).over(w).cast(_D)
+    sx = F.sum("_ya").over(w)
+    sy = F.sum("_yb").over(w)
+    sxx = F.sum(F.col("_ya") * F.col("_ya")).over(w)
+    syy = F.sum(F.col("_yb") * F.col("_yb")).over(w)
+    sxy = F.sum(F.col("_ya") * F.col("_yb")).over(w)
+    out = j.select(
+        "a", "b", "idx",
+        n.cast("long").alias("n_win"),
+        _corr_expr(n, sx, sy, sxx, syy, sxy).alias("corr"))
+    return out.withColumn(
+        "corr", F.when(F.col("n_win") >= win, F.col("corr")))

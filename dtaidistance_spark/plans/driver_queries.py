@@ -418,6 +418,22 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Rolling 24-observation Pearson correlation between the fixed
+    ccf_pairs user pairs (functions/stats.py::rolling_corr — the
+    windowed refinement of in-window ccf_pairs' global coefficient,
+    the classic decoupling diagnostic).  Broadcast pair join + one
+    keyed equi-join + five trailing sufficient-stat sums over a single
+    ROWS frame; integer inputs keep every trailing sum exact, so the
+    DuckDB window twin hash-matches."""
+    from ..functions.stats import rolling_corr
+
+    out = rolling_corr(_hourly_counts(spark, sf_dir), _CCF_PAIRS,
+                       window=24)
+    return out.select("a", "b", "idx", "n_win",
+                      F.round("corr", 6).alias("corr"))
+
+
 def q_changepoint_binseg(spark, sf_dir):
     """Two-level binary segmentation of each user's hourly spend-cents
     series (functions/stats.py::binary_segmentation): the in-window
@@ -2861,6 +2877,39 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Rolling-corr twin: the same pair join + a 24-row trailing window
+# of sufficient sums + the module's num/(sqrt*sqrt) tree.
+ORACLES["rolling_corr"] = f"""
+    WITH h AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    pr AS (SELECT * FROM (VALUES
+           {', '.join(f"('{a}', '{b}')" for a, b in _CCF_PAIRS)})
+           AS t(a, b)),
+    j AS (SELECT pr.a, pr.b, ha.idx, ha.y AS ya, hb.y AS yb
+          FROM pr
+          JOIN h ha ON ha.series_id = pr.a
+          JOIN h hb ON hb.series_id = pr.b AND hb.idx = ha.idx),
+    w AS (SELECT a, b, idx,
+                 CAST(count(*) OVER win AS DOUBLE) AS n,
+                 sum(ya) OVER win AS sx, sum(yb) OVER win AS sy,
+                 sum(ya*ya) OVER win AS sxx,
+                 sum(yb*yb) OVER win AS syy,
+                 sum(ya*yb) OVER win AS sxy
+          FROM j
+          WINDOW win AS (PARTITION BY a, b ORDER BY idx
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT a, b, idx, CAST(n AS BIGINT) AS n_win,
+           round(CASE WHEN n >= 24 AND (n*sxx - sx*sx) > 0
+                       AND (n*syy - sy*sy) > 0
+                 THEN (n*sxy - sx*sy)
+                      / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy))
+                 END, 6) AS corr
+    FROM w
+"""
 
 # Binary-segmentation twin: the changepoint_cusum CTE applied at the
 # root, segments tagged by the root cp, then the same scan per

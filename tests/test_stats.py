@@ -1000,3 +1000,62 @@ class TestBinarySegmentation:
         assert got.loc[(1, 0), "k"] == 1
         assert (2, 0) not in got.index
         assert (2, 1) in got.index
+
+
+class TestRollingCorr:
+    """functions/stats.py::rolling_corr — windowed Pearson between
+    pairs, vs pandas .rolling().corr() on the aligned frame."""
+
+    def test_matches_pandas_rolling(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(41)
+        n = 60
+        ya = rng.integers(0, 50, n)
+        yb = (ya * 2 + rng.integers(0, 10, n))
+        rows = ([("a", i, int(v)) for i, v in enumerate(ya)]
+                + [("b", i, int(v)) for i, v in enumerate(yb)])
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        from dtaidistance_spark.functions.stats import rolling_corr
+        got = (rolling_corr(df, [("a", "b")], window=12).toPandas()
+               .sort_values("idx").reset_index(drop=True))
+        ref = (pd.Series(ya, dtype=float).rolling(12)
+               .corr(pd.Series(yb, dtype=float)))
+        assert len(got) == n
+        for i in range(n):
+            if i < 11:
+                assert pd.isna(got.loc[i, "corr"])
+            else:
+                np.testing.assert_allclose(got.loc[i, "corr"],
+                                           ref.iloc[i], rtol=1e-12)
+        assert (got["n_win"].iloc[11:] == 12).all()
+
+    def test_gaps_pair_on_common_buckets(self, spark):
+        # b missing idx 2: the pair stream skips it; window counts
+        # co-observed buckets only
+        rows = ([("a", i, v) for i, v in
+                 [(0, 1), (1, 3), (2, 9), (3, 2), (4, 5)]]
+                + [("b", i, v) for i, v in
+                   [(0, 2), (1, 5), (3, 4), (4, 1)]])
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        from dtaidistance_spark.functions.stats import rolling_corr
+        got = rolling_corr(df, [("a", "b")], window=2).toPandas()
+        assert sorted(got["idx"]) == [0, 1, 3, 4]
+        import numpy as np
+        r13 = np.corrcoef([3, 2], [5, 4])[0, 1]
+        row3 = got.set_index("idx").loc[3]
+        np.testing.assert_allclose(row3["corr"], r13, rtol=1e-12)
+
+    def test_decoupling_pair_detected(self, spark):
+        import numpy as np
+        # first half: b = a (corr 1); second half: b independent
+        rng = np.random.default_rng(43)
+        ya = list(rng.integers(0, 100, 80))
+        yb = ya[:40] + list(rng.integers(0, 100, 40))
+        rows = ([("a", i, int(v)) for i, v in enumerate(ya)]
+                + [("b", i, int(v)) for i, v in enumerate(yb)])
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        from dtaidistance_spark.functions.stats import rolling_corr
+        got = (rolling_corr(df, [("a", "b")], window=16).toPandas()
+               .set_index("idx"))
+        assert got.loc[39, "corr"] == 1.0          # fully coupled
+        assert abs(got.loc[79, "corr"]) < 0.6      # decoupled window
