@@ -308,6 +308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rolling windowed Pearson between the ccf pairs (end r5) —
         # the decoupling diagnostic refining ccf_pairs; same note
         "rolling_corr": DQ.q_rolling_corr,
+        # per-transition latency stats (end r5) — the timing half of
+        # state_transitions, rank-exact median; same note
+        "transition_latency": DQ.q_transition_latency,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -471,3 +471,66 @@ def funnel_conversion(
             .alias("rate_from_prev"))
         rows = r if rows is None else rows.unionAll(r)
     return rows
+
+
+def transition_latency(
+    points: DataFrame,
+    max_gap_s: int | None = None,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    state_col: str = "state",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """Latency statistics per state transition — "how long after a
+    view does the purchase come": for every consecutive sample pair in
+    (``ts_col``, ``order_cols``) order (the ``state_transitions``
+    pairing, same optional ``max_gap_s`` session gate), the gap in
+    seconds, aggregated per (from_state, to_state) corpus-wide as
+    ``n``, mean, and the RANK-EXACT median (middle element, or the
+    exact average of the two middles — the latency_quantiles
+    convention, not an interpolating approximation).
+
+    Plan: ONE per-series window exchange for the lead, then a keyed
+    aggregation for n/mean and one rank window over the
+    (from, to)-partitioned gaps for the median — no per-group
+    collect_list, so a hot transition pair never materializes an
+    array.  Gaps are exact integer microseconds; mean and median are
+    one fixed IEEE tree each, so SQL twins hash-match.
+
+    Output: (from_state, to_state, n, avg_gap_s, p50_gap_s).
+    """
+    w = W.partitionBy(series_col).orderBy(ts_col, *order_cols)
+    us = _epoch_us(ts_col)
+    pr = (points.select(
+            F.col(series_col).alias("_k"),
+            F.col(state_col).alias("from_state"),
+            us.alias("_us"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+            F.lead(us).over(w).alias("_us2"))
+          .where(F.col("to_state").isNotNull())
+          .withColumn("_gap_us", F.col("_us2") - F.col("_us")))
+    if max_gap_s is not None:
+        pr = pr.where(F.col("_gap_us") <= int(max_gap_s) * 1_000_000)
+    agg = pr.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_gap_us").alias("_sum_us"))
+    rw = W.partitionBy("from_state", "to_state").orderBy("_gap_us")
+    ranked = pr.withColumn("_r", F.row_number().over(rw))
+    med = (ranked.join(agg.select("from_state", "to_state", "n"),
+                       ["from_state", "to_state"])
+           .where(((F.col("n") % 2 == 1)
+                   & (F.col("_r") == (F.col("n") + 1) / 2))
+                  | ((F.col("n") % 2 == 0)
+                     & ((F.col("_r") == F.col("n") / 2)
+                        | (F.col("_r") == F.col("n") / 2 + 1))))
+           .groupBy("from_state", "to_state")
+           .agg((F.sum("_gap_us").cast("double")
+                 / F.count(F.lit(1)).cast("double") / F.lit(1e6))
+                .alias("p50_gap_s")))
+    return (agg.join(med, ["from_state", "to_state"])
+            .select("from_state", "to_state",
+                    F.col("n").cast("long").alias("n"),
+                    (F.col("_sum_us").cast("double")
+                     / F.col("n").cast("double") / F.lit(1e6))
+                    .alias("avg_gap_s"),
+                    "p50_gap_s"))

@@ -418,6 +418,27 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_transition_latency(spark, sf_dir):
+    """Corpus-wide latency statistics per event-type transition within
+    the 1 h session gate (functions/timeagg.py::transition_latency —
+    "how long after a view does the purchase come", the timing half
+    of state_transitions' counting): n, exact mean, and RANK-EXACT
+    median gap per (from, to).  One lead-window exchange + a keyed agg
+    + one rank window — no per-group collect, so a hot transition pair
+    never materializes an array.  Integer-microsecond gaps keep
+    mean/median one fixed IEEE tree each for the DuckDB twin."""
+    from ..functions.timeagg import transition_latency
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("series_id"), "ts", "event_id",
+        F.col("event_type").alias("state"))
+    out = transition_latency(ev, max_gap_s=3600,
+                             order_cols=("event_id",))
+    return out.select("from_state", "to_state", "n",
+                      F.round("avg_gap_s", 6).alias("avg_gap_s"),
+                      F.round("p50_gap_s", 6).alias("p50_gap_s"))
+
+
 def q_rolling_corr(spark, sf_dir):
     """Rolling 24-observation Pearson correlation between the fixed
     ccf_pairs user pairs (functions/stats.py::rolling_corr — the
@@ -2877,6 +2898,39 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Transition-latency twin: the same lead window + gap gate, mean from
+# exact integer sums, median by explicit middle-rank selection.
+ORACLES["transition_latency"] = """
+    WITH s AS (
+      SELECT user_id, event_type AS from_state,
+             lead(event_type) OVER w AS to_state,
+             lead(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    p AS (SELECT from_state, to_state, gap_us FROM s
+          WHERE to_state IS NOT NULL AND gap_us <= 3600000000),
+    a AS (SELECT from_state, to_state, count(*) AS n,
+                 sum(gap_us) AS sum_us
+          FROM p GROUP BY 1, 2),
+    r AS (SELECT from_state, to_state, gap_us,
+                 row_number() OVER (PARTITION BY from_state, to_state
+                                    ORDER BY gap_us) AS rk
+          FROM p),
+    m AS (SELECT r.from_state, r.to_state,
+                 CAST(sum(r.gap_us) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) / 1e6 AS p50_gap_s
+          FROM r JOIN a USING (from_state, to_state)
+          WHERE (a.n % 2 = 1 AND r.rk = (a.n + 1) // 2)
+             OR (a.n % 2 = 0 AND (r.rk = a.n // 2
+                                  OR r.rk = a.n // 2 + 1))
+          GROUP BY 1, 2)
+    SELECT a.from_state, a.to_state, CAST(a.n AS BIGINT) AS n,
+           round(CAST(a.sum_us AS DOUBLE) / CAST(a.n AS DOUBLE) / 1e6,
+                 6) AS avg_gap_s,
+           round(m.p50_gap_s, 6) AS p50_gap_s
+    FROM a JOIN m USING (from_state, to_state)
+"""
 
 # Rolling-corr twin: the same pair join + a 24-row trailing window
 # of sufficient sums + the module's num/(sqrt*sqrt) tree.

@@ -468,3 +468,62 @@ class TestFunnelConversion:
                 prev = c["ts"].min()
                 n[i] += 1
         assert list(got["n_reached"]) == n
+
+
+class TestTransitionLatency:
+    def test_hand_fixture(self, spark):
+        from dtaidistance_spark.functions.timeagg import transition_latency
+        # a->b gaps: 10, 30, 20 (odd n: median 20); b->a gap: 5
+        rows = [("u1", _ts(0), "a"), ("u1", _ts(10), "b"),
+                ("u1", _ts(15), "a"), ("u1", _ts(45), "b"),
+                ("u2", _ts(0), "a"), ("u2", _ts(20), "b")]
+        df = spark.createDataFrame(rows, ["series_id", "ts", "state"])
+        got = (transition_latency(df).toPandas()
+               .set_index(["from_state", "to_state"]))
+        ab = got.loc[("a", "b")]
+        assert ab["n"] == 3
+        assert ab["avg_gap_s"] == 20.0
+        assert ab["p50_gap_s"] == 20.0
+        ba = got.loc[("b", "a")]
+        assert ba["n"] == 1 and ba["p50_gap_s"] == 5.0
+
+    def test_even_median_is_exact_mid_average(self, spark):
+        from dtaidistance_spark.functions.timeagg import transition_latency
+        # a->b gaps 10, 20, 30, 100 -> median (20+30)/2 = 25
+        rows = []
+        t = 0
+        for g in [10, 20, 30, 100]:
+            rows += [(f"u{g}", _ts(t), "a"), (f"u{g}", _ts(t + g), "b")]
+            t += 1000
+        df = spark.createDataFrame(rows, ["series_id", "ts", "state"])
+        got = (transition_latency(df).toPandas()
+               .set_index(["from_state", "to_state"]))
+        assert got.loc[("a", "b"), "p50_gap_s"] == 25.0
+        assert got.loc[("a", "b"), "avg_gap_s"] == 40.0
+
+    def test_matches_pandas_on_random_streams(self, spark):
+        from dtaidistance_spark.functions.timeagg import transition_latency
+        rng = np.random.default_rng(29)
+        rows = []
+        for u in range(8):
+            t = 0
+            for i in range(rng.integers(10, 40)):
+                t += int(rng.integers(1, 300))
+                rows.append((f"u{u}", _ts(t), "ab"[rng.integers(0, 2)], i))
+        df = spark.createDataFrame(rows,
+                                   ["series_id", "ts", "state", "eid"])
+        got = (transition_latency(df, order_cols=("eid",)).toPandas()
+               .set_index(["from_state", "to_state"]).sort_index())
+        pdf = (pd.DataFrame(rows,
+                            columns=["sid", "ts", "st", "eid"])
+               .sort_values(["sid", "ts", "eid"]))
+        pdf["to"] = pdf.groupby("sid")["st"].shift(-1)
+        pdf["gap"] = (pdf.groupby("sid")["ts"].shift(-1)
+                      - pdf["ts"]).dt.total_seconds()
+        ref = pdf.dropna(subset=["to"])
+        for (f_, t_), g in ref.groupby(["st", "to"]):
+            assert got.loc[(f_, t_), "n"] == len(g)
+            np.testing.assert_allclose(got.loc[(f_, t_), "avg_gap_s"],
+                                       g["gap"].mean(), rtol=1e-12)
+            np.testing.assert_allclose(got.loc[(f_, t_), "p50_gap_s"],
+                                       g["gap"].median(), rtol=1e-12)
