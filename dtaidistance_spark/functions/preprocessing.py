@@ -112,26 +112,34 @@ def hampel(points: DataFrame, window: int = 3, nsigma: float = 3.0,
                 F.expr("transform(a, x -> x.i)").alias("idxs"),
                 F.expr("transform(a, x -> x.v)").alias("vals"))
         .withColumn("n", F.size("vals")))
-    # per 0-based position p: full window [p-w, p+w] when interior
+    # per 0-based position p: full window [p-w, p+w] when interior.
+    # Two passes — medians first, then MADs referencing the finished
+    # meds array — because Spark does not CSE across HOF lambda
+    # scopes: inlining the median into the per-element MAD lambda
+    # re-sorts the window 2w+1 extra times per position
     med = (f"element_at(array_sort(slice(vals, p - {w} + 1, {full})), "
            f"{w + 1})")
-    stats = F.expr(
+    meds = F.expr(
+        f"transform(sequence(0, n - 1), p -> CASE "
+        f"WHEN p >= {w} AND p <= n - 1 - {w} THEN {med} "
+        f"ELSE CAST(NULL AS DOUBLE) END)")
+    mads = F.expr(
         f"transform(sequence(0, n - 1), p -> CASE "
         f"WHEN p >= {w} AND p <= n - 1 - {w} THEN "
-        f"named_struct('med', {med}, "
-        f"'mad', element_at(array_sort(transform("
+        f"element_at(array_sort(transform("
         f"slice(vals, p - {w} + 1, {full}), "
-        f"v -> abs(v - {med}))), {w + 1})) "
-        f"ELSE named_struct('med', CAST(NULL AS DOUBLE), "
-        f"'mad', CAST(NULL AS DOUBLE)) END)")
-    ex = (arr.withColumn("st", stats)
+        f"v -> abs(v - element_at(meds, p + 1)))), {w + 1}) "
+        f"ELSE CAST(NULL AS DOUBLE) END)")
+    ex = (arr.withColumn("meds", meds)
+          .withColumn("mads", mads)
           .select("series_id", F.posexplode(
-              F.expr("arrays_zip(idxs, vals, st)")).alias("p", "z"))
+              F.expr("arrays_zip(idxs, vals, meds, mads)"))
+              .alias("p", "z"))
           .select("series_id",
                   F.col("z.idxs").alias("idx"),
                   F.col("z.vals").alias("y"),
-                  F.col("z.st.med").alias("med"),
-                  F.col("z.st.mad").alias("mad")))
+                  F.col("z.meds").alias("med"),
+                  F.col("z.mads").alias("mad")))
     is_out = (F.col("med").isNotNull() &
               (F.abs(F.col("y") - F.col("med"))
                > F.lit(float(nsigma)) * F.lit(1.4826) * F.col("mad")))

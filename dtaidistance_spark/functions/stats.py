@@ -1060,12 +1060,16 @@ def binary_segmentation(
     lvl2 = cusum_changepoint(
         tagged.select(F.col("_ck").alias(series_col), order_col, y_col),
         series_col, order_col, y_col)
+    # parse from the RIGHT: segment is the last component, the series
+    # id is everything before it — ids containing the separator (or
+    # any other byte) reconstruct exactly
     l2 = (lvl2.where(F.col("n") >= 2)
           .withColumn("_parts", F.split(F.col(series_col), "\x1f"))
           .select(
-              F.col("_parts")[0].alias(series_col),
+              F.expr("array_join(slice(_parts, 1, size(_parts) - 1), "
+                     "'\x1f')").alias(series_col),
               F.lit(2).alias("level"),
-              F.col("_parts")[1].cast("int").alias("segment"),
+              F.element_at("_parts", -1).cast("int").alias("segment"),
               F.col(cp_col), F.col("k"), F.col("cusum"), F.col("n")))
     return l1.unionAll(l2)
 

@@ -456,21 +456,27 @@ def funnel_conversion(
         tcols.append(f"_t{i}")
     counts = reach.agg(*[F.count(F.col(c)).alias(f"n{i}")
                          for i, c in enumerate(tcols)])
-    rows = None
-    for i, s in enumerate(steps):
-        n_i = F.col(f"n{i}").cast("long")
-        n_start = F.col("n0").cast("long")
-        n_prev = F.col(f"n{max(i - 1, 0)}").cast("long")
-        r = counts.select(
-            F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
-            n_i.alias("n_reached"),
-            F.when(n_start > 0,
-                   n_i.cast("double") / n_start.cast("double"))
-            .alias("rate_from_start"),
-            F.when(n_prev > 0, n_i.cast("double") / n_prev.cast("double"))
-            .alias("rate_from_prev"))
-        rows = r if rows is None else rows.unionAll(r)
-    return rows
+    # ONE explode over the single counts row — a unionAll of
+    # per-step selects would replicate the whole chained-join plan
+    # |steps| times
+    step_structs = F.array(*[
+        F.struct(F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
+                 F.col(f"n{i}").cast("long").alias("n"),
+                 F.col("n0").cast("long").alias("n_start"),
+                 F.col(f"n{max(i - 1, 0)}").cast("long").alias("n_prev"))
+        for i, s in enumerate(steps)])
+    ex = counts.select(F.explode(step_structs).alias("s"))
+    n_i = F.col("s.n")
+    return ex.select(
+        F.col("s.step_idx").alias("step_idx"),
+        F.col("s.step").alias("step"),
+        n_i.alias("n_reached"),
+        F.when(F.col("s.n_start") > 0,
+               n_i.cast("double") / F.col("s.n_start").cast("double"))
+        .alias("rate_from_start"),
+        F.when(F.col("s.n_prev") > 0,
+               n_i.cast("double") / F.col("s.n_prev").cast("double"))
+        .alias("rate_from_prev"))
 
 
 def transition_latency(

@@ -378,23 +378,41 @@ def retention_sketch(points: DataFrame, key_col: str,
         .alias("churned_est"))
 
 
-def _mg_compress(entries_col: str, k: int):
-    """Misra-Gries compression of an exact (key, cnt) entries array:
-    sort by (cnt desc, key asc), offset := the (k+1)-th largest count
-    (0 if ≤ k distinct), keep ``cnt - offset > 0`` survivors.  Ties at
-    the cut decide only WHICH keys survive via the count VALUE (every
-    entry with cnt ≤ offset drops), so the surviving set and counters
-    are deterministic regardless of sort stability.  Returns
-    (entries, offset) column expressions."""
-    srt = (f"array_sort(transform({entries_col}, "
-           f"e -> struct(-e.cnt AS neg, e.key AS key, e.cnt AS cnt)))")
-    offset = (f"CASE WHEN size({entries_col}) > {k} "
-              f"THEN {srt}[{k}].cnt ELSE CAST(0 AS BIGINT) END")
-    kept = (f"filter(transform(slice({srt}, 1, {k}), "
-            f"e -> struct(e.key AS key, "
-            f"CAST(e.cnt - ({offset}) AS BIGINT) AS cnt)), "
-            f"e -> e.cnt > 0)")
-    return kept, offset
+def _mg_compress_ranked(cnts: DataFrame, k: int, gcols: list):
+    """Misra-Gries compression of an exact (…, key, cnt) count tier
+    via a window rank — the bounded-memory formulation (one rank
+    window + two keyed aggregations; no per-bucket array of the full
+    distinct-key set, so a bucket with millions of active keys never
+    materializes in one row): rank keys by (cnt desc, key asc),
+    offset := the rank-(k+1) count VALUE (0 if ≤ k distinct — ties at
+    the cut still decide survival by count value alone, so the result
+    is deterministic and identical to the sort-based definition),
+    keep rank ≤ k survivors with ``cnt - offset > 0``.  Returns
+    (*gcols, bucket_ts, entries, err) with entries sorted
+    (cnt desc, key asc); buckets whose survivors all drop keep a row
+    with an empty entries array."""
+    keys = gcols + ["bucket_ts"]
+    w = (W.partitionBy(*keys)
+         .orderBy(F.desc("cnt"), F.asc("key")))
+    ranked = cnts.withColumn("_r", F.row_number().over(w))
+    off = ranked.groupBy(*keys).agg(
+        F.coalesce(F.max(F.when(F.col("_r") == k + 1, F.col("cnt"))),
+                   F.lit(0)).cast("long").alias("err"))
+    surv = (ranked.where(F.col("_r") <= k)
+            .join(off, keys)
+            .withColumn("_c2", (F.col("cnt") - F.col("err")).cast("long"))
+            .where(F.col("_c2") > 0)
+            .groupBy(*keys)
+            .agg(F.expr(
+                "transform(array_sort(collect_list("
+                "struct(-_c2 AS neg, key AS key, _c2 AS cnt))), "
+                "e -> struct(e.key AS key, e.cnt AS cnt))")
+                .alias("entries")))
+    return (off.join(surv, keys, "left")
+            .withColumn("entries", F.coalesce(
+                F.col("entries"),
+                F.expr("CAST(array() AS "
+                       "array<struct<key:string,cnt:bigint>>)"))))
 
 
 def rollup_freq_sketch(points: DataFrame, bucket: str = "1h",
@@ -417,13 +435,14 @@ def rollup_freq_sketch(points: DataFrame, bucket: str = "1h",
     subtracting the (k+1)-th largest count: each kept counter
     under-estimates its key's true count by at most ``err``, every key
     with true count > ``err`` is present, and with ≤ k distinct keys
-    the summary is exact (``err`` 0).  All column algebra — sort /
-    slice / filter higher-order functions over the entries array, no
-    Python, and the whole construction is deterministic (ties at the
-    cut are decided by count values alone), which is what lets a SQL
-    twin replay it hash-exactly.  Spark's built-in `count_min_sketch`
-    is the rejected alternative: mergeable, but point-query-only (no
-    key enumeration), and its width/depth memory dwarfs k counters.
+    the summary is exact (``err`` 0).  The compression is a window
+    rank + keyed aggregations (`_mg_compress_ranked`) — bounded
+    memory at any key cardinality — and the whole construction is
+    deterministic (ties at the cut are decided by count values
+    alone), which is what lets a SQL twin replay it hash-exactly.
+    Spark's built-in `count_min_sketch` is the rejected alternative:
+    mergeable, but point-query-only (no key enumeration), and its
+    width/depth memory dwarfs k counters.
 
     Output: (group?, bucket_ts, entries array<struct<key,cnt>>,
     err long, n long) — ``entries`` the surviving lower-bound
@@ -452,16 +471,12 @@ def freq_sketch_from_counts(cnts: DataFrame, k: int = 8,
     batch tier's row for row.  Input columns: (group?, bucket_ts,
     key, cnt)."""
     gcols = ([group_col] if group_col is not None else [])
-    per_bucket = cnts.groupBy(*gcols, "bucket_ts").agg(
-        F.collect_list(F.struct("key", "cnt")).alias("raw"),
-        F.sum("cnt").alias("n"))
-    kept, offset = _mg_compress("raw", int(k))
-    return per_bucket.select(
-        *gcols,
-        "bucket_ts",
-        F.expr(kept).alias("entries"),
-        F.expr(offset).alias("err"),
-        F.col("n").cast("long").alias("n"))
+    keys = gcols + ["bucket_ts"]
+    totals = cnts.groupBy(*keys).agg(
+        F.sum("cnt").cast("long").alias("n"))
+    comp = _mg_compress_ranked(cnts, int(k), gcols)
+    return (comp.join(totals, keys)
+            .select(*gcols, "bucket_ts", "entries", "err", "n"))
 
 
 def cascade_freq_sketch(agg: DataFrame, to_bucket: str,
@@ -473,34 +488,30 @@ def cascade_freq_sketch(agg: DataFrame, to_bucket: str,
     compression offset, so the [cnt, cnt + err] bracket stays sound
     through any cascade depth (the PODS'12 merge bound)."""
     gcols = ([group_col] if group_col is not None else [])
-    keys = [bucket_col(F.col("bucket_ts"), to_bucket).alias("bucket_ts")]
-    if group_col is not None:
-        keys.insert(0, F.col(group_col))
-    # per-child row identity is (group?, bucket_ts): err/n counted once
-    # per child, entry sums over the exploded counters
-    ex = agg.select(*gcols, "bucket_ts", "err", "n",
-                    F.explode_outer("entries").alias("e"))
-    summed = (ex.groupBy(*keys, F.col("e.key").alias("key"))
+    keys = gcols + ["bucket_ts"]
+    parent = bucket_col(F.col("bucket_ts"), to_bucket).alias("bucket_ts")
+    summed = (agg.select(*gcols, parent, F.explode("entries").alias("e"))
+              .groupBy(*keys, F.col("e.key").alias("key"))
               .agg(F.sum("e.cnt").alias("cnt")))
-    per_parent_entries = (summed.where(F.col("key").isNotNull())
-                          .groupBy(*gcols, "bucket_ts")
-                          .agg(F.collect_list(F.struct("key", "cnt"))
-                               .alias("raw")))
-    child_tot = (agg.select(*gcols,
-                            bucket_col(F.col("bucket_ts"), to_bucket)
-                            .alias("bucket_ts"), "err", "n")
-                 .groupBy(*gcols, "bucket_ts")
-                 .agg(F.sum("err").alias("err_in"),
-                      F.sum("n").alias("n")))
-    j = child_tot.join(per_parent_entries,
-                       gcols + ["bucket_ts"], "left")
-    raw = "coalesce(raw, array())"
-    kept, offset = _mg_compress(raw, int(k))
-    return j.select(
-        *gcols, "bucket_ts",
-        F.expr(kept).alias("entries"),
-        (F.col("err_in") + F.expr(offset)).cast("long").alias("err"),
-        F.col("n").cast("long").alias("n"))
+    child_tot = (agg.select(*gcols, parent, "err", "n")
+                 .groupBy(*keys)
+                 .agg(F.sum("err").alias("_err_in"),
+                      F.sum("n").cast("long").alias("n")))
+    comp = _mg_compress_ranked(summed, int(k), gcols)
+    # left join from the child totals: a parent bucket whose children
+    # were all empty summaries still gets a row (entries [], err from
+    # the children alone)
+    return (child_tot.join(comp, keys, "left")
+            .select(
+                *gcols, "bucket_ts",
+                F.coalesce(F.col("entries"), F.expr(
+                    "CAST(array() AS "
+                    "array<struct<key:string,cnt:bigint>>)"))
+                .alias("entries"),
+                (F.col("_err_in") + F.coalesce(F.col("err"), F.lit(0)))
+                .cast("long").alias("err"),
+                "n"))
+
 
 
 def freq_topk(agg: DataFrame, n_top: int = 5,

@@ -3410,8 +3410,13 @@ ORACLES["correlated_topk"] = f"""
                                   / 256.0)
                       ELSE 0.0 END AS zv
           FROM seg JOIN st USING (series_id)),
-    vec AS (SELECT series_id, list(zv ORDER BY k) AS v
-            FROM z GROUP BY 1 HAVING sum(zv * zv) > 0.0),
+    -- paa_sax emits round(z, 6) (functions/sax.py:114), so the
+    -- operator's cosine runs on ROUNDED coefficients; the twin must
+    -- round identically or ~1% of candidate cosines differ in the
+    -- 6th decimal and a near-boundary top-3 flip breaks the gate
+    vec AS (SELECT series_id, list(round(zv, 6) ORDER BY k) AS v
+            FROM z GROUP BY 1
+            HAVING sum(round(zv, 6) * round(zv, 6)) > 0.0),
     sc AS (SELECT q.series_id AS a, c.series_id AS b,
                   round({_cos16_sql('q.v', 'c.v')}, 6) AS cosine_paa
            FROM vec q JOIN vec c ON q.series_id != c.series_id),
