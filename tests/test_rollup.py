@@ -615,3 +615,72 @@ class TestCohortRetention:
         assert (got["rate"] <= 1.0).all()
         # cohort sizes sum to the distinct-user total
         assert z["n_cohort"].sum() == 40
+
+
+class TestFreqSketchRandomizedSweep:
+    """Randomized multi-distribution sweep of the Misra-Gries
+    guarantees: for every (distribution, k) config and every tier
+    (hourly summary AND daily cascade), the PODS'12 contract must
+    hold — est ≤ true ≤ est + err per kept key, every key with
+    true > err kept, err ≤ n/(k+1) per compression level."""
+
+    def test_bracket_coverage_all_configs(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(101)
+        t0 = pd.Timestamp("2024-05-01")
+        rows = []
+        true = {}          # (cfg, hour) -> {key: cnt}
+        cfgs = []
+        for c in range(6):
+            kind = ["uniform", "zipf", "two-heavy"][c % 3]
+            cfgs.append((f"c{c}", kind))
+            for h in range(24):
+                kc = {}
+                nk = int(rng.integers(3, 20))
+                for i in range(nk):
+                    key = f"k{i}"
+                    if kind == "uniform":
+                        cnt = int(rng.integers(1, 10))
+                    elif kind == "zipf":
+                        cnt = max(1, int(30 / (i + 1)))
+                    else:
+                        cnt = (40 if i < 2 else int(rng.integers(1, 4)))
+                    kc[key] = cnt
+                    rows += [(f"c{c}", key,
+                              t0 + pd.Timedelta(hours=h, seconds=s))
+                             for s in range(cnt)]
+                true[(f"c{c}", h)] = kc
+        df = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["grp", "series_id", "ts"]))
+        from dtaidistance_spark.operators.rollup import (
+            cascade_freq_sketch, rollup_freq_sketch)
+        for k in (2, 4, 8):
+            hourly = rollup_freq_sketch(df, "1h", group_col="grp", k=k)
+            hp = hourly.toPandas()
+            for _, r in hp.iterrows():
+                h = (pd.Timestamp(r["bucket_ts"]) - t0).seconds // 3600
+                tr = true[(r["grp"], h)]
+                assert r["n"] == sum(tr.values())
+                assert r["err"] <= r["n"] // (k + 1)
+                kept = {e["key"]: e["cnt"] for e in r["entries"]}
+                assert len(kept) <= k
+                for key, est in kept.items():
+                    assert est <= tr[key] <= est + r["err"]
+                for key, t in tr.items():
+                    if t > r["err"]:
+                        assert key in kept
+            day = cascade_freq_sketch(hourly, "1d", group_col="grp",
+                                      k=k).toPandas()
+            for _, r in day.iterrows():
+                tr = {}
+                for h in range(24):
+                    for key, cnt in true[(r["grp"], h)].items():
+                        tr[key] = tr.get(key, 0) + cnt
+                assert r["n"] == sum(tr.values())
+                kept = {e["key"]: e["cnt"] for e in r["entries"]}
+                assert len(kept) <= k
+                for key, est in kept.items():
+                    assert est <= tr[key] <= est + r["err"]
+                for key, t in tr.items():
+                    if t > r["err"]:
+                        assert key in kept
