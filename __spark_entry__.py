@@ -311,6 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-transition latency stats (end r5) — the timing half of
         # state_transitions, rank-exact median; same note
         "transition_latency": DQ.q_transition_latency,
+        # interval overlap join: sessions x error-burst hours (end r5)
+        # — bucketized equi-join vs the twin's native range join; the
+        # second temporal join next to asof_join; same note
+        "session_error_overlap": DQ.q_session_error_overlap,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -418,6 +418,45 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_session_error_overlap(spark, sf_dir):
+    """Interval overlap join (operators/asof.py::interval_overlap_join
+    — the second classic temporal join next to asof_join): which user
+    sessions (the sessionize intervals, [first, last+1s)) overlapped a
+    global error-burst hour (hours with ≥ 5 error events), and for how
+    long.  The Spark plan is the bucketized EQUI-join with the
+    first-overlap-bucket exactly-once rule — no range join anywhere —
+    while the DuckDB twin uses a native range-join predicate: the two
+    structurally different plans hash-matching IS the correctness
+    argument for the bucket trick."""
+    from ..operators.asof import interval_overlap_join
+
+    pts = event_points(spark, sf_dir)
+    w = W.partitionBy("series_id").orderBy("seq")
+    gap = (F.unix_micros(F.col("ts").cast("timestamp"))
+           - F.unix_micros(F.lag("ts").over(w).cast("timestamp")))
+    sess = (pts.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull(), F.lit(1))
+        .when(gap > 1800 * 1_000_000, F.lit(1)).otherwise(F.lit(0)))
+        .withColumn("session_no", F.sum("new_sess").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("series_id", "session_no")
+        .agg(F.min("ts").alias("l_start"),
+             (F.max("ts") + F.expr("interval 1 second"))
+             .alias("l_end")))
+    bursts = (_events(spark, sf_dir)
+              .where(F.col("event_type") == "error")
+              .groupBy(F.date_trunc("hour", "ts").alias("r_start"))
+              .agg(F.count(F.lit(1)).alias("n_err"))
+              .where(F.col("n_err") >= 5)
+              .withColumn("r_end",
+                          F.col("r_start") + F.expr("interval 1 hour")))
+    j = interval_overlap_join(sess, bursts, bucket_s=3600)
+    return j.select("series_id", "session_no",
+                    F.col("r_start").alias("burst_ts"), "n_err",
+                    F.round("overlap_s", 6).alias("overlap_s"))
+
+
 def q_transition_latency(spark, sf_dir):
     """Corpus-wide latency statistics per event-type transition within
     the 1 h session gate (functions/timeagg.py::transition_latency —
@@ -2898,6 +2937,41 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Interval-overlap twin: the same session + burst interval builds,
+# then a NATIVE range-join predicate instead of the bucket trick —
+# two structurally different plans must hash-match.
+ORACLES["session_error_overlap"] = f"""
+    WITH pts AS ({{pts}}),
+    g AS (
+      SELECT series_id, seq, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                  WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > 1800000000 THEN 1
+                  ELSE 0 END AS new_sess
+      FROM pts WINDOW w AS (PARTITION BY series_id ORDER BY seq)),
+    s AS (SELECT *, cast(sum(new_sess) OVER (PARTITION BY series_id
+               ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS bigint) AS session_no
+          FROM g),
+    sess AS (SELECT series_id, session_no,
+                    min(ts) AS l_start,
+                    max(ts) + INTERVAL 1 SECOND AS l_end
+             FROM s GROUP BY 1, 2),
+    bursts AS (SELECT date_trunc('hour', ts) AS r_start,
+                      count(*) AS n_err
+               FROM events WHERE event_type = 'error'
+               GROUP BY 1 HAVING count(*) >= 5)
+    SELECT sess.series_id, sess.session_no, b.r_start AS burst_ts,
+           CAST(b.n_err AS BIGINT) AS n_err,
+           round(CAST(epoch_us(least(sess.l_end,
+                                     b.r_start + INTERVAL 1 HOUR))
+                      - epoch_us(greatest(sess.l_start, b.r_start))
+                      AS DOUBLE) / 1e6, 6) AS overlap_s
+    FROM sess JOIN bursts b
+      ON sess.l_start < b.r_start + INTERVAL 1 HOUR
+     AND b.r_start < sess.l_end
+""".replace("{pts}", _PTS_SQL)
 
 # Transition-latency twin: the same lead window + gap gate, mean from
 # exact integer sums, median by explicit middle-rank selection.

@@ -203,3 +203,83 @@ class TestAsofNearest:
                     "CartesianProduct", "BroadcastNestedLoopJoin"):
             assert bad not in plan
         assert plan.count("Exchange hashpartitioning") == 1  # shared
+
+
+class TestIntervalOverlapJoin:
+    """operators/asof.py::interval_overlap_join — bucketized
+    equi-join vs a brute-force nested-loop reference."""
+
+    def _mk(self, spark, rows, s, e):
+        import pandas as pd
+        return spark.createDataFrame(pd.DataFrame(rows, columns=[
+            c for c in rows[0]._fields]) if hasattr(rows[0], "_fields")
+            else pd.DataFrame(rows, columns=s))
+
+    def test_hand_fixture(self, spark):
+        import pandas as pd
+        from dtaidistance_spark.operators.asof import interval_overlap_join
+        t0 = pd.Timestamp("2024-01-01")
+
+        def ts(m):
+            return t0 + pd.Timedelta(minutes=m)
+        left = spark.createDataFrame(pd.DataFrame(
+            [("a", ts(0), ts(90)),      # spans 2 hourly buckets
+             ("b", ts(120), ts(130)),
+             ("c", ts(300), ts(360))],
+            columns=["lid", "l_start", "l_end"]))
+        right = spark.createDataFrame(pd.DataFrame(
+            [("X", ts(60), ts(125)),    # overlaps a (30m) and b (5m)
+             ("Y", ts(360), ts(420))],  # touches c at the endpoint: NO
+            columns=["rid", "r_start", "r_end"]))
+        got = (interval_overlap_join(left, right).toPandas()
+               .sort_values(["lid", "rid"]).reset_index(drop=True))
+        assert [(r["lid"], r["rid"], r["overlap_s"])
+                for _, r in got.iterrows()] == [
+            ("a", "X", 1800.0), ("b", "X", 300.0)]
+
+    def test_multi_bucket_pair_emitted_once(self, spark):
+        import pandas as pd
+        from dtaidistance_spark.operators.asof import interval_overlap_join
+        t0 = pd.Timestamp("2024-01-01")
+        left = spark.createDataFrame(pd.DataFrame(
+            [("a", t0, t0 + pd.Timedelta(hours=10))],
+            columns=["lid", "l_start", "l_end"]))
+        right = spark.createDataFrame(pd.DataFrame(
+            [("X", t0 + pd.Timedelta(hours=1),
+              t0 + pd.Timedelta(hours=9))],
+            columns=["rid", "r_start", "r_end"]))
+        got = interval_overlap_join(left, right).toPandas()
+        assert len(got) == 1                   # 8 shared buckets, 1 row
+        assert got.iloc[0]["overlap_s"] == 8 * 3600.0
+
+    def test_brute_force_parity_random(self, spark):
+        import numpy as np
+        import pandas as pd
+        from dtaidistance_spark.operators.asof import interval_overlap_join
+        rng = np.random.default_rng(71)
+        t0 = pd.Timestamp("2024-01-01")
+        L, R = [], []
+        for i in range(40):
+            s = int(rng.integers(0, 72 * 3600))
+            L.append((f"l{i}", t0 + pd.Timedelta(seconds=s),
+                      t0 + pd.Timedelta(
+                          seconds=s + int(rng.integers(1, 8 * 3600)))))
+        for i in range(30):
+            s = int(rng.integers(0, 72 * 3600))
+            R.append((f"r{i}", t0 + pd.Timedelta(seconds=s),
+                      t0 + pd.Timedelta(
+                          seconds=s + int(rng.integers(1, 8 * 3600)))))
+        ldf = spark.createDataFrame(
+            pd.DataFrame(L, columns=["lid", "l_start", "l_end"]))
+        rdf = spark.createDataFrame(
+            pd.DataFrame(R, columns=["rid", "r_start", "r_end"]))
+        got = {(r["lid"], r["rid"]): r["overlap_s"]
+               for _, r in interval_overlap_join(ldf, rdf)
+               .toPandas().iterrows()}
+        want = {}
+        for lid, ls, le_ in L:
+            for rid, rs, re_ in R:
+                o = (min(le_, re_) - max(ls, rs)).total_seconds()
+                if ls < re_ and rs < le_:
+                    want[(lid, rid)] = o
+        assert got == want
