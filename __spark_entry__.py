@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — bucketized equi-join vs the twin's native range join; the
         # second temporal join next to asof_join; same note
         "session_error_overlap": DQ.q_session_error_overlap,
+        # multiwindow SLO burn-rate alerts (end r5, SRE Workbook ch.5)
+        # — RANGE frames keep gaps honest; same note
+        "slo_burn": DQ.q_slo_burn,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -540,3 +540,62 @@ def transition_latency(
                      / F.col("n").cast("double") / F.lit(1e6))
                     .alias("avg_gap_s"),
                     "p50_gap_s"))
+
+
+def slo_burn_rate(
+    points: DataFrame,
+    slo: float = 0.95,
+    long_window: int = 6,
+    short_window: int = 1,
+    threshold: float = 2.0,
+    idx_col: str = "idx",
+    good_col: str = "good",
+    bad_col: str = "bad",
+    series_col: str | None = None,
+) -> DataFrame:
+    """Multiwindow multi-burn-rate SLO alerting (the Google SRE
+    Workbook ch. 5 rule): per bucket, the error-budget burn rate
+    ``(bad / total) / (1 − slo)`` over a trailing long and short
+    window, alerting when BOTH exceed ``threshold`` — the long window
+    gives significance, the short one stops alerting as soon as the
+    incident ends.
+
+    Input: one row per bucket with integer ``good``/``bad`` counts
+    and an integer bucket index (epoch-hours).  Windows are RANGE
+    frames over the index, so missing buckets genuinely shrink the
+    trailing sums instead of silently stretching the window over
+    gaps (the ROWS-frame bug this module's docstring warns about).
+
+    Output: (idx, good, bad, burn_long, burn_short, alert).
+
+    Plan: ONE exchange, two RANGE windows over it; pass
+    ``series_col`` (a service/SLO key) to partition the window for a
+    fleet — without it the single global series runs in one
+    partition, which is exactly its data size.
+    Exactness: integer trailing sums, one fixed ratio tree per burn
+    rate, and a strict-> threshold compare on bit-equal doubles, so
+    SQL twins hash-match booleans included.
+    """
+    if not (0.0 < slo < 1.0):
+        raise ValueError("slo must be in (0, 1)")
+    budget = 1.0 - slo
+
+    part = ([series_col] if series_col is not None else [])
+
+    def burn(win):
+        w = (W.partitionBy(*part).orderBy(F.col(idx_col).cast("long"))
+             .rangeBetween(-(win - 1), 0))
+        bad = F.sum(bad_col).over(w).cast("double")
+        tot = (F.sum(good_col).over(w)
+               + F.sum(bad_col).over(w)).cast("double")
+        return F.when(tot > 0, (bad / tot) / F.lit(float(budget)))
+
+    out = (points.withColumn("burn_long", burn(int(long_window)))
+           .withColumn("burn_short", burn(int(short_window))))
+    alert = (F.coalesce(F.col("burn_long") > float(threshold),
+                        F.lit(False))
+             & F.coalesce(F.col("burn_short") > float(threshold),
+                          F.lit(False)))
+    return (out.withColumn("alert", alert)
+            .select(*part, idx_col, good_col, bad_col, "burn_long",
+                    "burn_short", "alert"))

@@ -418,6 +418,32 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_slo_burn(spark, sf_dir):
+    """Multiwindow SLO burn-rate alerting over the fleet-wide hourly
+    error ratio (functions/timeagg.py::slo_burn_rate — the SRE
+    Workbook ch. 5 rule, slo 0.8, 6 h + 1 h windows, threshold 1.5):
+    alert hours where BOTH trailing burn rates exceed the threshold.
+    RANGE frames over the epoch-hour index keep gaps honest (a ROWS
+    frame would silently stretch across missing hours); integer
+    trailing sums + one ratio tree per window keep the DuckDB RANGE
+    twin hash-exact, alert booleans included."""
+    from ..functions.timeagg import slo_burn_rate
+
+    hourly = (_events(spark, sf_dir).groupBy(
+        F.expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .alias("idx"))
+        .agg(F.sum(F.when(F.col("event_type") != "error", 1)
+                   .otherwise(0)).alias("good"),
+             F.sum(F.when(F.col("event_type") == "error", 1)
+                   .otherwise(0)).alias("bad")))
+    out = slo_burn_rate(hourly, slo=0.8, long_window=6,
+                        short_window=1, threshold=1.5)
+    return out.select("idx", "good", "bad",
+                      F.round("burn_long", 6).alias("burn_long"),
+                      F.round("burn_short", 6).alias("burn_short"),
+                      "alert")
+
+
 def q_session_error_overlap(spark, sf_dir):
     """Interval overlap join (operators/asof.py::interval_overlap_join
     — the second classic temporal join next to asof_join): which user
@@ -2937,6 +2963,38 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# SLO-burn twin: the same hourly good/bad counts and RANGE frames,
+# the identical (bad/total)/(1.0-0.8) ratio tree, strict > compares.
+ORACLES["slo_burn"] = """
+    WITH h AS (
+      SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+             sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)
+               AS good,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS bad
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT idx, good, bad,
+             CAST(sum(bad) OVER wl AS DOUBLE)
+               / CAST(sum(good) OVER wl + sum(bad) OVER wl AS DOUBLE)
+               / (1.0 - 0.8) AS burn_long,
+             CAST(sum(bad) OVER ws AS DOUBLE)
+               / CAST(sum(good) OVER ws + sum(bad) OVER ws AS DOUBLE)
+               / (1.0 - 0.8) AS burn_short
+      FROM h
+      WINDOW wl AS (ORDER BY idx
+                    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+             ws AS (ORDER BY idx
+                    RANGE BETWEEN 0 PRECEDING AND CURRENT ROW))
+    SELECT idx, CAST(good AS BIGINT) AS good,
+           CAST(bad AS BIGINT) AS bad,
+           round(burn_long, 6) AS burn_long,
+           round(burn_short, 6) AS burn_short,
+           coalesce(burn_long > 1.5, false)
+             AND coalesce(burn_short > 1.5, false) AS alert
+    FROM w
+"""
 
 # Interval-overlap twin: the same session + burst interval builds,
 # then a NATIVE range-join predicate instead of the bucket trick —

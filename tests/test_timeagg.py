@@ -527,3 +527,55 @@ class TestTransitionLatency:
                                        g["gap"].mean(), rtol=1e-12)
             np.testing.assert_allclose(got.loc[(f_, t_), "p50_gap_s"],
                                        g["gap"].median(), rtol=1e-12)
+
+
+class TestSloBurnRate:
+    def test_hand_fixture_multiwindow(self, spark):
+        from dtaidistance_spark.functions.timeagg import slo_burn_rate
+        # slo 0.9 -> budget 0.1; hourly (good, bad):
+        # quiet 9/1 (burn 1.0), incident hours 5/5 (burn 5.0)
+        rows = []
+        for i in range(12):
+            g, b = (5, 5) if 6 <= i <= 8 else (9, 1)
+            rows.append((i, g, b))
+        df = spark.createDataFrame(rows, ["idx", "good", "bad"])
+        got = (slo_burn_rate(df, slo=0.9, long_window=3, short_window=1,
+                             threshold=2.0).toPandas()
+               .set_index("idx").sort_index())
+        # short burn fires in incident hours only; expectations
+        # computed with the SAME op tree (budget = 1.0 - slo is not
+        # exactly 0.1 in IEEE)
+        budget = 1.0 - 0.9
+        assert got.loc[6, "burn_short"] == (5 / 10) / budget
+        assert got.loc[5, "burn_short"] == (1 / 10) / budget
+        import numpy as np
+        np.testing.assert_allclose(got.loc[6, "burn_long"],
+                                   (7 / 30) / budget)
+        # alert requires BOTH windows over threshold: hour 6 long
+        # 2.33 > 2 and short 5 > 2 -> alert; hour 9 (incident over,
+        # long still hot 11/30/0.1 = 3.67 but short back to 1) -> no
+        assert bool(got.loc[6, "alert"])
+        assert got.loc[9, "burn_long"] > 2.0
+        assert not bool(got.loc[9, "alert"])
+        assert not got.loc[[0, 1, 2, 3, 4, 5], "alert"].any()
+
+    def test_range_window_respects_gaps(self, spark):
+        from dtaidistance_spark.functions.timeagg import slo_burn_rate
+        # buckets 0, 1, 10: the long=3 RANGE window at idx 10 must NOT
+        # reach back to idx 1 (a ROWS frame would)
+        rows = [(0, 0, 10), (1, 0, 10), (10, 10, 0)]
+        df = spark.createDataFrame(rows, ["idx", "good", "bad"])
+        got = (slo_burn_rate(df, slo=0.9, long_window=3, short_window=1)
+               .toPandas().set_index("idx"))
+        budget = 1.0 - 0.9
+        assert got.loc[10, "burn_long"] == 0.0     # only its own bucket
+        assert got.loc[1, "burn_long"] == 1.0 / budget   # 20/20/budget
+
+    def test_fleet_partitioning(self, spark):
+        from dtaidistance_spark.functions.timeagg import slo_burn_rate
+        rows = [("svc_a", 0, 0, 10), ("svc_b", 0, 10, 0)]
+        df = spark.createDataFrame(rows, ["svc", "idx", "good", "bad"])
+        got = (slo_burn_rate(df, slo=0.9, series_col="svc")
+               .toPandas().set_index("svc"))
+        assert got.loc["svc_a", "burn_short"] == 1.0 / (1.0 - 0.9)
+        assert got.loc["svc_b", "burn_short"] == 0.0
