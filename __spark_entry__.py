@@ -318,6 +318,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multiwindow SLO burn-rate alerts (end r5, SRE Workbook ch.5)
         # — RANGE frames keep gaps honest; same note
         "slo_burn": DQ.q_slo_burn,
+        # week-over-week same-phase anomaly scan (end r5) — the
+        # seasonal-aware companion of anomaly_zscore; same note
+        "wow_anomaly": DQ.q_wow_anomaly,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

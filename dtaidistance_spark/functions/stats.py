@@ -1136,3 +1136,76 @@ def rolling_corr(
         _corr_expr(n, sx, sy, sxx, syy, sxy).alias("corr"))
     return out.withColumn(
         "corr", F.when(F.col("n_win") >= win, F.col("corr")))
+
+
+def wow_baseline(
+    points: DataFrame,
+    period: int = 168,
+    n_periods: int = 2,
+    flag_factor: float = 2.0,
+    series_col: str = "series_id",
+    idx_col: str = "idx",
+    y_col: str = "y",
+) -> DataFrame:
+    """Week-over-week seasonal baseline deviation — the observability
+    classic "compare this hour to the same hour in previous weeks":
+    per (series, bucket), the mean of the values at idx − period,
+    idx − 2·period, … idx − n_periods·period (buckets that exist —
+    gaps shrink the baseline set), the ratio against it, and a flag
+    when the ratio leaves [1/flag_factor, flag_factor].  Unlike the
+    trailing z-score (`anomaly_zscore`) this judges against the SAME
+    SEASONAL PHASE, so a daily/weekly cycle is never itself flagged.
+
+    Output: (series_id, idx, y, n_base, baseline, ratio, anomalous)
+    — baseline/ratio NULL (flag false) when no prior-period bucket
+    exists or the baseline is 0.
+
+    Plan: a bounded ``n_periods`` literal explode on the probe side +
+    ONE shuffled equi-join on (series, idx − k·period) + ONE hash
+    aggregation — the `autocorr` join shape, no window.  Integer
+    inputs keep the baseline mean one exact-sum division and the
+    ratio/flag one fixed IEEE tree, so SQL twins hash-match booleans
+    included.
+    """
+    p = int(period)
+    if p < 1 or int(n_periods) < 1:
+        raise ValueError("period and n_periods must be >= 1")
+    if flag_factor <= 1.0:
+        raise ValueError("flag_factor must be > 1")
+    ks = F.array(*[F.lit(k * p) for k in range(1, int(n_periods) + 1)])
+    cur = (points.select(
+        F.col(series_col).alias("series_id"),
+        F.col(idx_col).cast("long").alias("idx"),
+        F.col(y_col).cast(_D).alias("y"))
+        .withColumn("_back", F.explode(ks))
+        .withColumn("_j", F.col("idx") - F.col("_back")))
+    base = points.select(
+        F.col(series_col).alias("series_id"),
+        F.col(idx_col).cast("long").alias("_j"),
+        F.col(y_col).cast(_D).alias("_yb"))
+    j = (cur.join(base, ["series_id", "_j"])
+         .groupBy("series_id", "idx", "y")
+         .agg(F.count(F.lit(1)).alias("n_base"),
+              F.sum("_yb").alias("_sb")))
+    # left join back so buckets with NO prior-phase data still appear
+    allb = points.select(
+        F.col(series_col).alias("series_id"),
+        F.col(idx_col).cast("long").alias("idx"),
+        F.col(y_col).cast(_D).alias("y"))
+    out = (allb.join(j, ["series_id", "idx", "y"], "left")
+           .withColumn("n_base",
+                       F.coalesce(F.col("n_base"), F.lit(0))
+                       .cast("long"))
+           .withColumn("baseline",
+                       F.when(F.col("n_base") > 0,
+                              F.col("_sb")
+                              / F.col("n_base").cast("double"))))
+    ratio = F.when(F.col("baseline") > 0, F.col("y") / F.col("baseline"))
+    f = float(flag_factor)
+    return (out.withColumn("ratio", ratio)
+            .withColumn("anomalous",
+                        F.coalesce((F.col("ratio") > f)
+                                   | (F.col("ratio") < 1.0 / f),
+                                   F.lit(False)))
+            .select("series_id", "idx", "y", "n_base", "baseline",
+                    "ratio", "anomalous"))

@@ -418,6 +418,26 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_wow_anomaly(spark, sf_dir):
+    """Week-over-week same-phase anomaly scan of the hourly user
+    turn-rate series (functions/stats.py::wow_baseline, period 168 h,
+    mean of 2 prior weeks, flag outside [½, 2]×): the seasonal-aware
+    companion of in-window anomaly_zscore — a daily/weekly cycle is
+    judged against its own phase, never flagged as its own anomaly.
+    Bounded 2-element explode + ONE keyed equi-join + ONE hash
+    aggregation (the autocorr join shape); exact-sum baseline mean +
+    one ratio tree keep the DuckDB twin hash-exact, booleans
+    included."""
+    from ..functions.stats import wow_baseline
+
+    out = wow_baseline(_hourly_counts(spark, sf_dir), period=168,
+                       n_periods=2, flag_factor=2.0)
+    return out.select("series_id", "idx", "y", "n_base",
+                      F.round("baseline", 6).alias("baseline"),
+                      F.round("ratio", 6).alias("ratio"),
+                      "anomalous")
+
+
 def q_slo_burn(spark, sf_dir):
     """Multiwindow SLO burn-rate alerting over the fleet-wide hourly
     error ratio (functions/timeagg.py::slo_burn_rate — the SRE
@@ -2963,6 +2983,37 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# WoW twin: the same prior-period equi-join + exact-sum mean, the
+# identical ratio/flag tree.
+ORACLES["wow_anomaly"] = """
+    WITH h AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+             CAST(count(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    k AS (SELECT unnest([168, 336]) AS back),
+    j AS (SELECT cur.series_id, cur.idx, cur.y,
+                 count(*) AS n_base, sum(b.y) AS sb
+          FROM h cur CROSS JOIN k
+          JOIN h b ON b.series_id = cur.series_id
+                  AND b.idx = cur.idx - k.back
+          GROUP BY 1, 2, 3),
+    o AS (SELECT h.series_id, h.idx, h.y,
+                 coalesce(j.n_base, 0) AS n_base,
+                 CASE WHEN coalesce(j.n_base, 0) > 0
+                      THEN j.sb / CAST(j.n_base AS DOUBLE) END
+                   AS baseline
+          FROM h LEFT JOIN j USING (series_id, idx)),
+    r AS (SELECT *,
+                 CASE WHEN baseline > 0 THEN y / baseline END AS ratio
+          FROM o)
+    SELECT series_id, idx, y, CAST(n_base AS BIGINT) AS n_base,
+           round(baseline, 6) AS baseline, round(ratio, 6) AS ratio,
+           coalesce(ratio > 2.0 OR ratio < 1.0 / 2.0, false)
+             AS anomalous
+    FROM r
+"""
 
 # SLO-burn twin: the same hourly good/bad counts and RANGE frames,
 # the identical (bad/total)/(1.0-0.8) ratio tree, strict > compares.

@@ -1059,3 +1059,63 @@ class TestRollingCorr:
                .set_index("idx"))
         assert got.loc[39, "corr"] == 1.0          # fully coupled
         assert abs(got.loc[79, "corr"]) < 0.6      # decoupled window
+
+
+class TestWowBaseline:
+    """functions/stats.py::wow_baseline — same-phase prior-period
+    baseline deviation."""
+
+    def test_hand_fixture(self, spark):
+        from dtaidistance_spark.functions.stats import wow_baseline
+        # period 4, two prior periods; idx 8: baselines at 4 (y=6)
+        # and 0 (y=10) -> mean 8; y=80 -> ratio 10 -> anomalous
+        rows = [("s", 0, 10), ("s", 4, 6), ("s", 8, 80),
+                ("s", 1, 5), ("s", 5, 5), ("s", 9, 5)]
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        got = (wow_baseline(df, period=4, n_periods=2, flag_factor=2.0)
+               .toPandas().set_index("idx"))
+        assert got.loc[8, "n_base"] == 2
+        assert got.loc[8, "baseline"] == 8.0
+        assert got.loc[8, "ratio"] == 10.0
+        assert bool(got.loc[8, "anomalous"])
+        assert got.loc[9, "ratio"] == 1.0
+        assert not bool(got.loc[9, "anomalous"])
+        # idx 0 has no prior period: NULL baseline, not flagged
+        assert got.loc[0, "n_base"] == 0
+        assert got.loc[0, "baseline"] != got.loc[0, "baseline"]
+        assert not bool(got.loc[0, "anomalous"])
+
+    def test_seasonal_cycle_not_flagged_spike_is(self, spark):
+        from dtaidistance_spark.functions.stats import wow_baseline
+        # strong daily cycle (period 24): hour-of-day pattern repeats
+        # exactly; one planted 10x spike
+        pattern = [1, 1, 1, 2, 5, 20, 40, 30] * 3   # 24 hours
+        ys = pattern * 5                             # 5 days
+        ys[4 * 24 + 6] *= 10                         # spike at peak hour
+        rows = [("s", i, v) for i, v in enumerate(ys)]
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        got = (wow_baseline(df, period=24, n_periods=2, flag_factor=2.0)
+               .toPandas())
+        flagged = set(got[got["anomalous"]]["idx"])
+        assert flagged == {4 * 24 + 6}   # only the spike, never the cycle
+
+    def test_matches_pandas_reference(self, spark):
+        import numpy as np
+        from dtaidistance_spark.functions.stats import wow_baseline
+        rng = np.random.default_rng(83)
+        present = sorted(rng.choice(300, size=180, replace=False))
+        ys = {int(i): int(rng.integers(1, 50)) for i in present}
+        rows = [("s", i, v) for i, v in ys.items()]
+        df = spark.createDataFrame(rows, ["series_id", "idx", "y"])
+        got = (wow_baseline(df, period=24, n_periods=3, flag_factor=1.5)
+               .toPandas().set_index("idx"))
+        assert len(got) == len(ys)
+        for i, y in ys.items():
+            bases = [ys[i - 24 * k] for k in (1, 2, 3) if i - 24 * k in ys]
+            r = got.loc[i]
+            assert r["n_base"] == len(bases)
+            if bases:
+                b = sum(float(x) for x in bases) / len(bases)
+                assert r["baseline"] == b
+                expect_flag = (y / b > 1.5) or (y / b < 1 / 1.5)
+                assert bool(r["anomalous"]) == expect_flag
