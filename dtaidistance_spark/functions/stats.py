@@ -1183,16 +1183,19 @@ def wow_baseline(
         F.col(series_col).alias("series_id"),
         F.col(idx_col).cast("long").alias("_j"),
         F.col(y_col).cast(_D).alias("_yb"))
+    # count NON-NULL baseline values (a NULL-valued prior bucket must
+    # not deflate the mean), and join back on (series, idx) only — a
+    # NULL-y current row would never match a 3-key equi-join
     j = (cur.join(base, ["series_id", "_j"])
-         .groupBy("series_id", "idx", "y")
-         .agg(F.count(F.lit(1)).alias("n_base"),
+         .groupBy("series_id", "idx")
+         .agg(F.count("_yb").alias("n_base"),
               F.sum("_yb").alias("_sb")))
     # left join back so buckets with NO prior-phase data still appear
     allb = points.select(
         F.col(series_col).alias("series_id"),
         F.col(idx_col).cast("long").alias("idx"),
         F.col(y_col).cast(_D).alias("y"))
-    out = (allb.join(j, ["series_id", "idx", "y"], "left")
+    out = (allb.join(j, ["series_id", "idx"], "left")
            .withColumn("n_base",
                        F.coalesce(F.col("n_base"), F.lit(0))
                        .cast("long"))

@@ -578,6 +578,8 @@ def slo_burn_rate(
     """
     if not (0.0 < slo < 1.0):
         raise ValueError("slo must be in (0, 1)")
+    if int(long_window) < 1 or int(short_window) < 1:
+        raise ValueError("windows must be >= 1 bucket")
     budget = 1.0 - slo
 
     part = ([series_col] if series_col is not None else [])

@@ -195,6 +195,11 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     bucket trick.
     """
     step = int(bucket_s) * 1_000_000
+    reserved = {"_s", "_e", "_b", "_rs", "_re"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"input columns collide with internal names: {sorted(clash)}")
 
     def us(c):
         return F.unix_micros(F.col(c).cast("timestamp"))

@@ -2993,12 +2993,12 @@ ORACLES["wow_anomaly"] = """
              CAST(count(*) AS DOUBLE) AS y
       FROM events GROUP BY 1, 2),
     k AS (SELECT unnest([168, 336]) AS back),
-    j AS (SELECT cur.series_id, cur.idx, cur.y,
-                 count(*) AS n_base, sum(b.y) AS sb
+    j AS (SELECT cur.series_id, cur.idx,
+                 count(b.y) AS n_base, sum(b.y) AS sb
           FROM h cur CROSS JOIN k
           JOIN h b ON b.series_id = cur.series_id
                   AND b.idx = cur.idx - k.back
-          GROUP BY 1, 2, 3),
+          GROUP BY 1, 2),
     o AS (SELECT h.series_id, h.idx, h.y,
                  coalesce(j.n_base, 0) AS n_base,
                  CASE WHEN coalesce(j.n_base, 0) > 0

@@ -209,12 +209,6 @@ class TestIntervalOverlapJoin:
     """operators/asof.py::interval_overlap_join — bucketized
     equi-join vs a brute-force nested-loop reference."""
 
-    def _mk(self, spark, rows, s, e):
-        import pandas as pd
-        return spark.createDataFrame(pd.DataFrame(rows, columns=[
-            c for c in rows[0]._fields]) if hasattr(rows[0], "_fields")
-            else pd.DataFrame(rows, columns=s))
-
     def test_hand_fixture(self, spark):
         import pandas as pd
         from dtaidistance_spark.operators.asof import interval_overlap_join
