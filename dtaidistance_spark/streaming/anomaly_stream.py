@@ -50,7 +50,8 @@ __all__ = ["zscore_step", "stream_anomaly_zscore",
            "holt_step", "stream_holt_linear",
            "ewma_step", "stream_ewma",
            "cusum_step", "stream_cusum",
-           "kalman_step", "stream_kalman_level"]
+           "kalman_step", "stream_kalman_level",
+           "slo_burn_step", "stream_slo_burn"]
 
 OUT_SCHEMA = ("series_id string, ts timestamp, y long, n_prev long, "
               "z double")
@@ -455,5 +456,97 @@ def stream_kalman_level(stream, q: float = 0.25, r: float = 1.0):
                 _kalman_fn(q, r),
                 outputStructType=KALMAN_OUT_SCHEMA,
                 stateStructType=KALMAN_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming multiwindow SLO burn-rate alerts
+# ---------------------------------------------------------------------------
+
+SLO_OUT_SCHEMA = ("series_id string, idx long, good long, bad long, "
+                  "burn_long double, burn_short double, alert boolean")
+SLO_STATE_SCHEMA = ("idxs array<long>, goods array<long>, "
+                    "bads array<long>")
+
+
+def slo_burn_step(state, rows, slo: float, long_window: int,
+                  short_window: int, threshold: float):
+    """Advance one service's multiwindow burn-rate scan through
+    finalized (idx, good, bad) bucket rows (bucket order).  ``state``
+    is three parallel arrays holding the trailing ≤ long_window
+    RANGE-eligible buckets (pruned by INDEX distance, not position —
+    the batch operator's gap-honest RANGE frame semantics,
+    functions/timeagg.py::slo_burn_rate, whose exact ratio tree this
+    mirrors so emitted rows are bit-equal to the batch scan at every
+    prefix)."""
+    budget = 1.0 - slo
+    out = []
+    for idx, good, bad in rows:
+        idx, good, bad = int(idx), int(good), int(bad)
+        state[0].append(idx)
+        state[1].append(good)
+        state[2].append(bad)
+        while state[0] and state[0][0] < idx - (long_window - 1):
+            state[0].pop(0)
+            state[1].pop(0)
+            state[2].pop(0)
+
+        def burn(win):
+            g = b = 0
+            for i, gg, bb in zip(state[0], state[1], state[2]):
+                if i >= idx - (win - 1):
+                    g += gg
+                    b += bb
+            tot = float(g + b)
+            return (float(b) / tot) / budget if tot > 0 else None
+
+        bl, bs = burn(long_window), burn(short_window)
+        alert = bool(bl is not None and bl > threshold
+                     and bs is not None and bs > threshold)
+        out.append((idx, good, bad, bl, bs, alert))
+    return out
+
+
+def _slo_fn(slo: float, long_window: int, short_window: int,
+            threshold: float):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        (sid,) = key
+        cols = ["series_id", "idx", "good", "bad", "burn_long",
+                "burn_short", "alert"]
+        if state.hasTimedOut:               # pragma: no cover - NoTimeout
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        st = ([list(x) for x in state.get] if state.exists
+              else [[], [], []])
+        data = pd.concat(list(pdfs)).sort_values("idx")
+        rows = slo_burn_step(
+            st, data[["idx", "good", "bad"]].itertuples(index=False),
+            slo, long_window, short_window, threshold)
+        state.update((list(st[0]), list(st[1]), list(st[2])))
+        yield pd.DataFrame([(sid, *r) for r in rows], columns=cols)
+
+    return fn
+
+
+def stream_slo_burn(stream, slo: float = 0.8, long_window: int = 6,
+                    short_window: int = 1, threshold: float = 1.5):
+    """(series_id, idx, good, bad) finalized-bucket stream →
+    per-bucket multiwindow burn rates + alert flags, the streaming
+    twin of functions/timeagg.slo_burn_rate (bit-equal on integer
+    counts; feed it the closed windows of a counting aggregation).
+    Per-service state is ≤ long_window integer triples —
+    stream-length independent."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (stream
+            .groupBy("series_id")
+            .applyInPandasWithState(
+                _slo_fn(float(slo), int(long_window),
+                        int(short_window), float(threshold)),
+                outputStructType=SLO_OUT_SCHEMA,
+                stateStructType=SLO_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -1957,3 +1957,91 @@ class TestStreamKalman:
         firsts = got.groupby("series_id").head(1)
         assert firsts["gain"].isna().all()
         assert got.groupby("series_id").tail(1)["gain"].notna().all()
+
+
+class TestStreamSloBurn:
+    """streaming/anomaly_stream.py::stream_slo_burn — the streaming
+    twin of functions/timeagg.slo_burn_rate; burn rates and alert
+    flags bit-equal to the batch RANGE-frame scan."""
+
+    def _rows(self, rng, n=40, gap_at=(17, 18, 19)):
+        rows = []
+        idx = 0
+        for i in range(n):
+            idx += 3 if i in gap_at else 1      # real index gaps
+            good = int(rng.integers(0, 50))
+            bad = int(rng.integers(0, 12))
+            rows.append((idx, good, bad))
+        return rows
+
+    def test_step_matches_batch_exact(self, spark, rng):
+        from dtaidistance_spark.functions.timeagg import slo_burn_rate
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            slo_burn_step)
+
+        rows = self._rows(rng)
+        df = spark.createDataFrame(rows, ["idx", "good", "bad"])
+        batch = (slo_burn_rate(df, slo=0.8, long_window=6,
+                               short_window=2, threshold=1.5)
+                 .toPandas().set_index("idx").sort_index())
+        st = [[], [], []]
+        got = slo_burn_step(st, rows, 0.8, 6, 2, 1.5)
+        assert len(got) == len(batch)
+        for idx, good, bad, bl, bs, alert in got:
+            b = batch.loc[idx]
+            assert bl == b["burn_long"]        # bit-equal
+            assert bs == b["burn_short"]
+            assert alert == bool(b["alert"])
+
+    def test_chunking_invariance(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            slo_burn_step)
+        rows = self._rows(rng)
+        a = [[], [], []]
+        ga = slo_burn_step(a, rows, 0.9, 6, 1, 2.0)
+        b = [[], [], []]
+        gb = []
+        for lo in range(0, len(rows), 7):
+            gb += slo_burn_step(b, rows[lo:lo + 7], 0.9, 6, 1, 2.0)
+        assert ga == gb and a == b
+
+    def test_stream_matches_batch(self, spark, tmp_path, rng):
+        import pandas as pd
+
+        from dtaidistance_spark.functions.timeagg import slo_burn_rate
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            stream_slo_burn)
+
+        rows = []
+        for s in range(3):
+            for idx, good, bad in self._rows(rng, n=30):
+                rows.append((f"svc{s}", idx, good, bad))
+        pdf = pd.DataFrame(rows, columns=["series_id", "idx", "good",
+                                          "bad"])
+        src_dir, out_dir, ck_dir = (str(tmp_path / d)
+                                    for d in ("s_src", "s_out", "s_ck"))
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "series_id string, idx long, good long, bad long"
+        ).parquet(src_dir)
+        q = (stream_slo_burn(src, slo=0.8, long_window=6,
+                             short_window=1, threshold=1.5)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = (spark.read.parquet(out_dir)
+               .orderBy("series_id", "idx").toPandas()
+               .set_index(["series_id", "idx"]))
+        batch = (slo_burn_rate(spark.createDataFrame(pdf), slo=0.8,
+                               long_window=6, short_window=1,
+                               threshold=1.5, series_col="series_id")
+                 .toPandas().set_index(["series_id", "idx"]))
+        assert len(got) == len(batch)
+        for k in batch.index:
+            assert got.loc[k, "burn_long"] == batch.loc[k, "burn_long"]
+            assert bool(got.loc[k, "alert"]) == bool(
+                batch.loc[k, "alert"])
