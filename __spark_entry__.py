@@ -321,6 +321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # week-over-week same-phase anomaly scan (end r5) — the
         # seasonal-aware companion of anomaly_zscore; same note
         "wow_anomaly": DQ.q_wow_anomaly,
+        # DTW k-nearest-neighbors head on the banded+psi matrix
+        # (end r5) — the canonical dtaidistance use case; same note
+        "dtw_knn": DQ.q_dtw_knn,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -1417,6 +1417,34 @@ def q_subsequence_matches(spark, sf_dir):
     return kbest_matches_df(corpus, query, k=2, minlength=4)
 
 
+def q_dtw_knn(spark, sf_dir):
+    """DTW k-nearest-neighbors — the canonical dtaidistance use case
+    as a driver-verifiable head: each of the 32 daily series' top-3
+    nearest peers under the flagship's banded+psi settings
+    (window=12, psi=2), read off the symmetric closure of the same
+    blocked distance_matrix the dtw_banded_pairs oracle replays
+    cell-for-cell, ranked by (rounded distance, neighbor id).  The
+    LB_Keogh/UB-pruned search path is SubsequenceSearch's
+    selectivity gate (operators/subsequence.py, oracled via
+    subsequence_topk) — pruning under psi relaxation is unsound for
+    LB_Keogh, so the whole-series kNN ranks the exact matrix."""
+    agg1d = R.rollup_points(event_points_rollup(spark, sf_dir), "1d")
+    filled = R.gap_fill(agg1d, "1d", policy="zero", align="global")
+    arrays = R.series_arrays(filled, "1d", value_col="cnt")
+    series = with_index(arrays, order_col="series_id") \
+        .where(F.col("i") < 32)
+    dist = distance_matrix(series, settings=DtwSettings(window=12,
+                                                        psi=2),
+                           chunk_size=128)
+    d6 = dist.select("i", "j", F.round("d", 6).alias("d"))
+    sym = d6.unionAll(d6.select(F.col("j").alias("i"),
+                                F.col("i").alias("j"), "d"))
+    w = W.partitionBy("i").orderBy(F.asc("d"), F.asc("j"))
+    return (sym.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("i", F.col("j").alias("nn"), "d", "rank"))
+
+
 def q_kmeans_assign_step(spark, sf_dir):
     """Value-oracled kmeans E-step: assign each of the first 32 daily
     series to the nearest of 4 FIXED centers (= series 0..3) by full
@@ -4005,6 +4033,22 @@ _DAILY_SV_SQL = """
                   f.v AS v
            FROM filled f JOIN sids s ON f.series_id = s.series_id)
 """.format(pts=_PTS_SQL, cap="{cap}")
+
+
+# kNN twin: the banded+psi oracle body nested unchanged, mirrored to
+# the symmetric closure, ranked by (rounded d, neighbor id).
+ORACLES["dtw_knn"] = f"""
+    WITH base AS ({ORACLES["dtw_banded_pairs"]}),
+    sym AS (SELECT i, j, d FROM base
+            UNION ALL
+            SELECT j AS i, i AS j, d FROM base)
+    SELECT i, j AS nn, d,
+           CAST(row_number() OVER (PARTITION BY i
+                                   ORDER BY d ASC, j ASC) AS INTEGER)
+             AS rank
+    FROM sym
+    QUALIFY rank <= 3
+"""
 
 
 # composite twin of q_dtw_pairs: both DTW replays under a variant tag
