@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DTW k-nearest-neighbors head on the banded+psi matrix
         # (end r5) — the canonical dtaidistance use case; same note
         "dtw_knn": DQ.q_dtw_knn,
+        # Croston intermittent-demand forecast (end r5) — the
+        # mostly-zeros member of the forecasting family; same note
+        "croston_purchases": DQ.q_croston_purchases,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -1212,3 +1212,72 @@ def wow_baseline(
                                    F.lit(False)))
             .select("series_id", "idx", "y", "n_base", "baseline",
                     "ratio", "anomalous"))
+
+
+def croston(
+    points: DataFrame,
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Croston's method for INTERMITTENT demand (Croston 1972, with
+    the Syntetos-Boylan approximate-bias correction as a second
+    column) — the forecaster the smoothing family (holt / EWMA /
+    baselines) fundamentally lacks: on a series that is mostly zeros
+    with occasional positive "demands", exponential smoothing decays
+    toward zero between demands and spikes after each one; Croston
+    smooths the demand SIZES and the inter-demand INTERVALS as two
+    separate α = 1/2 recurrences and forecasts their ratio.
+
+    Convention (documented because published variants differ): the
+    period counter q starts at 1; at the FIRST demand z := y, p := q;
+    at later demands z := (y + z)/2, p := (q + p)/2 (the exact-halves
+    α = 1/2 fold of ``holt_linear``); after any demand q resets to 1
+    and increments per subsequent zero period.  ``forecast = z / p``
+    per period; ``fc_sba = (1 − α/2)·z/p = 0.75·z/p`` (Syntetos-
+    Boylan 2005).  Series with no demand yield NULL forecasts.
+
+    The CALLER supplies the dense series — zeros are meaningful here,
+    so feed the gap-filled grid, not the sparse bucket table.
+
+    Output per series: (n, n_demands, z, p, forecast, fc_sba).
+    Exactness: the same JVM-aggregate-fold == recursive-CTE contract
+    as ``holt_linear``/``kalman_level`` — integer demands make every
+    halve exact, and the final ratio is one division.  Plan: ONE
+    collect aggregation + an O(n) codegen fold.
+    """
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("_o"), F.col(y_col).cast(_D).alias("_y"))))
+    g = points.groupBy(F.col(series_col).alias(series_col)).agg(
+        arr.alias("_a"), F.count(F.lit(1)).alias("_n"))
+    init = F.struct(
+        F.lit(0.0).alias("z"), F.lit(0.0).alias("p"),
+        F.lit(1.0).alias("q"), F.lit(0).cast("long").alias("k"))
+
+    def _merge(acc, x):
+        is_demand = x["_y"] > 0
+        first = acc["k"] == 0
+        z_new = (F.when(is_demand & first, x["_y"])
+                 .when(is_demand, (x["_y"] + acc["z"]) / F.lit(2.0))
+                 .otherwise(acc["z"]))
+        p_new = (F.when(is_demand & first, acc["q"])
+                 .when(is_demand, (acc["q"] + acc["p"]) / F.lit(2.0))
+                 .otherwise(acc["p"]))
+        q_new = (F.when(is_demand, F.lit(1.0))
+                 .otherwise(acc["q"] + F.lit(1.0)))
+        k_new = F.when(is_demand, acc["k"] + F.lit(1).cast("long")) \
+                 .otherwise(acc["k"])
+        return F.struct(z_new.alias("z"), p_new.alias("p"),
+                        q_new.alias("q"), k_new.alias("k"))
+
+    st = g.withColumn("_st", F.aggregate(F.col("_a"), init, _merge))
+    fc = F.when(F.col("_st")["k"] > 0,
+                F.col("_st")["z"] / F.col("_st")["p"])
+    return st.select(
+        series_col,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_st")["k"].alias("n_demands"),
+        F.when(F.col("_st")["k"] > 0, F.col("_st")["z"]).alias("z"),
+        F.when(F.col("_st")["k"] > 0, F.col("_st")["p"]).alias("p"),
+        fc.alias("forecast"),
+        (F.lit(0.75) * fc).alias("fc_sba"))

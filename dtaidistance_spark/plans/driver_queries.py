@@ -418,6 +418,41 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_croston_purchases(spark, sf_dir):
+    """Croston intermittent-demand forecast of each user's hourly
+    PURCHASE counts (functions/stats.py::croston — mostly-zero series
+    are exactly where the smoothing family fails; demand sizes and
+    inter-demand intervals smooth separately at α = 1/2, forecast =
+    their ratio + the Syntetos-Boylan 0.75 correction).  The dense
+    per-user grid (zeros meaningful) spans each user's own activity
+    range from the full event stream; the DuckDB twin replays the
+    identical fold as a recursive CTE stepping the dense rank order —
+    bit-equal states, 1e-6 rounding only for the hash."""
+    from ..functions.stats import croston
+
+    h = _hourly_counts(spark, sf_dir)
+    span = h.groupBy("series_id").agg(F.min("idx").alias("a"),
+                                      F.max("idx").alias("b"))
+    grid = span.select("series_id",
+                       F.explode(F.sequence("a", "b")).alias("idx"))
+    purch = (_events(spark, sf_dir)
+             .where(F.col("event_type") == "purchase")
+             .groupBy(F.concat(F.lit("user"),
+                               F.col("user_id").cast("string"))
+                      .alias("series_id"),
+                      F.expr("unix_micros(date_trunc('hour', ts)) "
+                             "div 3600000000").alias("idx"))
+             .agg(F.count(F.lit(1)).alias("y")))
+    dense = (grid.join(purch, ["series_id", "idx"], "left")
+             .withColumn("y", F.coalesce(F.col("y"), F.lit(0))))
+    out = croston(dense, order_col="idx")
+    return out.select("series_id", "n", "n_demands",
+                      F.round("z", 6).alias("z"),
+                      F.round("p", 6).alias("p"),
+                      F.round("forecast", 6).alias("forecast"),
+                      F.round("fc_sba", 6).alias("fc_sba"))
+
+
 def q_wow_anomaly(spark, sf_dir):
     """Week-over-week same-phase anomaly scan of the hourly user
     turn-rate series (functions/stats.py::wow_baseline, period 168 h,
@@ -3011,6 +3046,57 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Croston twin: the same dense per-user grid, the identical α=1/2
+# size/interval fold stepped as a recursive CTE in dense rank order.
+ORACLES["croston_purchases"] = """
+    WITH RECURSIVE h AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx
+      FROM events GROUP BY 1, 2),
+    span AS (SELECT series_id, min(idx) AS a, max(idx) AS b
+             FROM h GROUP BY 1),
+    g AS (SELECT series_id, unnest(generate_series(a, b)) AS idx
+          FROM span),
+    pur AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             epoch_us(date_trunc('hour', ts)) // 3600000000 AS idx,
+             count(*) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+    d AS (SELECT g.series_id, g.idx,
+                 CAST(coalesce(p.y, 0) AS DOUBLE) AS y,
+                 row_number() OVER (PARTITION BY g.series_id
+                                    ORDER BY g.idx) AS rn
+          FROM g LEFT JOIN pur p USING (series_id, idx)),
+    cnt AS (SELECT series_id, max(rn) AS n FROM d GROUP BY 1),
+    rec(series_id, t, z, p, q, k) AS (
+      SELECT series_id, 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             CAST(1.0 AS DOUBLE), CAST(0 AS BIGINT)
+      FROM span
+      UNION ALL
+      SELECT rec.series_id, rec.t + 1,
+             CASE WHEN d.y > 0 AND rec.k = 0 THEN d.y
+                  WHEN d.y > 0 THEN (d.y + rec.z) / 2.0
+                  ELSE rec.z END,
+             CASE WHEN d.y > 0 AND rec.k = 0 THEN rec.q
+                  WHEN d.y > 0 THEN (rec.q + rec.p) / 2.0
+                  ELSE rec.p END,
+             CASE WHEN d.y > 0 THEN CAST(1.0 AS DOUBLE)
+                  ELSE rec.q + 1.0 END,
+             CASE WHEN d.y > 0 THEN rec.k + 1 ELSE rec.k END
+      FROM rec
+      JOIN d ON d.series_id = rec.series_id AND d.rn = rec.t + 1)
+    SELECT rec.series_id, CAST(cnt.n AS BIGINT) AS n,
+           CAST(rec.k AS BIGINT) AS n_demands,
+           round(CASE WHEN rec.k > 0 THEN rec.z END, 6) AS z,
+           round(CASE WHEN rec.k > 0 THEN rec.p END, 6) AS p,
+           round(CASE WHEN rec.k > 0 THEN rec.z / rec.p END, 6)
+             AS forecast,
+           round(CASE WHEN rec.k > 0
+                 THEN 0.75 * (rec.z / rec.p) END, 6) AS fc_sba
+    FROM rec JOIN cnt USING (series_id)
+    WHERE rec.t = cnt.n
+"""
 
 # WoW twin: the same prior-period equi-join + exact-sum mean, the
 # identical ratio/flag tree.

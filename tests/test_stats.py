@@ -1119,3 +1119,83 @@ class TestWowBaseline:
                 assert r["baseline"] == b
                 expect_flag = (y / b > 1.5) or (y / b < 1 / 1.5)
                 assert bool(r["anomalous"]) == expect_flag
+
+
+class TestCroston:
+    """functions/stats.py::croston — intermittent-demand forecasting,
+    vs a pure-python fold of the documented convention."""
+
+    @staticmethod
+    def _fold(ys):
+        z = p = 0.0
+        q = 1.0
+        k = 0
+        for y in ys:
+            if y > 0:
+                if k == 0:
+                    z, p = float(y), q
+                else:
+                    z = (float(y) + z) / 2.0
+                    p = (q + p) / 2.0
+                k += 1
+                q = 1.0
+            else:
+                q += 1.0
+        return z, p, k
+
+    def test_matches_python_fold_bit_exact(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(53)
+        rows, expect = [], {}
+        for s in range(5):
+            ys = [int(rng.integers(1, 9)) if rng.random() < 0.2 else 0
+                  for _ in range(60)]
+            rows += [(f"s{s}", i, v) for i, v in enumerate(ys)]
+            expect[f"s{s}"] = self._fold(ys)
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import croston
+        got = croston(df).toPandas()
+        for _, r in got.iterrows():
+            z, p, k = expect[r["series_id"]]
+            assert r["n_demands"] == k
+            if k:
+                assert r["z"] == z and r["p"] == p
+                assert r["forecast"] == z / p
+                assert r["fc_sba"] == 0.75 * (z / p)
+
+    def test_regular_demand_converges_to_rate(self, spark):
+        # demand 6 every 3rd period: forecast -> 6/3 = 2 per period
+        ys = [6 if i % 3 == 0 else 0 for i in range(90)]
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(ys)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import croston
+        got = croston(df).toPandas().iloc[0]
+        assert abs(got["forecast"] - 2.0) < 1e-6
+        assert got["n_demands"] == 30
+
+    def test_no_demand_series_null(self, spark):
+        df = spark.createDataFrame(
+            [("s", i, 0) for i in range(10)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import croston
+        got = croston(df).toPandas().iloc[0]
+        assert got["n_demands"] == 0
+        assert got["forecast"] != got["forecast"]
+
+    def test_beats_ewma_on_intermittent(self, spark):
+        # the motivating property: on strictly periodic intermittent
+        # demand the Croston forecast equals the true per-period rate,
+        # while the plain smoother's last value depends on where in
+        # the cycle the series stops
+        ys = [9 if i % 3 == 2 else 0 for i in range(30)]   # ends on 9
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(ys)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import croston, ewma
+        c = croston(df).toPandas().iloc[0]
+        e = (ewma(df, alpha=0.5, window=16, order_col="bucket_ts")
+             .toPandas().sort_values("bucket_ts").iloc[-1])
+        true_rate = 3.0
+        assert abs(c["forecast"] - true_rate) < 0.2
+        assert abs(e["ewma"] - true_rate) > 1.0   # spiked toward 9
