@@ -327,6 +327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Croston intermittent-demand forecast (end r5) — the
         # mostly-zeros member of the forecasting family; same note
         "croston_purchases": DQ.q_croston_purchases,
+        # Holt-Winters seasonal smoothing (end r5) — triple
+        # exponential completion of holt_hourly, list-state CTE twin;
+        # same note
+        "holtwinters_hourly": DQ.q_holtwinters_hourly,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

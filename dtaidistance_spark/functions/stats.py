@@ -1281,3 +1281,88 @@ def croston(
         F.when(F.col("_st")["k"] > 0, F.col("_st")["p"]).alias("p"),
         fc.alias("forecast"),
         (F.lit(0.75) * fc).alias("fc_sba"))
+
+
+def holt_winters(
+    points: DataFrame,
+    season: int,
+    horizons: Sequence[int] = (1,),
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Holt-Winters ADDITIVE triple exponential smoothing (Winters
+    1960 / FPP §7.3) with α = β = γ = 1/2 — the seasonal completion
+    of ``holt_linear``: level, trend AND an m-element seasonal state,
+
+        lₜ = ((yₜ − sₜ₋ₘ) + (lₜ₋₁ + bₜ₋₁)) / 2
+        bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁) / 2
+        sₜ = ((yₜ − lₜ) + sₜ₋ₘ) / 2
+        ŷₙ₊ₕ = lₙ + h·bₙ + sₙ₊ₕ₋ₘ·⌈h/m⌉
+
+    Textbook initialization over the first two seasons (FPP): l_m =
+    mean(y₁..y_m), b_m = (mean of season 2 − mean of season 1)/m,
+    sᵢ = yᵢ − l_m for i = 1..m; the recurrence starts at t = m+1.
+    Series shorter than 2·m observations are dropped (no sound b
+    init).
+
+    Output per series: n, level, trend, one ``fc_{h}`` per horizon.
+    Exactness: the ``holt_linear`` contract — a deterministic
+    sequential JVM aggregate-HOF fold (the m-element seasonal state
+    is an array updated one phase per step), replayed by a recursive
+    CTE carrying the same list state, every step exact halves over
+    integer-rooted values → bit-equal.  Plan: ONE collect aggregation
+    + an O(n·m) codegen fold, no window, no Python.
+    """
+    m = int(season)
+    if m < 2:
+        raise ValueError("season must be >= 2")
+    hs = sorted(set(int(h) for h in horizons))
+    if not hs or hs[0] < 1:
+        raise ValueError("horizons must be positive integers")
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("_o"), F.col(y_col).cast(_D).alias("_y"))))
+    g = (points.groupBy(F.col(series_col).alias(series_col)).agg(
+        arr.alias("_a"), F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= 2 * m)
+        .select(series_col,
+                F.expr("transform(_a, p -> p._y)").alias("ys"),
+                F.col("_n").cast("int").alias("n")))
+    mean1 = (f"aggregate(slice(ys, 1, {m}), CAST(0.0 AS DOUBLE), "
+             f"(a, x) -> a + x) / {float(m)!r}")
+    mean2 = (f"aggregate(slice(ys, {m + 1}, {m}), CAST(0.0 AS DOUBLE), "
+             f"(a, x) -> a + x) / {float(m)!r}")
+    # fold over y_{m+1}..y_n; the phase read/updated at the step
+    # consuming y_{t+1} is 0-based (t % m) in Spark's transform index
+    merge = (
+        "(acc, y) -> named_struct("
+        "'l', ((y - element_at(acc.s, (acc.t % {m}) + 1)) "
+        "      + (acc.l + acc.b)) / 2.0, "
+        "'b', (((((y - element_at(acc.s, (acc.t % {m}) + 1)) "
+        "         + (acc.l + acc.b)) / 2.0) - acc.l) + acc.b) / 2.0, "
+        "'s', transform(acc.s, (x, i) -> CASE "
+        "     WHEN i = (acc.t % {m}) THEN "
+        "     ((y - (((y - element_at(acc.s, (acc.t % {m}) + 1)) "
+        "            + (acc.l + acc.b)) / 2.0)) "
+        "      + element_at(acc.s, (acc.t % {m}) + 1)) / 2.0 "
+        "     ELSE x END), "
+        "'t', acc.t + 1)"
+    ).replace("{m}", str(m))
+    st = g.withColumn("_st", F.expr(
+        f"aggregate(slice(ys, {m + 1}, n - {m}), "
+        f"named_struct('l', {mean1}, "
+        f"'b', (({mean2}) - ({mean1})) / {float(m)!r}, "
+        f"'s', transform(slice(ys, 1, {m}), v -> v - ({mean1})), "
+        f"'t', {m}), {merge})"))
+    cols = [series_col, F.col("n").cast("long").alias("n"),
+            F.col("_st.l").alias("level"), F.col("_st.b").alias("trend")]
+    for h in hs:
+        # seasonal index for forecast h: n + h - m*ceil(h/m), whose
+        # 0-based phase in s is ((n + h - back - 1) mod m); with the
+        # state's s holding phases by original position i mod m
+        back = m * ((h + m - 1) // m)
+        cols.append(F.expr(
+            f"_st.l + {float(h)!r} * _st.b + element_at(_st.s, "
+            f"CAST(((n + {h - back} - 1) % {m}) + 1 AS INT))")
+            .alias(f"fc_{h}"))
+    return st.select(*cols)

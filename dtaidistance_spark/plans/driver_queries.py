@@ -418,6 +418,28 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_holtwinters_hourly(spark, sf_dir):
+    """Holt-Winters additive triple exponential smoothing over each
+    user's hourly spend-cents series (functions/stats.py::
+    holt_winters, period 24, α=β=γ=1/2, FPP §7.3 two-season init) —
+    the seasonal completion of in-window holt_hourly, 1- and 24-step
+    forecasts.  The m-element seasonal state rides the same
+    JVM-aggregate-fold contract; the DuckDB twin carries the seasonal
+    LIST through a recursive CTE (list_transform with its 1-based
+    index mirroring Spark's 0-based transform index), so
+    level/trend/forecasts are bit-equal — the most stateful
+    recurrence the oracle pack replays."""
+    from ..functions.stats import holt_winters
+
+    out = holt_winters(_hourly_cents(spark, sf_dir), season=24,
+                       horizons=(1, 24))
+    return out.select("series_id", "n",
+                      F.round("level", 6).alias("level"),
+                      F.round("trend", 6).alias("trend"),
+                      F.round("fc_1", 6).alias("fc_1"),
+                      F.round("fc_24", 6).alias("fc_24"))
+
+
 def q_croston_purchases(spark, sf_dir):
     """Croston intermittent-demand forecast of each user's hourly
     PURCHASE counts (functions/stats.py::croston — mostly-zero series
@@ -3046,6 +3068,61 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Holt-Winters twin: the holt_hourly recursive-CTE pattern carrying
+# the 24-element seasonal LIST as recursion state; list_transform's
+# 1-based lambda index mirrors Spark's 0-based transform index, and
+# the l' expression is inlined at each of its three uses exactly as
+# the Spark fold inlines it.
+ORACLES["holtwinters_hourly"] = """
+    WITH RECURSIVE h AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             date_trunc('hour', ts) AS bucket_ts,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT series_id, CAST(y AS DOUBLE) AS y,
+                 row_number() OVER (PARTITION BY series_id
+                                    ORDER BY bucket_ts) AS rn
+          FROM h),
+    cnt AS (SELECT series_id, max(rn) AS n FROM r
+            GROUP BY 1 HAVING max(rn) >= 48),
+    base AS (
+      SELECT r.series_id,
+             sum(CASE WHEN rn <= 24 THEN y END) / 24.0 AS m1,
+             sum(CASE WHEN rn BETWEEN 25 AND 48 THEN y END) / 24.0
+               AS m2,
+             list(y ORDER BY rn) FILTER (WHERE rn <= 24) AS fy
+      FROM r JOIN cnt USING (series_id) GROUP BY 1),
+    rec(series_id, t, l, b, s) AS (
+      SELECT series_id, 24, m1, (m2 - m1) / 24.0,
+             list_transform(fy, v -> v - m1)
+      FROM base
+      UNION ALL
+      SELECT rec.series_id, rec.t + 1,
+             ((r.y - rec.s[(rec.t % 24) + 1]) + (rec.l + rec.b))
+               / 2.0,
+             (((((r.y - rec.s[(rec.t % 24) + 1]) + (rec.l + rec.b))
+                / 2.0) - rec.l) + rec.b) / 2.0,
+             list_transform(rec.s, (x, i) -> CASE
+               WHEN i = (rec.t % 24) + 1 THEN
+                 ((r.y - (((r.y - rec.s[(rec.t % 24) + 1])
+                           + (rec.l + rec.b)) / 2.0))
+                  + rec.s[(rec.t % 24) + 1]) / 2.0
+               ELSE x END)
+      FROM rec
+      JOIN r ON r.series_id = rec.series_id AND r.rn = rec.t + 1)
+    SELECT rec.series_id, CAST(cnt.n AS BIGINT) AS n,
+           round(rec.l, 6) AS level, round(rec.b, 6) AS trend,
+           round(rec.l + 1.0 * rec.b
+                 + rec.s[CAST(((cnt.n + 1 - 24 - 1) % 24) + 1
+                              AS INT)], 6) AS fc_1,
+           round(rec.l + 24.0 * rec.b
+                 + rec.s[CAST(((cnt.n + 24 - 24 - 1) % 24) + 1
+                              AS INT)], 6) AS fc_24
+    FROM rec JOIN cnt USING (series_id)
+    WHERE rec.t = cnt.n
+"""
 
 # Croston twin: the same dense per-user grid, the identical α=1/2
 # size/interval fold stepped as a recursive CTE in dense rank order.

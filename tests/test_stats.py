@@ -1199,3 +1199,88 @@ class TestCroston:
         true_rate = 3.0
         assert abs(c["forecast"] - true_rate) < 0.2
         assert abs(e["ewma"] - true_rate) > 1.0   # spiked toward 9
+
+
+class TestHoltWinters:
+    """functions/stats.py::holt_winters — additive triple exponential
+    smoothing, vs a pure-python fold of the documented convention."""
+
+    @staticmethod
+    def _fold(ys, m):
+        import numpy as np
+        y = np.asarray(ys, float)
+        l = y[:m].mean()
+        b = (y[m:2 * m].mean() - y[:m].mean()) / m
+        s = list(y[:m] - y[:m].mean())
+        for t in range(m, len(y)):
+            ph = t % m
+            l_new = ((y[t] - s[ph]) + (l + b)) / 2.0
+            b_new = ((l_new - l) + b) / 2.0
+            s[ph] = ((y[t] - l_new) + s[ph]) / 2.0
+            l, b = l_new, b_new
+        return l, b, s
+
+    def test_matches_python_fold_bit_exact(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(61)
+        m = 6
+        rows, expect = [], {}
+        for sid in range(4):
+            ys = [int(v) for v in rng.integers(0, 40, 30 + 6 * sid)]
+            rows += [(f"s{sid}", i, v) for i, v in enumerate(ys)]
+            expect[f"s{sid}"] = (ys, self._fold(ys, m))
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import holt_winters
+        got = holt_winters(df, season=m, horizons=(1, 2, 6)).toPandas()
+        for _, r in got.iterrows():
+            ys, (l, b, s) = expect[r["series_id"]]
+            n = len(ys)
+            assert r["level"] == l and r["trend"] == b   # bit-equal
+            for h in (1, 2, 6):
+                back = m * ((h + m - 1) // m)
+                fc = l + h * b + s[(n + h - back - 1) % m]
+                assert r[f"fc_{h}"] == fc
+
+    def test_pure_seasonal_series_forecast_exact(self, spark):
+        # perfectly m-seasonal, zero trend: forecasts continue the
+        # pattern (init is already exact, recurrence preserves it)
+        pattern = [10, 20, 2, 8]
+        ys = pattern * 8
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(ys)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import holt_winters
+        got = (holt_winters(df, season=4, horizons=(1, 2, 3, 4))
+               .toPandas().iloc[0])
+        assert got["trend"] == 0.0
+        for h in (1, 2, 3, 4):
+            assert abs(got[f"fc_{h}"] - pattern[(len(ys) + h - 1) % 4]) \
+                < 1e-9
+
+    def test_seasonal_beats_plain_holt(self, spark):
+        import numpy as np
+        # strong seasonality: HW one-step error << Holt's
+        rng = np.random.default_rng(67)
+        pattern = [0, 30, 5, 15]
+        full = [int(p + rng.integers(0, 3)) for _ in range(11)
+                for p in pattern]
+        # cut AFTER a phase-0 value so the next point is the 0->30
+        # jump — the spot where a non-seasonal smoother must miss
+        ys = full[:41]                      # ends at phase 0
+        actual = full[41]                   # phase 1, ~30
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(ys)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import (holt_linear,
+                                                        holt_winters)
+        hw = holt_winters(df, season=4).toPandas().iloc[0]["fc_1"]
+        ho = holt_linear(df, horizons=(1,)).toPandas().iloc[0]["fc_1"]
+        assert abs(hw - actual) < 4
+        assert abs(ho - actual) > 6
+
+    def test_short_series_dropped(self, spark):
+        df = spark.createDataFrame(
+            [("s", i, i) for i in range(7)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import holt_winters
+        assert holt_winters(df, season=4).count() == 0
