@@ -51,7 +51,8 @@ __all__ = ["zscore_step", "stream_anomaly_zscore",
            "ewma_step", "stream_ewma",
            "cusum_step", "stream_cusum",
            "kalman_step", "stream_kalman_level",
-           "slo_burn_step", "stream_slo_burn"]
+           "slo_burn_step", "stream_slo_burn",
+           "holt_winters_step", "stream_holt_winters"]
 
 OUT_SCHEMA = ("series_id string, ts timestamp, y long, n_prev long, "
               "z double")
@@ -548,5 +549,118 @@ def stream_slo_burn(stream, slo: float = 0.8, long_window: int = 6,
                         int(short_window), float(threshold)),
                 outputStructType=SLO_OUT_SCHEMA,
                 stateStructType=SLO_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Holt-Winters additive seasonal smoothing
+# ---------------------------------------------------------------------------
+
+HW_OUT_SCHEMA = ("series_id string, ts timestamp, y long, n long, "
+                 "level double, trend double, fc_1 double")
+HW_STATE_SCHEMA = ("n long, warm array<long>, l double, b double, "
+                   "s array<double>")
+
+
+def holt_winters_step(state, ys, m: int):
+    """Advance one series' Holt-Winters α=β=γ=1/2 recurrence through
+    ``ys`` (event order).  ``state`` is ``[n, warmup, l, b, s]``: the
+    first 2·m observations accumulate in ``warmup``; on the 2·m-th
+    the FPP two-season init fires (l = mean of season 1, b = season
+    mean difference / m, s = season-1 deviations) and the recurrence
+    consumes observations 2m+1… exactly like the batch fold
+    (functions/stats.holt_winters), so emitted states are bit-equal
+    to a batch run over the same prefix.  Rows before init emit NaN
+    level/trend."""
+    out = []
+    for y in ys:
+        y = int(y)
+        n, warm, l, b, s = state
+        n += 1
+        if n < 2 * m:
+            warm.append(y)
+            state[0] = n
+            out.append((y, n, float("nan"), float("nan"),
+                        float("nan")))
+            continue
+        if n == 2 * m:
+            warm.append(y)
+            m1 = 0.0
+            for v in warm[:m]:
+                m1 += float(v)
+            m1 /= float(m)
+            m2 = 0.0
+            for v in warm[m:]:
+                m2 += float(v)
+            m2 /= float(m)
+            l = m1
+            b = (m2 - m1) / float(m)
+            s = [float(v) - m1 for v in warm[:m]]
+            # replay the recurrence over season 2 (observations
+            # m+1..2m), exactly as the batch fold consumes them
+            for t, v in enumerate(warm[m:], start=m):
+                ph = t % m
+                l_new = ((float(v) - s[ph]) + (l + b)) / 2.0
+                b_new = ((l_new - l) + b) / 2.0
+                s[ph] = ((float(v) - l_new) + s[ph]) / 2.0
+                l, b = l_new, b_new
+            state[:] = [n, warm, l, b, s]
+        else:
+            t = n - 1              # 0-based position of this y
+            ph = t % m
+            l_new = ((float(y) - s[ph]) + (l + b)) / 2.0
+            b_new = ((l_new - l) + b) / 2.0
+            s[ph] = ((float(y) - l_new) + s[ph]) / 2.0
+            state[:] = [n, warm, l_new, b_new, s]
+        n2, _, l2, b2, s2 = state
+        fc = l2 + 1.0 * b2 + s2[n2 % m]
+        out.append((y, n2, l2, b2, fc))
+    return out
+
+
+def _hw_fn(m: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        (sid,) = key
+        cols = ["series_id", "ts", "y", "n", "level", "trend", "fc_1"]
+        if state.hasTimedOut:               # pragma: no cover - NoTimeout
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        if state.exists:
+            n, warm, l, b, s = state.get
+            st = [int(n), list(warm), float(l), float(b), list(s)]
+        else:
+            st = [0, [], float("nan"), float("nan"), []]
+        data = pd.concat(list(pdfs)).sort_values("ts")
+        ts = list(data["ts"])
+        rows = holt_winters_step(st, data["y"].to_numpy(), m)
+        state.update((int(st[0]), list(st[1]), float(st[2]),
+                      float(st[3]), list(st[4])))
+        yield pd.DataFrame(
+            [(sid, ts[i], *r) for i, r in enumerate(rows)],
+            columns=cols)
+
+    return fn
+
+
+def stream_holt_winters(stream, season: int = 24):
+    """(series_id, ts, y) stream → per-observation Holt-Winters
+    level/trend and one-step seasonal forecast — the streaming twin
+    of functions/stats.holt_winters (FPP two-season init after 2·m
+    warmup observations; states bit-equal to the batch fold at every
+    post-init prefix).  Per-series state is 2·m integers of warmup +
+    m seasonal doubles + two scalars — stream-length independent."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    if season < 2:
+        raise ValueError("season must be >= 2")
+    return (stream
+            .groupBy("series_id")
+            .applyInPandasWithState(
+                _hw_fn(int(season)),
+                outputStructType=HW_OUT_SCHEMA,
+                stateStructType=HW_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -2045,3 +2045,90 @@ class TestStreamSloBurn:
             assert got.loc[k, "burn_long"] == batch.loc[k, "burn_long"]
             assert bool(got.loc[k, "alert"]) == bool(
                 batch.loc[k, "alert"])
+
+
+class TestStreamHoltWinters:
+    """streaming/anomaly_stream.py::stream_holt_winters — the
+    streaming twin of functions/stats.holt_winters; post-warmup
+    states bit-equal to the batch fold at every prefix."""
+
+    def test_step_matches_batch_exact(self, spark, rng):
+        from dtaidistance_spark.functions.stats import holt_winters
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            holt_winters_step)
+
+        m = 6
+        y = [int(v) for v in rng.integers(0, 400, size=40)]
+        for prefix in (2 * m, 2 * m + 1, 30, 40):
+            df = spark.createDataFrame(
+                [("a", i, v) for i, v in enumerate(y[:prefix])],
+                ["series_id", "bucket_ts", "y"])
+            batch = (holt_winters(df, season=m, horizons=(1,))
+                     .toPandas().iloc[0])
+            st = [0, [], float("nan"), float("nan"), []]
+            out = holt_winters_step(st, y[:prefix], m)
+            assert out[-1][1] == prefix
+            assert st[2] == batch["level"]        # bit-equal
+            assert st[3] == batch["trend"]
+            assert out[-1][4] == batch["fc_1"]
+
+    def test_chunking_invariance(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            holt_winters_step)
+        y = [int(v) for v in rng.integers(0, 100, size=37)]
+        a = [0, [], float("nan"), float("nan"), []]
+        ga = holt_winters_step(a, y, 5)
+        b = [0, [], float("nan"), float("nan"), []]
+        gb = []
+        for lo in range(0, 37, 4):
+            gb += holt_winters_step(b, y[lo:lo + 4], 5)
+        assert a[0] == b[0] and a[2] == b[2] and a[3] == b[3]
+        assert a[4] == b[4]
+        assert len(ga) == len(gb)
+        for ra, rb in zip(ga, gb):            # NaN-aware equality
+            for va, vb in zip(ra, rb):
+                assert va == vb or (va != va and vb != vb)
+
+    def test_stream_matches_batch(self, spark, tmp_path, rng):
+        import pandas as pd
+
+        from dtaidistance_spark.functions.stats import holt_winters
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            stream_holt_winters)
+
+        m = 6
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for s in range(3):
+            y = rng.integers(0, 300, size=30)
+            rows += [(f"s{s}", t0 + pd.Timedelta(hours=int(i)), int(v))
+                     for i, v in enumerate(y)]
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "y"])
+        src_dir, out_dir, ck_dir = (str(tmp_path / d)
+                                    for d in ("hw_src", "hw_out",
+                                              "hw_ck"))
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "series_id string, ts timestamp, y long").parquet(src_dir)
+        q = (stream_holt_winters(src, season=m)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = (spark.read.parquet(out_dir)
+               .orderBy("series_id", "ts").toPandas())
+        assert len(got) == len(pdf)
+        final = got.groupby("series_id").tail(1).set_index("series_id")
+        batch = (holt_winters(spark.createDataFrame(pdf), season=m,
+                              horizons=(1,), order_col="ts")
+                 .toPandas().set_index("series_id"))
+        for s in batch.index:
+            assert final.loc[s, "level"] == batch.loc[s, "level"]
+            assert final.loc[s, "trend"] == batch.loc[s, "trend"]
+            assert final.loc[s, "fc_1"] == batch.loc[s, "fc_1"]
+        # warmup rows (first 2m-1 per series) carry NaN level
+        firsts = got.groupby("series_id").head(2 * m - 1)
+        assert firsts["level"].isna().all()
