@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exponential completion of holt_hourly, list-state CTE twin;
         # same note
         "holtwinters_hourly": DQ.q_holtwinters_hourly,
+        # outage interval list (end r5) — the on-call complement of
+        # in-window heartbeat_uptime_1h; same note
+        "outages": DQ.q_outages,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -601,3 +601,42 @@ def slo_burn_rate(
     return (out.withColumn("alert", alert)
             .select(*part, idx_col, good_col, bad_col, "burn_long",
                     "burn_short", "alert"))
+
+
+def outage_intervals(
+    points: DataFrame,
+    tolerance_s: int = 300,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    order_cols: tuple = (),
+) -> DataFrame:
+    """The outage LIST behind ``heartbeat_uptime``'s ratio — per
+    series, every interval in which the heartbeat contract was
+    violated: a gap between consecutive heartbeats longer than
+    ``tolerance_s`` produces one row [prev + tolerance, next), the
+    exact complement of the liveness intervals ``heartbeat_uptime``
+    sums (same tolerance semantics: a heartbeat keeps the series live
+    for ``tolerance_s`` or until the next beat).  The on-call answer
+    — WHEN was it down and for HOW LONG — instead of a percentage.
+
+    Output: (series_id, outage_start, outage_end, outage_s), one row
+    per violation, ordered data not required (the lead window sorts).
+    Plan: ONE per-series window exchange + a filter — no explode, no
+    aggregation; integer-microsecond arithmetic end to end, one
+    division at the end, so SQL twins hash-match.
+    """
+    w = W.partitionBy(series_col).orderBy(ts_col, *order_cols)
+    us = _epoch_us(ts_col)
+    tol = int(tolerance_s) * 1_000_000
+    g = (points.select(
+            F.col(series_col).alias("series_id"),
+            us.alias("_us"),
+            F.lead(us).over(w).alias("_nxt"))
+         .where(F.col("_nxt").isNotNull()
+                & (F.col("_nxt") - F.col("_us") > tol)))
+    return g.select(
+        "series_id",
+        F.timestamp_micros(F.col("_us") + tol).alias("outage_start"),
+        F.timestamp_micros(F.col("_nxt")).alias("outage_end"),
+        ((F.col("_nxt") - (F.col("_us") + tol)).cast("double")
+         / F.lit(1e6)).alias("outage_s"))

@@ -418,6 +418,24 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_outages(spark, sf_dir):
+    """Per-user outage intervals under a 1 h heartbeat tolerance
+    (functions/timeagg.py::outage_intervals — the on-call list behind
+    in-window heartbeat_uptime_1h's ratio: WHEN was each user silent
+    beyond tolerance and for HOW LONG).  One lead-window exchange +
+    a filter; integer-microsecond arithmetic keeps the DuckDB lead
+    twin hash-exact."""
+    from ..functions.timeagg import outage_intervals
+
+    ev = _events(spark, sf_dir).select(
+        F.concat(F.lit("user"), F.col("user_id").cast("string"))
+        .alias("series_id"), "ts", "event_id")
+    out = outage_intervals(ev, tolerance_s=3600,
+                           order_cols=("event_id",))
+    return out.select("series_id", "outage_start", "outage_end",
+                      F.round("outage_s", 6).alias("outage_s"))
+
+
 def q_holtwinters_hourly(spark, sf_dir):
     """Holt-Winters additive triple exponential smoothing over each
     user's hourly spend-cents series (functions/stats.py::
@@ -3068,6 +3086,24 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Outage twin: the same lead window + strict-> gap filter in exact
+# integer microseconds.
+ORACLES["outages"] = """
+    WITH s AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             epoch_us(ts) AS us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT series_id,
+           make_timestamp(us + 3600000000) AS outage_start,
+           make_timestamp(nxt) AS outage_end,
+           round(CAST(nxt - (us + 3600000000) AS DOUBLE) / 1e6, 6)
+             AS outage_s
+    FROM s
+    WHERE nxt IS NOT NULL AND nxt - us > 3600000000
+"""
 
 # Holt-Winters twin: the holt_hourly recursive-CTE pattern carrying
 # the 24-element seasonal LIST as recursion state; list_transform's

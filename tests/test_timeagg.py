@@ -579,3 +579,39 @@ class TestSloBurnRate:
                .toPandas().set_index("svc"))
         assert got.loc["svc_a", "burn_short"] == 1.0 / (1.0 - 0.9)
         assert got.loc["svc_b", "burn_short"] == 0.0
+
+
+class TestOutageIntervals:
+    def test_hand_fixture_complement_of_uptime(self, spark):
+        from dtaidistance_spark.functions.timeagg import (
+            heartbeat_uptime, outage_intervals)
+        # beats at 0, 100, 700, 800 with tolerance 300:
+        # outage = [100+300, 700) -> 300 s
+        rows = [("a", _ts(t), 0.0) for t in (0, 100, 700, 800)]
+        df = _df(spark, rows)
+        got = outage_intervals(df, tolerance_s=300).toPandas()
+        assert len(got) == 1
+        assert got.iloc[0]["outage_start"] == _ts(400)
+        assert got.iloc[0]["outage_end"] == _ts(700)
+        assert got.iloc[0]["outage_s"] == 300.0
+        # uptime + outage partition the observed span + final tolerance
+        up = (heartbeat_uptime(df, "1d", tolerance_s=300).toPandas()
+              ["uptime_s"].sum())
+        span_plus_tol = 800 + 300
+        assert up + got["outage_s"].sum() == span_plus_tol
+
+    def test_no_gap_no_rows(self, spark):
+        from dtaidistance_spark.functions.timeagg import outage_intervals
+        rows = [("a", _ts(i * 100), 0.0) for i in range(10)]
+        got = outage_intervals(_df(spark, rows), tolerance_s=300)
+        assert got.count() == 0
+
+    def test_boundary_gap_not_an_outage(self, spark):
+        from dtaidistance_spark.functions.timeagg import outage_intervals
+        # gap EXACTLY tolerance: still covered (strict >)
+        rows = [("a", _ts(0), 0.0), ("a", _ts(300), 0.0),
+                ("a", _ts(601), 0.0)]
+        got = outage_intervals(_df(spark, rows), tolerance_s=300) \
+            .toPandas()
+        assert len(got) == 1                  # only the 301 s gap
+        assert got.iloc[0]["outage_s"] == 1.0
