@@ -334,6 +334,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # outage interval list (end r5) — the on-call complement of
         # in-window heartbeat_uptime_1h; same note
         "outages": DQ.q_outages,
+        # Theta method (end r5) — the M3-winner two-line forecast
+        # capping the family; same note
+        "theta_hourly": DQ.q_theta_hourly,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

@@ -1366,3 +1366,76 @@ def holt_winters(
             f"CAST(((n + {h - back} - 1) % {m}) + 1 AS INT))")
             .alias(f"fc_{h}"))
     return st.select(*cols)
+
+
+def theta_forecast(
+    points: DataFrame,
+    horizons: Sequence[int] = (1,),
+    series_col: str = "series_id",
+    order_col: str = "bucket_ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """The Theta method (Assimakopoulos & Nikolopoulos 2000; the M3
+    forecasting-competition winner in its classical two-line form):
+    decompose the series into the θ = 0 line (the OLS trend, all
+    curvature removed) and the θ = 2 line zₜ = 2·yₜ − (a + b·t)
+    (curvature doubled), smooth the θ = 2 line with SES (α = 1/2
+    here, the module's exact-halves convention; classical Theta
+    optimizes α), and forecast the average:
+
+        ŷₙ₊ₕ = ((a + b·(n + h)) + z̃ₙ) / 2
+
+    — the trend line supplies long-run direction, the smoothed
+    θ = 2 line supplies level; their mean is the M3 benchmark that
+    famously beat every contestant.
+
+    Output per series: n, slope, intercept, ses (z̃ₙ), one fc_{h}
+    per horizon; NULL when n < 2 or the fit is degenerate (den 0).
+    Exactness: OLS from exact integer sufficient statistics (Σt and
+    Σt² in closed form, Σy/Σty by fold), the SES recurrence is the
+    usual JVM fold == recursive-CTE contract, and the combination is
+    one fixed tree.  Plan: ONE collect aggregation + an O(n) fold.
+    """
+    hs = sorted(set(int(h) for h in horizons))
+    if not hs or hs[0] < 1:
+        raise ValueError("horizons must be positive integers")
+    arr = F.array_sort(F.collect_list(F.struct(
+        F.col(order_col).alias("_o"), F.col(y_col).cast(_D).alias("_y"))))
+    g = (points.groupBy(F.col(series_col).alias(series_col)).agg(
+        arr.alias("_a"), F.count(F.lit(1)).alias("_n"))
+        .select(series_col,
+                F.expr("transform(_a, p -> p._y)").alias("ys"),
+                F.col("_n").cast("int").alias("n")))
+    # Σt = n(n+1)/2 and Σt² = n(n+1)(2n+1)/6 in closed form (exact
+    # integers); Σy and Σt·y by index-carrying fold
+    sx = "(CAST(n AS DOUBLE) * (n + 1) / 2.0)"
+    sxx = "(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6.0)"
+    sy = ("aggregate(ys, CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    sxy = ("aggregate(zip_with(ys, sequence(1, n), (y, t) -> y * t), "
+           "CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+    den = f"(CAST(n AS DOUBLE) * {sxx} - {sx} * {sx})"
+    df = (g.withColumn("_sy", F.expr(sy))
+          .withColumn("_sxy", F.expr(sxy))
+          .withColumn("_den", F.expr(
+              f"CASE WHEN n >= 2 THEN {den} END"))
+          .withColumn("slope", F.expr(
+              f"CASE WHEN _den > 0 THEN "
+              f"(CAST(n AS DOUBLE) * _sxy - {sx} * _sy) / _den END"))
+          .withColumn("intercept", F.expr(
+              f"CASE WHEN _den > 0 THEN "
+              f"(_sy - slope * {sx}) / CAST(n AS DOUBLE) END")))
+    # SES over the theta-2 line z_t = 2y_t - (a + b t), alpha = 1/2
+    ses = ("CASE WHEN slope IS NULL THEN CAST(NULL AS DOUBLE) ELSE "
+           "aggregate(slice(zip_with(ys, sequence(1, n), "
+           "(y, t) -> 2.0 * y - (intercept + slope * t)), 2, n - 1), "
+           "element_at(zip_with(ys, sequence(1, n), "
+           "(y, t) -> 2.0 * y - (intercept + slope * t)), 1), "
+           "(acc, z) -> (z + acc) / 2.0) END")
+    df = df.withColumn("ses", F.expr(ses))
+    cols = [series_col, F.col("n").cast("long").alias("n"),
+            "slope", "intercept", "ses"]
+    for h in hs:
+        cols.append(F.expr(
+            f"((intercept + slope * (n + {h})) + ses) / 2.0")
+            .alias(f"fc_{h}"))
+    return df.select(*cols)

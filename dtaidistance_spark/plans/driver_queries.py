@@ -418,6 +418,25 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_theta_hourly(spark, sf_dir):
+    """Theta-method forecast of each user's hourly spend-cents series
+    (functions/stats.py::theta_forecast — the classical two-line M3
+    winner: OLS θ=0 trend + SES-smoothed θ=2 line, forecast their
+    average; α=1/2 SES keeps the exact-halves contract).  Closed-form
+    Σt/Σt², folded Σy/Σty, and the usual recursive-CTE SES replay
+    make the DuckDB twin bit-equal (1e-6 rounding for the hash)."""
+    from ..functions.stats import theta_forecast
+
+    out = theta_forecast(_hourly_cents(spark, sf_dir),
+                         horizons=(1, 24))
+    return out.select("series_id", "n",
+                      F.round("slope", 6).alias("slope"),
+                      F.round("intercept", 6).alias("intercept"),
+                      F.round("ses", 6).alias("ses"),
+                      F.round("fc_1", 6).alias("fc_1"),
+                      F.round("fc_24", 6).alias("fc_24"))
+
+
 def q_outages(spark, sf_dir):
     """Per-user outage intervals under a 1 h heartbeat tolerance
     (functions/timeagg.py::outage_intervals — the on-call list behind
@@ -3086,6 +3105,65 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Theta twin: closed-form Σt/Σt² + summed Σy/Σty (exact integers),
+# the identical OLS trees, then the SES fold over the θ=2 line as a
+# recursive CTE in rank order.
+ORACLES["theta_hourly"] = """
+    WITH RECURSIVE h AS (
+      SELECT 'user' || CAST(user_id AS VARCHAR) AS series_id,
+             date_trunc('hour', ts) AS bucket_ts,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    r AS (SELECT series_id, CAST(y AS DOUBLE) AS y,
+                 row_number() OVER (PARTITION BY series_id
+                                    ORDER BY bucket_ts) AS rn
+          FROM h),
+    f AS (SELECT series_id, max(rn) AS n, sum(y) AS sy,
+                 sum(y * rn) AS sxy
+          FROM r GROUP BY 1),
+    ab AS (SELECT series_id, n, sy, sxy,
+                  CAST(n AS DOUBLE) * (n + 1) / 2.0 AS sx,
+                  CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 6.0
+                    AS sxx
+           FROM f),
+    fit AS (SELECT series_id, n,
+                   CASE WHEN n >= 2
+                         AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                        THEN (CAST(n AS DOUBLE) * sxy - sx * sy)
+                             / (CAST(n AS DOUBLE) * sxx - sx * sx)
+                   END AS slope,
+                   sx, sy
+            FROM ab),
+    fit2 AS (SELECT series_id, n, slope,
+                    CASE WHEN slope IS NOT NULL
+                         THEN (sy - slope * sx) / CAST(n AS DOUBLE)
+                    END AS intercept
+             FROM fit),
+    rec(series_id, t, s) AS (
+      SELECT fit2.series_id, 1,
+             2.0 * r.y - (fit2.intercept + fit2.slope * 1)
+      FROM fit2 JOIN r ON r.series_id = fit2.series_id AND r.rn = 1
+      WHERE fit2.slope IS NOT NULL
+      UNION ALL
+      SELECT rec.series_id, rec.t + 1,
+             ((2.0 * r.y - (f2.intercept + f2.slope * (rec.t + 1)))
+              + rec.s) / 2.0
+      FROM rec
+      JOIN fit2 f2 ON f2.series_id = rec.series_id
+      JOIN r ON r.series_id = rec.series_id AND r.rn = rec.t + 1)
+    SELECT f2.series_id, CAST(f2.n AS BIGINT) AS n,
+           round(f2.slope, 6) AS slope,
+           round(f2.intercept, 6) AS intercept,
+           round(rec.s, 6) AS ses,
+           round(((f2.intercept + f2.slope * (f2.n + 1)) + rec.s)
+                 / 2.0, 6) AS fc_1,
+           round(((f2.intercept + f2.slope * (f2.n + 24)) + rec.s)
+                 / 2.0, 6) AS fc_24
+    FROM fit2 f2
+    LEFT JOIN rec ON rec.series_id = f2.series_id AND rec.t = f2.n
+"""
 
 # Outage twin: the same lead window + strict-> gap filter in exact
 # integer microseconds.

@@ -1284,3 +1284,69 @@ class TestHoltWinters:
             ["series_id", "bucket_ts", "y"])
         from dtaidistance_spark.functions.stats import holt_winters
         assert holt_winters(df, season=4).count() == 0
+
+
+class TestThetaForecast:
+    """functions/stats.py::theta_forecast — the classical two-line
+    Theta method vs a pure-python replay."""
+
+    @staticmethod
+    def _ref(ys, hs):
+        import numpy as np
+        n = len(ys)
+        t = np.arange(1, n + 1, dtype=float)
+        y = np.asarray(ys, float)
+        sx, sxx = n * (n + 1) / 2.0, n * (n + 1) * (2 * n + 1) / 6.0
+        sy, sxy = y.sum(), (y * t).sum()
+        den = n * sxx - sx * sx
+        b = (n * sxy - sx * sy) / den
+        a = (sy - b * sx) / n
+        z = 2.0 * y - (a + b * t)
+        s = z[0]
+        for v in z[1:]:
+            s = (v + s) / 2.0
+        return {h: ((a + b * (n + h)) + s) / 2.0 for h in hs}, a, b, s
+
+    def test_matches_python_replay(self, spark):
+        import numpy as np
+        rng = np.random.default_rng(73)
+        rows, expect = [], {}
+        for sid in range(5):
+            ys = [int(v) for v in rng.integers(0, 60, 25 + sid)]
+            rows += [(f"s{sid}", i, v) for i, v in enumerate(ys)]
+            expect[f"s{sid}"] = self._ref(ys, (1, 6))
+        df = spark.createDataFrame(rows, ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import theta_forecast
+        got = theta_forecast(df, horizons=(1, 6)).toPandas()
+        for _, r in got.iterrows():
+            fcs, a, b, s = expect[r["series_id"]]
+            np.testing.assert_allclose(r["slope"], b, rtol=1e-12)
+            np.testing.assert_allclose(r["intercept"], a, rtol=1e-12)
+            np.testing.assert_allclose(r["ses"], s, rtol=1e-12)
+            for h in (1, 6):
+                np.testing.assert_allclose(r[f"fc_{h}"], fcs[h],
+                                           rtol=1e-12)
+
+    def test_pure_linear_series_recovered_exactly(self, spark):
+        # y = 3t + 2: theta-2 line collapses to the same line, SES
+        # lags it but the AVERAGE still tracks the trend direction
+        ys = [3 * t + 2 for t in range(1, 31)]
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(ys)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import theta_forecast
+        got = theta_forecast(df, horizons=(1,)).toPandas().iloc[0]
+        assert abs(got["slope"] - 3.0) < 1e-12
+        assert abs(got["intercept"] - 2.0) < 1e-12
+        # fc_1 = (true next + SES of the same line)/2 — within the
+        # SES lag bound of the true value
+        true_next = 3 * 31 + 2
+        assert abs(got["fc_1"] - true_next) < 3.0
+
+    def test_degenerate_null(self, spark):
+        df = spark.createDataFrame([("s", 0, 5)],
+                                   ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import theta_forecast
+        got = theta_forecast(df).toPandas().iloc[0]
+        assert got["slope"] != got["slope"]
+        assert got["fc_1"] != got["fc_1"]
