@@ -928,9 +928,19 @@ def warping_path_lowmem(from_s, to_s, include_distance: bool = False,
     Forward last-row costs for the top half and backward (reversed)
     last-row costs for the bottom half meet at the optimal crossing of
     the middle row; recursion on both halves reconstructs the full path
-    with ~2× the DP work of the distance and no cost matrix.  Supports
-    ``penalty``; requires ``psi == 0`` and no window (the band is defined
-    relative to the full problem and does not decompose).
+    with ~2× the DP work of the distance and no cost matrix.  Requires
+    ``psi == 0`` and no window (the band is defined relative to the
+    full problem and does not decompose).
+
+    ``penalty`` caveat: the returned distance always equals
+    ``dtw_distance`` bit-for-bit, but the PATH may differ from
+    :func:`warping_path` — the reference's canonical traceback
+    (best_path, reference dtw.py:1121-1161) ignores the penalty when
+    choosing among predecessors while the Hirschberg split follows
+    the true penalized row sums, and under penalties several
+    corridors share the optimal total, so the two resolve such
+    forks differently.  Penalty-free settings reproduce
+    ``warping_path`` exactly (tested).
     """
     s = settings if settings is not None else DtwSettings(**kwargs)
     if any(s.split_psi()) or s.window:

@@ -83,11 +83,24 @@ class TestHirschberg:
             assert d == pytest.approx(dtw_distance(s1, s2), rel=1e-14)
 
     def test_with_penalty(self, rng):
+        # Under penalties the reference's canonical traceback is
+        # penalty-unaware while the Hirschberg split follows the true
+        # penalized row sums, and several corridors can share the
+        # optimal total — so the PATH contract is relaxed to the
+        # kernel docstring's: bit-equal distance, valid monotone
+        # staircase with exact endpoints (exact path identity held
+        # only by rng luck before; adversarial seeds 1/27/52 diverge).
         s1 = rng.normal(0, 1, 90)
         s2 = rng.normal(0, 1, 110)
         st = DtwSettings(penalty=0.3)
-        assert warping_path_lowmem(s1, s2, settings=st) == \
-            warping_path(s1, s2, settings=st)
+        p, d_low = warping_path_lowmem(s1, s2, settings=st,
+                                       include_distance=True)
+        assert d_low == dtw_distance(s1, s2, st)       # bit-equal
+        assert p[0] == (0, 0) and p[-1] == (89, 109)
+        for (i0, j0), (i1, j1) in zip(p, p[1:]):
+            assert (i1 - i0, j1 - j0) in ((1, 0), (0, 1), (1, 1))
+        # penalty-free settings reproduce the canonical path exactly
+        assert warping_path_lowmem(s1, s2) == warping_path(s1, s2)
 
     def test_long_series(self, rng):
         s1 = np.cumsum(rng.normal(0, 1, 3000))
