@@ -52,7 +52,8 @@ __all__ = ["zscore_step", "stream_anomaly_zscore",
            "cusum_step", "stream_cusum",
            "kalman_step", "stream_kalman_level",
            "slo_burn_step", "stream_slo_burn",
-           "holt_winters_step", "stream_holt_winters"]
+           "holt_winters_step", "stream_holt_winters",
+           "croston_step", "stream_croston"]
 
 OUT_SCHEMA = ("series_id string, ts timestamp, y long, n_prev long, "
               "z double")
@@ -662,5 +663,87 @@ def stream_holt_winters(stream, season: int = 24):
                 _hw_fn(int(season)),
                 outputStructType=HW_OUT_SCHEMA,
                 stateStructType=HW_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming Croston intermittent-demand forecasting
+# ---------------------------------------------------------------------------
+
+CROSTON_OUT_SCHEMA = ("series_id string, ts timestamp, y long, n long, "
+                      "n_demands long, forecast double, fc_sba double")
+CROSTON_STATE_SCHEMA = "n long, k long, z double, p double, q double"
+
+
+def croston_step(state, ys):
+    """Advance one series' Croston α=1/2 recurrence through ``ys``
+    (dense bucket order, zeros meaningful).  ``state`` is
+    ``[n, k, z, p, q]`` mirroring functions/stats.croston's fold
+    convention exactly (q starts 1, first demand seeds z/p, later
+    demands halve, q resets after a demand), so emitted states are
+    bit-equal to a batch run over the same prefix."""
+    out = []
+    for y in ys:
+        y = int(y)
+        n, k, z, p, q = state
+        n += 1
+        if y > 0:
+            if k == 0:
+                z, p = float(y), q
+            else:
+                z = (float(y) + z) / 2.0
+                p = (q + p) / 2.0
+            k += 1
+            q = 1.0
+        else:
+            q += 1.0
+        state[:] = [n, k, z, p, q]
+        fc = (z / p) if k > 0 else float("nan")
+        out.append((y, n, k, fc, 0.75 * fc))
+    return out
+
+
+def _croston_fn():
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) \
+            -> Iterator[pd.DataFrame]:
+        (sid,) = key
+        cols = ["series_id", "ts", "y", "n", "n_demands", "forecast",
+                "fc_sba"]
+        if state.hasTimedOut:               # pragma: no cover - NoTimeout
+            state.remove()
+            yield pd.DataFrame([], columns=cols)
+            return
+        st = ([int(state.get[0]), int(state.get[1]),
+               float(state.get[2]), float(state.get[3]),
+               float(state.get[4])] if state.exists
+              else [0, 0, 0.0, 0.0, 1.0])
+        data = pd.concat(list(pdfs)).sort_values("ts")
+        ts = list(data["ts"])
+        rows = croston_step(st, data["y"].to_numpy())
+        state.update((int(st[0]), int(st[1]), float(st[2]),
+                      float(st[3]), float(st[4])))
+        yield pd.DataFrame(
+            [(sid, ts[i], *r) for i, r in enumerate(rows)],
+            columns=cols)
+
+    return fn
+
+
+def stream_croston(stream):
+    """(series_id, ts, y) DENSE stream (zeros meaningful — feed the
+    gap-filled bucket stream) → per-bucket Croston forecast + SBA
+    correction, the streaming twin of functions/stats.croston
+    (bit-equal states at every prefix).  Per-series state is FIVE
+    scalars — with Kalman's three, the cheapest stateful pair in the
+    family."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (stream
+            .groupBy("series_id")
+            .applyInPandasWithState(
+                _croston_fn(),
+                outputStructType=CROSTON_OUT_SCHEMA,
+                stateStructType=CROSTON_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

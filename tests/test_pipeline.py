@@ -2132,3 +2132,84 @@ class TestStreamHoltWinters:
         # warmup rows (first 2m-1 per series) carry NaN level
         firsts = got.groupby("series_id").head(2 * m - 1)
         assert firsts["level"].isna().all()
+
+
+class TestStreamCroston:
+    """streaming/anomaly_stream.py::stream_croston — the streaming
+    twin of functions/stats.croston; states bit-equal at every
+    prefix."""
+
+    def test_step_matches_batch_exact(self, spark, rng):
+        from dtaidistance_spark.functions.stats import croston
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            croston_step)
+
+        y = [int(v) if rng.random() < 0.25 else 0
+             for v in rng.integers(1, 9, size=60)]
+        df = spark.createDataFrame(
+            [("a", i, v) for i, v in enumerate(y)],
+            ["series_id", "bucket_ts", "y"])
+        batch = croston(df).toPandas().iloc[0]
+        st = [0, 0, 0.0, 0.0, 1.0]
+        out = croston_step(st, y)
+        assert out[-1][1] == 60
+        assert st[1] == batch["n_demands"]
+        if st[1] > 0:
+            assert st[2] == batch["z"] and st[3] == batch["p"]
+            assert out[-1][3] == batch["forecast"]
+            assert out[-1][4] == batch["fc_sba"]
+
+    def test_chunking_invariance(self, rng):
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            croston_step)
+        y = [int(v) if rng.random() < 0.3 else 0
+             for v in rng.integers(1, 9, size=41)]
+        a = [0, 0, 0.0, 0.0, 1.0]
+        ga = croston_step(a, y)
+        b = [0, 0, 0.0, 0.0, 1.0]
+        gb = []
+        for lo in range(0, 41, 6):
+            gb += croston_step(b, y[lo:lo + 6])
+        assert a == b
+        for ra, rb in zip(ga, gb):
+            for va, vb in zip(ra, rb):
+                assert va == vb or (va != va and vb != vb)
+
+    def test_stream_matches_batch(self, spark, tmp_path, rng):
+        import pandas as pd
+
+        from dtaidistance_spark.functions.stats import croston
+        from dtaidistance_spark.streaming.anomaly_stream import (
+            stream_croston)
+
+        t0 = pd.Timestamp("2024-01-01")
+        rows = []
+        for s in range(3):
+            for i in range(40):
+                v = int(rng.integers(1, 9)) if rng.random() < 0.2 else 0
+                rows.append((f"s{s}", t0 + pd.Timedelta(hours=i), v))
+        pdf = pd.DataFrame(rows, columns=["series_id", "ts", "y"])
+        src_dir, out_dir, ck_dir = (str(tmp_path / d)
+                                    for d in ("c_src", "c_out", "c_ck"))
+        spark.createDataFrame(pdf).write.parquet(src_dir)
+        src = spark.readStream.schema(
+            "series_id string, ts timestamp, y long").parquet(src_dir)
+        q = (stream_croston(src)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ck_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        got = (spark.read.parquet(out_dir)
+               .orderBy("series_id", "ts").toPandas())
+        assert len(got) == len(pdf)
+        final = got.groupby("series_id").tail(1).set_index("series_id")
+        batch = (croston(spark.createDataFrame(pdf), order_col="ts")
+                 .toPandas().set_index("series_id"))
+        for s in batch.index:
+            assert final.loc[s, "n_demands"] == batch.loc[s, "n_demands"]
+            if batch.loc[s, "n_demands"] > 0:
+                assert final.loc[s, "forecast"] == batch.loc[s,
+                                                             "forecast"]
