@@ -1350,3 +1350,39 @@ class TestThetaForecast:
         got = theta_forecast(df).toPandas().iloc[0]
         assert got["slope"] != got["slope"]
         assert got["fc_1"] != got["fc_1"]
+
+
+class TestForecastFamilyCoherence:
+    """Cross-operator invariant: on an exactly linear series y = 3t+2
+    every forecaster in the family must track the line — drift is
+    exact by construction, Holt locks on (its recurrence is exact for
+    linear input after init), Theta's trend line is exact, and
+    Holt-Winters reduces to Holt when the seasonal component is
+    constant.  A family-wide regression canary: if any smoother's op
+    tree drifts, this cross-check snaps before any oracle does."""
+
+    def test_linear_series_all_forecasters_agree(self, spark):
+        ys = [3 * t + 2 for t in range(1, 41)]
+        true_next = 3 * 41 + 2
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(ys)],
+            ["series_id", "bucket_ts", "y"])
+        from dtaidistance_spark.functions.stats import (
+            baseline_forecasts, holt_linear, holt_winters,
+            theta_forecast)
+        drift = (baseline_forecasts(df, horizons=(1,))
+                 .toPandas().iloc[0]["drift_1"])
+        holt = holt_linear(df, horizons=(1,)).toPandas().iloc[0]["fc_1"]
+        hw = (holt_winters(df, season=4, horizons=(1,))
+              .toPandas().iloc[0]["fc_1"])
+        theta = theta_forecast(df, horizons=(1,)).toPandas().iloc[0]
+        assert drift == float(true_next)            # exact
+        assert abs(holt - true_next) < 1e-9         # locks onto line
+        # the FPP seasonal init ignores the within-season trend, so
+        # s carries a slope-sized bias that the γ=1/2 recurrence only
+        # decays geometrically — ~0.11 left after 36 steps here
+        assert abs(hw - true_next) < 0.2
+        assert abs(theta["slope"] - 3.0) < 1e-12    # OLS exact
+        # theta's SES lags a trending line by a bounded amount; the
+        # blended forecast stays within the lag bound
+        assert abs(theta["fc_1"] - true_next) < 3.5
