@@ -1425,11 +1425,14 @@ def theta_forecast(
               f"CASE WHEN _den > 0 THEN "
               f"(_sy - slope * {sx}) / CAST(n AS DOUBLE) END")))
     # SES over the theta-2 line z_t = 2y_t - (a + b t), alpha = 1/2
-    ses = ("CASE WHEN slope IS NULL THEN CAST(NULL AS DOUBLE) ELSE "
-           "aggregate(slice(zip_with(ys, sequence(1, n), "
-           "(y, t) -> 2.0 * y - (intercept + slope * t)), 2, n - 1), "
-           "element_at(zip_with(ys, sequence(1, n), "
-           "(y, t) -> 2.0 * y - (intercept + slope * t)), 1), "
+    # (materialize z once — building the zip_with array twice per row
+    # doubles the per-series work for nothing)
+    df = df.withColumn("_z", F.expr(
+        "CASE WHEN slope IS NULL THEN CAST(NULL AS array<double>) "
+        "ELSE zip_with(ys, sequence(1, n), "
+        "(y, t) -> 2.0 * y - (intercept + slope * t)) END"))
+    ses = ("CASE WHEN _z IS NULL THEN CAST(NULL AS DOUBLE) ELSE "
+           "aggregate(slice(_z, 2, n - 1), element_at(_z, 1), "
            "(acc, z) -> (z + acc) / 2.0) END")
     df = df.withColumn("ses", F.expr(ses))
     cols = [series_col, F.col("n").cast("long").alias("n"),

@@ -439,11 +439,14 @@ def q_theta_hourly(spark, sf_dir):
 
 def q_outages(spark, sf_dir):
     """Per-user outage intervals under a 1 h heartbeat tolerance
-    (functions/timeagg.py::outage_intervals — the on-call list behind
-    in-window heartbeat_uptime_1h's ratio: WHEN was each user silent
-    beyond tolerance and for HOW LONG).  One lead-window exchange +
-    a filter; integer-microsecond arithmetic keeps the DuckDB lead
-    twin hash-exact."""
+    (functions/timeagg.py::outage_intervals — the on-call WHEN/HOW-
+    LONG list form of the heartbeat contract; in-window
+    heartbeat_uptime_1h runs the same machinery at its own 600 s SLA,
+    so the two queries are complements only at matching tolerances —
+    the partition identity is pinned at equal tolerance in
+    tests/test_timeagg.py::TestOutageIntervals).  One lead-window
+    exchange + a filter; integer-microsecond arithmetic keeps the
+    DuckDB lead twin hash-exact."""
     from ..functions.timeagg import outage_intervals
 
     ev = _events(spark, sf_dir).select(
@@ -489,9 +492,15 @@ def q_croston_purchases(spark, sf_dir):
     bit-equal states, 1e-6 rounding only for the hash."""
     from ..functions.stats import croston
 
-    h = _hourly_counts(spark, sf_dir)
-    span = h.groupBy("series_id").agg(F.min("idx").alias("a"),
-                                      F.max("idx").alias("b"))
+    # span straight off the events (one aggregation — building the
+    # full per-hour count tier just to read min/max wastes a shuffle)
+    span = (_events(spark, sf_dir).groupBy(
+        F.concat(F.lit("user"), F.col("user_id").cast("string"))
+        .alias("series_id"))
+        .agg(F.expr("min(unix_micros(date_trunc('hour', ts)) "
+                    "div 3600000000)").alias("a"),
+             F.expr("max(unix_micros(date_trunc('hour', ts)) "
+                    "div 3600000000)").alias("b")))
     grid = span.select("series_id",
                        F.explode(F.sequence("a", "b")).alias("idx"))
     purch = (_events(spark, sf_dir)

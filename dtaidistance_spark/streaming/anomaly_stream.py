@@ -489,7 +489,8 @@ def slo_burn_step(state, rows, slo: float, long_window: int,
         state[0].append(idx)
         state[1].append(good)
         state[2].append(bad)
-        while state[0] and state[0][0] < idx - (long_window - 1):
+        keep = max(long_window, short_window)
+        while state[0] and state[0][0] < idx - (keep - 1):
             state[0].pop(0)
             state[1].pop(0)
             state[2].pop(0)
@@ -528,21 +529,28 @@ def _slo_fn(slo: float, long_window: int, short_window: int,
             st, data[["idx", "good", "bad"]].itertuples(index=False),
             slo, long_window, short_window, threshold)
         state.update((list(st[0]), list(st[1]), list(st[2])))
-        yield pd.DataFrame([(sid, *r) for r in rows], columns=cols)
+        df = pd.DataFrame([(sid, *r) for r in rows], columns=cols)
+        # zero-traffic buckets: keep None as SQL NULL (the batch
+        # operator's F.when yields NULL there, not NaN)
+        for c in ("burn_long", "burn_short"):
+            df[c] = df[c].astype(object).where(df[c].notna(), None)
+        yield df
 
     return fn
 
 
-def stream_slo_burn(stream, slo: float = 0.8, long_window: int = 6,
-                    short_window: int = 1, threshold: float = 1.5):
+def stream_slo_burn(stream, slo: float = 0.95, long_window: int = 6,
+                    short_window: int = 1, threshold: float = 2.0):
     """(series_id, idx, good, bad) finalized-bucket stream →
     per-bucket multiwindow burn rates + alert flags, the streaming
     twin of functions/timeagg.slo_burn_rate (bit-equal on integer
     counts; feed it the closed windows of a counting aggregation).
-    Per-service state is ≤ long_window integer triples —
-    stream-length independent."""
+    Per-service state is ≤ max(long, short)_window integer triples —
+    stream-length independent.  Defaults mirror the batch operator's."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if int(long_window) < 1 or int(short_window) < 1:
+        raise ValueError("windows must be >= 1 bucket")
     return (stream
             .groupBy("series_id")
             .applyInPandasWithState(
@@ -606,7 +614,7 @@ def holt_winters_step(state, ys, m: int):
                 b_new = ((l_new - l) + b) / 2.0
                 s[ph] = ((float(v) - l_new) + s[ph]) / 2.0
                 l, b = l_new, b_new
-            state[:] = [n, warm, l, b, s]
+            state[:] = [n, [], l, b, s]   # warm never read post-init
         else:
             t = n - 1              # 0-based position of this y
             ph = t % m

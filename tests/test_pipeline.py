@@ -1969,6 +1969,9 @@ class TestStreamSloBurn:
         idx = 0
         for i in range(n):
             idx += 3 if i in gap_at else 1      # real index gaps
+            if i == 11:                         # zero-traffic bucket:
+                rows.append((idx, 0, 0))        # burn NULL both sides
+                continue
             good = int(rng.integers(0, 50))
             bad = int(rng.integers(0, 12))
             rows.append((idx, good, bad))
@@ -1982,16 +1985,25 @@ class TestStreamSloBurn:
         rows = self._rows(rng)
         df = spark.createDataFrame(rows, ["idx", "good", "bad"])
         batch = (slo_burn_rate(df, slo=0.8, long_window=6,
-                               short_window=2, threshold=1.5)
+                               short_window=1, threshold=1.5)
                  .toPandas().set_index("idx").sort_index())
         st = [[], [], []]
-        got = slo_burn_step(st, rows, 0.8, 6, 2, 1.5)
+        got = slo_burn_step(st, rows, 0.8, 6, 1, 1.5)
         assert len(got) == len(batch)
+
+        def same(a, b):                        # None/NaN == NULL/NaN
+            if a is None or a != a:
+                return b is None or b != b
+            return a == b
+
+        saw_null = False
         for idx, good, bad, bl, bs, alert in got:
             b = batch.loc[idx]
-            assert bl == b["burn_long"]        # bit-equal
-            assert bs == b["burn_short"]
+            assert same(bl, b["burn_long"])    # bit-equal or both null
+            assert same(bs, b["burn_short"])
             assert alert == bool(b["alert"])
+            saw_null = saw_null or bs is None
+        assert saw_null                        # the planted zero bucket
 
     def test_chunking_invariance(self, rng):
         from dtaidistance_spark.streaming.anomaly_stream import (
