@@ -337,6 +337,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Theta method (end r5) — the M3-winner two-line forecast
         # capping the family; same note
         "theta_hourly": DQ.q_theta_hourly,
+        # one-pass Deequ-style table profile (end r5); same note
+        "profile_events": DQ.q_profile_events,
         # rotated out closing-r5 for seasonal_1h (hash-green r3+r4; the
         # traceback walk-CTE stays pinned via path_postprocess_pairs)
         "dtw_path_pairs": DQ.q_dtw_path_pairs,

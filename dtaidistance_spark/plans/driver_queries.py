@@ -418,6 +418,21 @@ def q_acf_hourly(spark, sf_dir):
                       "n_pairs", F.round("acf", 6).alias("acf"))
 
 
+def q_profile_events(spark, sf_dir):
+    """One-pass Deequ/dbt-style profile of the events table
+    (operators/profile.py::profile_table): per column the row / null /
+    exact-distinct counts and min/max (numeric as doubles, strings
+    raw, timestamps second-formatted), long format — the trust-but-
+    verify report every ingest runs first.  ONE scan + one aggregate
+    (exact distinct expands per column; approx_count_distinct is the
+    documented 100 TB swap-in) + a within-row stack unpivot."""
+    from ..operators.profile import profile_table
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "user_id",
+                                       "event_type", "value")
+    return profile_table(ev)
+
+
 def q_theta_hourly(spark, sf_dir):
     """Theta-method forecast of each user's hourly spend-cents series
     (functions/stats.py::theta_forecast — the classical two-line M3
@@ -3114,6 +3129,45 @@ def _sax_mindist_oracle() -> str:
 
 
 ORACLES["sax_mindist"] = _sax_mindist_oracle()
+
+# Profile twin: one UNION ALL row per (column, metric), the same
+# exact counts / double casts / second-formatted timestamps.
+def _profile_oracle() -> str:
+    num = [("event_id", True), ("user_id", True), ("value", True)]
+    parts = []
+    for c, is_num in num + [("event_type", False)]:
+        parts.append(f"SELECT '{c}' AS \"column\", 'n' AS metric, "
+                     f"CAST(count({c}) AS DOUBLE) AS value_num, "
+                     f"CAST(NULL AS VARCHAR) AS value_str FROM events")
+        parts.append(f"SELECT '{c}', 'nulls', "
+                     f"CAST(count(*) - count({c}) AS DOUBLE), NULL "
+                     f"FROM events")
+        parts.append(f"SELECT '{c}', 'distinct', "
+                     f"CAST(count(DISTINCT {c}) AS DOUBLE), NULL "
+                     f"FROM events")
+        if is_num:
+            parts.append(f"SELECT '{c}', 'min', "
+                         f"CAST(min({c}) AS DOUBLE), NULL FROM events")
+            parts.append(f"SELECT '{c}', 'max', "
+                         f"CAST(max({c}) AS DOUBLE), NULL FROM events")
+        else:
+            parts.append(f"SELECT '{c}', 'min', NULL, min({c}) "
+                         f"FROM events")
+            parts.append(f"SELECT '{c}', 'max', NULL, max({c}) "
+                         f"FROM events")
+    for m, fn in (("n", "count(ts)"),
+                  ("nulls", "count(*) - count(ts)"),
+                  ("distinct", "count(DISTINCT ts)")):
+        parts.append(f"SELECT 'ts', '{m}', CAST({fn} AS DOUBLE), "
+                     f"NULL FROM events")
+    parts.append("SELECT 'ts', 'min', NULL, "
+                 "strftime(min(ts), '%Y-%m-%d %H:%M:%S') FROM events")
+    parts.append("SELECT 'ts', 'max', NULL, "
+                 "strftime(max(ts), '%Y-%m-%d %H:%M:%S') FROM events")
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+ORACLES["profile_events"] = _profile_oracle()
 
 # Theta twin: closed-form Σt/Σt² + summed Σy/Σty (exact integers),
 # the identical OLS trees, then the SES fold over the θ=2 line as a
