@@ -790,12 +790,19 @@ def cross_corr(
     )
 
 
-def _median_expr(arr_sql: str) -> str:
+def _median_expr(arr_sql: str, presorted: bool = False) -> str:
     """Median of a double-array SQL expression: sort, middle element
     (odd) or the average of the two middles (even) — the explicit
     element-pick form, so a SQL twin replays the identical IEEE ops
-    instead of trusting an engine's quantile interpolation."""
-    s = f"array_sort({arr_sql})"
+    instead of trusting an engine's quantile interpolation.
+
+    ``presorted=True`` skips the sorts: pass it when the caller has
+    already materialized ``array_sort`` in its own column — Spark does
+    no common-subexpression elimination across higher-order functions,
+    so the inline form sorts the array once per ``element_at`` (the
+    even branch pays two full sorts; ADVICE r5).  Values are identical
+    either way."""
+    s = arr_sql if presorted else f"array_sort({arr_sql})"
     return (f"CASE WHEN size({arr_sql}) = 0 THEN CAST(NULL AS DOUBLE) "
             f"WHEN size({arr_sql}) % 2 = 1 "
             f"THEN element_at({s}, CAST((size({arr_sql}) + 1) div 2 "
@@ -851,13 +858,15 @@ def theilsen_trend(
         "THEN (element_at(ys, j + 1) - element_at(ys, i + 1)) "
         "     / (element_at(xs, j + 1) - element_at(xs, i + 1)) END), "
         "s -> s IS NOT NULL) ELSE array() END))")
-    df = (arr.withColumn("_slopes", F.expr(slopes))
-          .withColumn("slope", F.expr(_median_expr("_slopes"))))
+    df = (arr.withColumn("_slopes", F.expr("array_sort(" + slopes + ")"))
+          .withColumn("slope", F.expr(_median_expr("_slopes",
+                                                   presorted=True))))
     resid = ("CASE WHEN slope IS NULL THEN "
              "CAST(array() AS array<double>) ELSE "
              "zip_with(ys, xs, (yv, xv) -> yv - slope * xv) END")
-    return (df.withColumn("_resid", F.expr(resid))
-            .withColumn("intercept", F.expr(_median_expr("_resid")))
+    return (df.withColumn("_resid", F.expr(f"array_sort({resid})"))
+            .withColumn("intercept", F.expr(_median_expr("_resid",
+                                                         presorted=True)))
             .select(*group_cols, F.col("n").cast("long").alias("n"),
                     "slope", "intercept"))
 
@@ -1044,9 +1053,20 @@ def binary_segmentation(
     unambiguous.
     """
     cp_col = "cp_" + order_col
+    reserved = {"_cp", "_seg", "_ck", "_parts"}
+    clash = reserved & set(points.columns)
+    if clash:
+        # same guard as interval_overlap_join (ADVICE r5): pre-existing
+        # internal names would silently corrupt the level-2 tagging
+        raise ValueError(
+            f"input columns collide with internal names: {sorted(clash)}")
     lvl1 = cusum_changepoint(points, series_col, order_col, y_col)
+    # level-2 ids are rebuilt from the composite string key below, so
+    # pin level 1 to string too — otherwise a non-string series column
+    # is silently coerced by the union (ADVICE r5)
     l1 = lvl1.select(
-        F.col(series_col), F.lit(1).alias("level"),
+        F.col(series_col).cast("string").alias(series_col),
+        F.lit(1).alias("level"),
         F.lit(0).alias("segment"), F.col(cp_col),
         F.col("k"), F.col("cusum"), F.col("n"))
     tagged = (points.join(

@@ -572,6 +572,29 @@ def _dtw_batch_banded(X1: np.ndarray, X2: np.ndarray, s: DtwSettings,
     M = max(0, r - c)
     N = max(0, c - r)
 
+    if dd == 1:
+        # C fast path (kernels/_dtw_kernel.c): the same anti-diagonal DP
+        # with the five numpy passes per diagonal fused into one — per-cell
+        # IEEE op sequence identical, results bit-equal (tests assert ==).
+        # Falls through to numpy when no compiler/lib is available.
+        from . import _dtwc
+
+        clib = _dtwc.lib()
+        if clib is not None and r >= 1 and c >= 1:
+            x1 = np.ascontiguousarray(X1[:, :, 0])
+            x2 = np.ascontiguousarray(X2[:, :, 0])
+            out = np.empty(B, dtype=np.float64)
+            rc = clib.dtw_batch(
+                x1.ctypes.data, x2.ctypes.data, B, r, c, int(window),
+                int(psi_1b), int(psi_1e), int(psi_2b), int(psi_2e),
+                float(pen), float(ms), 1 if squared else 0,
+                out.ctypes.data)
+            if rc == 0:
+                amd = s.adj_max_dist
+                if amd != INF:
+                    out = np.where(out > amd, INF, out)
+                return s.result(out), None
+
     T = r + c
     los = np.empty(T + 1, dtype=np.int64)
     his = np.empty(T + 1, dtype=np.int64)
@@ -730,6 +753,57 @@ def dtw_distance_batch(X1: np.ndarray, X2: np.ndarray,
         for i in range(0, B, bmax)
     ]
     return np.concatenate(parts)
+
+
+def dtw_distance_batch_indexed(V: np.ndarray, pos_i: np.ndarray,
+                               pos_j: np.ndarray,
+                               settings: Optional[DtwSettings] = None,
+                               **kwargs) -> np.ndarray:
+    """Distance-only DTW for explicit index pairs over an equal-length
+    1-D corpus matrix ``V`` (n, L): pair k is (V[pos_i[k]], V[pos_j[k]]).
+
+    The C fast path reads series rows straight out of ``V`` — ZERO
+    per-pair input copies, where the stacked :func:`dtw_distance_batch`
+    entry memcpys both series of every pair (2·L·8 bytes/pair; at an
+    all-pairs matrix job that is the corpus re-copied once per partner).
+    The numpy fallback stacks rows in kernel-sized chunks — results are
+    identical (same per-cell ops either way; tests assert ==).
+    """
+    s = settings if settings is not None else DtwSettings(**kwargs)
+    if s.use_pruning and not s.max_dist:
+        s = DtwSettings(**{**s.kwargs(), "use_pruning": False})
+    V = np.ascontiguousarray(V, dtype=np.float64)
+    n, L = V.shape
+    pos_i = np.ascontiguousarray(pos_i, dtype=np.int64)
+    pos_j = np.ascontiguousarray(pos_j, dtype=np.int64)
+    B = len(pos_i)
+    if B == 0:
+        return np.empty(0, dtype=np.float64)
+
+    from . import _dtwc
+
+    clib = _dtwc.lib()
+    if clib is not None and L >= 1:
+        window = L if not s.window else s.window
+        psi_1b, psi_1e, psi_2b, psi_2e = s.split_psi()
+        out = np.empty(B, dtype=np.float64)
+        rc = clib.dtw_batch_idx(
+            V.ctypes.data, L, pos_i.ctypes.data, pos_j.ctypes.data,
+            B, int(window), int(psi_1b), int(psi_1e), int(psi_2b),
+            int(psi_2e), float(s.adj_penalty), float(s.adj_max_step),
+            1 if s.squared else 0, out.ctypes.data)
+        if rc == 0:
+            amd = s.adj_max_dist
+            if amd != INF:
+                out = np.where(out > amd, INF, out)
+            return s.result(out)
+    # numpy fallback: stacked chunks through the regular batch entry
+    out = np.empty(B, dtype=np.float64)
+    bmax = max(64, _batch_elems() // (2 * L + 1))
+    for k in range(0, B, bmax):
+        sl = slice(k, k + bmax)
+        out[sl] = dtw_distance_batch(V[pos_i[sl]], V[pos_j[sl]], settings=s)
+    return out
 
 
 # ---------------------------------------------------------------------------

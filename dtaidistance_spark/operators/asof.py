@@ -200,6 +200,13 @@ def interval_overlap_join(left: DataFrame, right: DataFrame,
     if clash:
         raise ValueError(
             f"input columns collide with internal names: {sorted(clash)}")
+    cross = set(left.columns) & set(right.columns)
+    if cross:
+        # the docstring's no-collision requirement, enforced (ADVICE r5:
+        # overlapping names silently produced ambiguous duplicate columns)
+        raise ValueError(
+            f"left/right column names collide: {sorted(cross)}; "
+            "rename one side before joining")
 
     def us(c):
         return F.unix_micros(F.col(c).cast("timestamp"))

@@ -183,22 +183,30 @@ def minhash_lsh_pairs(docs: DataFrame, n_hashes: int = 16, bands: int = 4,
     banded = track_persist(banded.persist())
     a = banded.alias("a")
     b = banded.alias("b")
-    cands = (
+    # jaccard_est is a pure function of the pair's signatures, so it is
+    # identical on every duplicate candidate row (same pair matched in
+    # several bands): compute + threshold it BEFORE the per-pair dedup,
+    # then dedup (doc_a, doc_b, est) alone.  r6: the r5 order
+    # (dropDuplicates carrying the sig ARRAYS, estimate after) forced a
+    # SortAggregate pair — array-typed first() buffers are not
+    # UnsafeRow-mutable; with only fixed-width columns the dedup is a
+    # map-side-partial HashAggregate, and the threshold filter shrinks
+    # it.  Result set is identical.
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                   lambda x, y: x == y), lambda eq: eq))
+        / F.lit(float(n_hashes)), 6)
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) &
                (F.col("a.bkey") == F.col("b.bkey")) &
                (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                   lambda x, y: x == y), lambda eq: eq))
-        / F.lit(float(n_hashes)), 6)
-    return (cands.withColumn("jaccard_est", est)
-            .where(F.col("jaccard_est") >= threshold)
-            .select("doc_a", "doc_b", "jaccard_est"))
+        .withColumn("jaccard_est", est)
+        .where(F.col("jaccard_est") >= threshold)
+        .select("doc_a", "doc_b", "jaccard_est")
+        .dropDuplicates(["doc_a", "doc_b"]))
 
 
 def simhash64(docs: DataFrame, n_bits: int = 15) -> DataFrame:

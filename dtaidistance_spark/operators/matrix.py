@@ -121,6 +121,43 @@ def _norm_block(block) -> Tuple[Optional[tuple], bool]:
             (int(block[1][0]), int(block[1][1]))), triu
 
 
+_CORPUS_CACHE: dict = {}
+
+
+def _corpus_matrix(values_by_idx: dict):
+    """(ids, V, pos) for an equal-length 1-D corpus dict, or None.
+
+    Cached per dict identity: the broadcast path hands every task in a
+    worker the SAME broadcast-held dict, so the (n, L) stack is built
+    once per worker instead of once per task.  The cache holds a strong
+    reference to the dict, which also keeps id() stable."""
+    key = id(values_by_idx)
+    hit = _CORPUS_CACHE.get(key)
+    if hit is not None and hit[0] is values_by_idx:
+        return hit[1]
+    first = next(iter(values_by_idx.values()), None)
+    if first is None or np.asarray(first).ndim != 1:
+        res = None
+    else:
+        L = len(first)
+        arrs = list(values_by_idx.values())
+        if any(a.ndim != 1 or len(a) != L for a in arrs):
+            res = None
+        else:
+            ids = np.fromiter(values_by_idx.keys(), dtype=np.int64,
+                              count=len(values_by_idx))
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.empty((len(ids), L), dtype=np.float64)
+            for row, k in enumerate(order):
+                V[row] = arrs[k]
+            res = (ids, V)
+    if len(_CORPUS_CACHE) > 4:
+        _CORPUS_CACHE.clear()
+    _CORPUS_CACHE[key] = (values_by_idx, res)
+    return res
+
+
 def _compute_pairs(left: np.ndarray, right_idx: np.ndarray,
                    values_by_idx: dict, settings: DtwSettings,
                    max_buf_elems: int = 8_000_000):
@@ -130,7 +167,23 @@ def _compute_pairs(left: np.ndarray, right_idx: np.ndarray,
     Batch size is bounded by the DP working set — three (B, r+1) diagonal
     buffers plus the two (B, len) input stacks — NOT by r·c (the full
     cost matrix is never materialized); ~8M doubles ≈ 64 MB per buffer
-    keeps thousands of moderate-length pairs in one vectorized sweep."""
+    keeps thousands of moderate-length pairs in one vectorized sweep.
+
+    Equal-length 1-D corpora without an LB prefilter skip the per-batch
+    stacking entirely: the indexed kernel entry reads series rows from
+    one shared (n, L) matrix (built once per worker), so no input bytes
+    are copied per pair.  Results are identical either way."""
+    use_lb_ = settings.max_dist is not None and settings.max_dist > 0
+    if not use_lb_ and len(left):
+        corpus = _corpus_matrix(values_by_idx)
+        if corpus is not None:
+            from ..kernels.dtw import dtw_distance_batch_indexed
+            ids, V = corpus
+            pi = np.searchsorted(ids, left)
+            pj = np.searchsorted(ids, right_idx)
+            d = dtw_distance_batch_indexed(V, pi, pj, settings=settings)
+            return (np.asarray(left, dtype=np.int64),
+                    np.asarray(right_idx, dtype=np.int64), d)
     out_i, out_j, out_d = [], [], []
     lens = {i: len(values_by_idx[i]) for i in values_by_idx}
     byshape: dict = {}
@@ -208,8 +261,17 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
     conf = series_df.sparkSession.conf
     max_bytes = float(conf.get("spark.dtaidistance.broadcastMatrixMaxBytes",
                                str(256 * 1024 * 1024)))
+    # The pair cap only bounds per-task OUTPUT batches (ranges split as
+    # n_pairs/(2·par); rows stream out as Arrow batches), not memory held
+    # — the corpus-bytes gate above is the real memory guard.  r6: raised
+    # 20M → 1B after the driver's sf1.0 leg (15k series, 112.5M pairs,
+    # corpus 60 MB) fell off the broadcast path and paid the blocked
+    # shuffle's series replication + groupBy skew for no reason; a 1B-pair
+    # job is ~2.7 GB of output across ~2·par streaming tasks, fine at any
+    # executor size, and corpora too big to broadcast still take the
+    # shuffle path via the bytes gate.
     max_pairs = int(conf.get("spark.dtaidistance.broadcastMatrixMaxPairs",
-                             str(20_000_000)))
+                             str(1_000_000_000)))
     # Physical strategy switch: when the whole series set fits in
     # executor memory, broadcast it and shuffle ONLY pair-range tasks —
     # the all-pairs fan-out otherwise replicates every series to

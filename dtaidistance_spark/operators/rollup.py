@@ -145,6 +145,16 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
     regardless of the series' time span.
     """
     trunc, step = BUCKET_SPEC[bucket]
+    # Persist the input tier: the plan below consumes it two or three
+    # times (bounds aggregate, global-align distinct series, the grid
+    # left join), and because each consumer prunes DIFFERENT columns the
+    # subtrees diverge and ReuseExchange never fires — without the cache
+    # the whole upstream rollup (a full raw-events scan + aggregate) ran
+    # once per consumer (r6; observed 2 parquet scans in the gap_fill_1h
+    # plan, 3 in the global-align DTW pipeline).  The tier is the
+    # ~60x-reduced aggregate, so the cache is small by construction.
+    from ..resources import track_persist
+    agg = track_persist(agg.persist())
     if align == "global":
         gb = agg.agg(F.min("bucket_ts").alias("b0"),
                      F.max("bucket_ts").alias("b1"))

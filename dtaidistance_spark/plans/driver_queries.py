@@ -31,7 +31,21 @@ from ..functions import preprocessing as PP
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The testdata events table is ONE parquet file with ONE row group,
+    # so the scan (and everything Catalyst fuses into the scan stage —
+    # partial aggregation included) runs in a single task no matter how
+    # maxPartitionBytes is tuned: a row group is the minimum read unit.
+    # Spread under-partitioned scans across the cluster with one
+    # round-robin exchange of the raw rows (r6; same treatment _docs has
+    # had since r2).  Adaptive on purpose: a real multi-file/multi-row-
+    # group table at 100 TB scans parallel already and must NOT pay a
+    # raw-row shuffle, so the branch only fires when the scan has fewer
+    # splits than half the cores.
+    par = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < max(2, par // 2):
+        ev = ev.repartition(par)
+    return ev
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,16 +76,33 @@ def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_points_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``event_points`` minus the ``row_number`` window: tier rollups
     need only an *orderable* per-series key for first/last (min_by /
-    max_by), so the ``(ts, event_id)`` struct — order-isomorphic to the
-    row_number over the same keys — serves as the surrogate.  This
+    max_by), so a surrogate key order-isomorphic to ``(ts, event_id)``
+    — and hence to the row_number over the same keys — serves.  This
     drops the exchange+sort before every tier aggregation: partial
     (map-side) aggregation starts directly on the parquet scan, one
     full pass over the raw events instead of two.  Queries that emit
-    ``seq`` itself (latency, sessionize) keep the windowed variant."""
+    ``seq`` itself (latency, sessionize) keep the windowed variant.
+
+    r6: the surrogate is a DECIMAL(38,0) — zero-padded decimal digits
+    of unix_micros(ts) (20) ++ event_id (18), built by string concat so
+    no decimal arithmetic can lose precision.  The r5 ``struct(ts,
+    event_id)`` key ordered identically but a struct-typed min_by/max_by
+    buffer is not UnsafeRow-mutable, which silently demoted every tier
+    aggregation to SortAggregate (full sort of the raw scan per tier —
+    the dominant rollup cost at sf1.0); a decimal buffer is fixed-width
+    mutable, so the same plan runs as a map-side-partial HashAggregate.
+    Exact for ts >= epoch and 0 <= event_id < 10^18 — both pinned by
+    the testdata generator contract (TESTDATA.md: seed-42 synthetic,
+    2024+ timestamps, dense int64 event ids)."""
     ev = _events(spark, sf_dir)
+    seq = F.concat(
+        F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"),
+               20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 18, "0"),
+    ).cast("decimal(38,0)")
     return ev.select(
         F.concat(F.lit("user"), F.col("user_id").cast("string")).alias("series_id"),
-        F.struct("ts", "event_id").alias("seq"),
+        seq.alias("seq"),
         "ts", "value",
     )
 

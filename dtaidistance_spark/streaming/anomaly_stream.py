@@ -707,8 +707,14 @@ def croston_step(state, ys):
         else:
             q += 1.0
         state[:] = [n, k, z, p, q]
-        fc = (z / p) if k > 0 else float("nan")
-        out.append((y, n, k, fc, 0.75 * fc))
+        # pre-demand buckets: None (SQL NULL), matching the batch
+        # operator's F.when NULL — not float NaN (ADVICE r5: NaN's null
+        # semantics diverge from the batch twin through Arrow)
+        if k > 0:
+            fc = z / p
+            out.append((y, n, k, fc, 0.75 * fc))
+        else:
+            out.append((y, n, k, None, None))
     return out
 
 
@@ -731,9 +737,14 @@ def _croston_fn():
         rows = croston_step(st, data["y"].to_numpy())
         state.update((int(st[0]), int(st[1]), float(st[2]),
                       float(st[3]), float(st[4])))
-        yield pd.DataFrame(
+        df = pd.DataFrame(
             [(sid, ts[i], *r) for i, r in enumerate(rows)],
             columns=cols)
+        # pre-demand buckets: keep None as SQL NULL (same conversion as
+        # _slo_fn — pandas would otherwise coerce None to NaN here)
+        for c in ("forecast", "fc_sba"):
+            df[c] = df[c].astype(object).where(df[c].notna(), None)
+        yield df
 
     return fn
 
