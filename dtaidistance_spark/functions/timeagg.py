@@ -320,6 +320,7 @@ def candlestick(
     ts_col: str = "ts",
     value_col: str = "value",
     order_cols: tuple = (),
+    pack_key: bool = False,
 ) -> DataFrame:
     """Per-(series, bucket) OHLC candlestick — the public TimescaleDB
     ``candlestick_agg`` contract: ``open`` is the value at the bucket's
@@ -337,9 +338,29 @@ def candlestick(
     — no window, no per-series exchange (min_by/max_by partials
     combine associatively), so this is the cheapest aggregate in the
     family and scales at scan speed.
+
+    ``pack_key=True`` (single integral ``order_cols`` only) packs the
+    ``(ts, order_col)`` struct into one DECIMAL(38,0) — zero-padded
+    decimal digits of ``unix_micros(ts)`` (20) ++ the order col (18).
+    Identical ordering => identical open/close, but the min_by/max_by
+    buffer becomes fixed-width mutable, so the aggregation actually
+    RUNS as the map-side-partial HashAggregate described above — a
+    struct-typed buffer silently demotes it to SortAggregate (full
+    sort per bucket; r6).  Requires ts >= epoch and
+    0 <= order_col < 10^18; the struct key remains the default for
+    anything else.
     """
     trunc = _TRUNC[every]
-    key = F.struct(F.col(ts_col), *[F.col(c) for c in order_cols])
+    if pack_key:
+        if len(order_cols) != 1:
+            raise ValueError("pack_key requires exactly one order col")
+        key = F.concat(
+            F.lpad(F.unix_micros(F.col(ts_col).cast("timestamp"))
+                   .cast("string"), 20, "0"),
+            F.lpad(F.col(order_cols[0]).cast("string"), 18, "0"),
+        ).cast("decimal(38,0)")
+    else:
+        key = F.struct(F.col(ts_col), *[F.col(c) for c in order_cols])
     return (
         points.groupBy(
             F.col(series_col).alias("series_id"),

@@ -78,6 +78,15 @@ def with_index(series_df: DataFrame, order_col: str = "series_id",
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
     if ordered:
+        # Persist the INPUT before the range exchange: repartitionByRange
+        # runs a sampling pass that otherwise re-executes the entire
+        # upstream plan once just to pick boundaries, and the exchange
+        # itself executes it a second time (r6: measured 29 s -> ~10 s
+        # for the 15k-series 10x corpus whose upstream is the full
+        # rollup -> gap-fill -> arrays pipeline).  Both passes now read
+        # the cache; release_all() frees it with every other handle.
+        if persist:
+            series_df = track_persist(series_df.persist())
         part = (series_df
                 .repartitionByRange(num_partitions, F.col(order_col))
                 .sortWithinPartitions(order_col)
@@ -94,21 +103,31 @@ def with_index(series_df: DataFrame, order_col: str = "series_id",
         offsets[pid] = acc
         acc += counts[pid]
     out_schema = part.drop("__pid").schema.add(index_col, "long")
-    cols = [f.name for f in out_schema.fields]
+    in_names = [f.name for f in part.schema.fields]
+    pid_pos = in_names.index("__pid")
+    keep_pos = [k for k, name in enumerate(in_names) if name != "__pid"]
+    out_names = [in_names[k] for k in keep_pos] + [index_col]
 
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def assign(batches):
+        # mapInArrow, not mapInPandas: the job only appends a counter
+        # column, and an Arrow->pandas->Arrow roundtrip would rebuild
+        # every array<double> series cell as per-row Python objects
+        # (r6: measured ~15 s of pure conversion on the 15k x 504
+        # 10x corpus); record batches pass through zero-copy instead.
+        import pyarrow as pa
+
         seen = 0
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            base = offsets[int(pdf["__pid"].iloc[0])]
-            pdf = pdf.drop(columns=["__pid"])
-            pdf[index_col] = np.arange(base + seen, base + seen + len(pdf),
-                                       dtype=np.int64)
-            seen += len(pdf)
-            yield pdf[cols]
+            base = offsets[int(rb.column(pid_pos)[0].as_py())]
+            idx = pa.array(np.arange(base + seen, base + seen + rb.num_rows,
+                                     dtype=np.int64), type=pa.int64())
+            seen += rb.num_rows
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(k) for k in keep_pos] + [idx], names=out_names)
 
-    return part.mapInPandas(assign, schema=out_schema)
+    return part.mapInArrow(assign, schema=out_schema)
 
 
 def _norm_block(block) -> Tuple[Optional[tuple], bool]:
@@ -424,9 +443,19 @@ def _guided_ranges(n_pairs: int, par: int) -> list:
     (concurrency 32 → 2 over the last third of the wall)."""
     ranges = []
     lo = 0
-    floor = max(1, n_pairs // (par * 24))
+    floor = max(1, -(-n_pairs // (par * 24)))
     while lo < n_pairs:
-        size = max(floor, (n_pairs - lo) // (2 * par))
+        # r6: first-wave divisor 2·par -> 4·par.  A range task's fixed
+        # cost is one Arrow iterator + broadcast access (~ms), so the
+        # "big first tasks" motivation barely applies, while at the
+        # sf1.0 scale a 2·par first wave made single tasks ~40 s — any
+        # one slowed worker (GC burst, cpufreq dip) stretched the whole
+        # job by most of a wave.  Halving the wave size halves the
+        # worst-case straggler exposure; outputs are identical (same
+        # pairs, different task boundaries).
+        # ceil like the cost-weighted twin's binary search, so the two
+        # schedules coincide exactly on equal-length corpora
+        size = max(floor, -(-(n_pairs - lo) // (4 * par)))
         hi = min(n_pairs, lo + size)
         ranges.append((lo, hi))
         lo = hi
@@ -457,7 +486,8 @@ def _guided_ranges_cost(cost_upto, n_pairs: int, total: float,
     cost_lo = 0.0
     floor_c = max(total / n_pairs, total / (par * 24))
     while lo < n_pairs:
-        want = cost_lo + max(floor_c, (total - cost_lo) / (2 * par))
+        # same 4·par first wave as _guided_ranges (r6) — see note there
+        want = cost_lo + max(floor_c, (total - cost_lo) / (4 * par))
         if want >= total:
             hi = n_pairs
         else:
@@ -522,6 +552,32 @@ def _rect_cost_fn(row_lens: np.ndarray, col_lens: np.ndarray):
     return cost_upto, total
 
 
+def _collect_series_dict(src: DataFrame) -> dict:
+    """Collect ``(i, values)`` to a {id: float64 array} dict.
+
+    Flat ``array<double>`` corpora go through ``DataFrame.toArrow()``:
+    the list column arrives as ONE contiguous values buffer + offsets,
+    and each series becomes a numpy slice view of it — no per-row
+    Python objects (r6: ``toPandas`` rebuilt every cell as an object
+    array; at 15k x 504 that conversion dwarfed the driver collect
+    itself).  Nested (n-D) series keep the pandas path."""
+    vtype = src.schema["values"].dataType
+    flat = (vtype.typeName() == "array"
+            and vtype.elementType.typeName() == "double")
+    if flat:
+        tb = src.select("i", "values").toArrow()
+        ids = tb.column("i").to_numpy()
+        va = tb.column("values").combine_chunks()
+        if va.null_count == 0 and va.values.null_count == 0:
+            off = va.offsets.to_numpy()
+            buf = va.values.to_numpy()
+            return {int(ids[k]): buf[off[k]:off[k + 1]]
+                    for k in range(len(ids))}
+    pdf = src.toPandas()
+    return {int(i): _series_np(v)
+            for i, v in zip(pdf["i"], pdf["values"])}
+
+
 def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
                                settings_json: str) -> DataFrame:
     """Broadcast-corpus physical strategy: series dict broadcast once,
@@ -531,9 +587,7 @@ def _distance_matrix_broadcast(src: DataFrame, s: DtwSettings, blk, triu,
     materializes or broadcasts the O(n²) pair lists, only the O(n)
     series ids."""
     spark = src.sparkSession
-    pdf = src.toPandas()
-    vals = {int(i): _series_np(v)
-            for i, v in zip(pdf["i"], pdf["values"])}
+    vals = _collect_series_dict(src)
     ids = np.array(sorted(vals), dtype=np.int64)
     bc = track_broadcast(spark.sparkContext.broadcast(vals))
     par = spark.sparkContext.defaultParallelism

@@ -63,8 +63,14 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def event_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → per-user point series under stable (ts, event_id) order:
-    the testdata twin of transcript_points."""
-    ev = _events(spark, sf_dir)
+    the testdata twin of transcript_points.
+
+    Reads the parquet directly (no `_events` scan-spread): the window
+    below starts with its own hash exchange on user_id, which already
+    moves post-scan work off the scan task — a round-robin exchange
+    before it would be a second full shuffle of the raw rows for
+    nothing (r6: measured +0.6 s on latency_points at the 10x corpus)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         F.concat(F.lit("user"), F.col("user_id").cast("string")).alias("series_id"),
@@ -339,7 +345,7 @@ def q_candlestick_1h(spark, sf_dir):
         F.concat(F.lit("user"), F.col("user_id").cast("string")
                  ).alias("series_id"),
         "ts", "event_id", "value")
-    return candlestick(pts, "1h", order_cols=("event_id",))
+    return candlestick(pts, "1h", order_cols=("event_id",), pack_key=True)
 
 
 def q_state_durations_1d(spark, sf_dir):

@@ -30,11 +30,16 @@ class TestPlans:
     def test_rollup_single_shuffle_partial_agg(self, spark):
         from dtaidistance_spark.plans import driver_queries as DQ
         plan = _plan(DQ.q_rollup_1m(spark, SF_DIR))
-        # one exchange: the final aggregation's hash partitioning — the
-        # partial agg runs map-side directly on the scan
-        assert plan.count("Exchange") == 1, plan
+        # one HASH exchange: the final aggregation's partitioning — the
+        # partial agg is map-side.  (An extra round-robin exchange may
+        # precede it: _events spreads single-row-group scans, r6.)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert plan.count("Exchange") <= 2, plan
         assert "partial" in plan.lower()
         assert "SinglePartition" not in plan
+        # r6: the decimal surrogate keeps the tier aggregation hash-based
+        # (the struct key silently demoted it to SortAggregate)
+        assert "SortAggregate" not in plan, plan
 
     def test_latency_quantiles_reuses_partitioning(self, spark):
         """The rank windows over (series_id, bucket_ts) and the final
