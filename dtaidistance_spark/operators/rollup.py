@@ -145,17 +145,20 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
     regardless of the series' time span.
     """
     trunc, step = BUCKET_SPEC[bucket]
-    # Persist the input tier: the plan below consumes it two or three
-    # times (bounds aggregate, global-align distinct series, the grid
-    # left join), and because each consumer prunes DIFFERENT columns the
-    # subtrees diverge and ReuseExchange never fires — without the cache
-    # the whole upstream rollup (a full raw-events scan + aggregate) ran
-    # once per consumer (r6; observed 2 parquet scans in the gap_fill_1h
-    # plan, 3 in the global-align DTW pipeline).  The tier is the
-    # ~60x-reduced aggregate, so the cache is small by construction.
+    # GLOBAL align persists the input tier: that branch consumes it
+    # three times (corpus bounds, distinct series, the grid left join),
+    # and because each consumer prunes DIFFERENT columns the subtrees
+    # diverge and ReuseExchange never fires — without the cache the
+    # whole upstream rollup ran once per consumer (r6; 3 parquet scans
+    # in the DTW pipeline's plan; A/B at the 10x corpus: the
+    # hourly_series consumer 9.3 -> 6.0 s).  Per-series align is left
+    # UNCACHED on purpose: it has only the bounds aggregate + join (the
+    # bounds subtree prunes to two columns and re-computes faster than
+    # materializing the full 8-column tier costs — A/B: gap_fill_1h
+    # 6.3 -> 4.5 s at 10x, 1.7 -> 1.3 s at sf0.1 with the cache OFF).
     from ..resources import track_persist
-    agg = track_persist(agg.persist())
     if align == "global":
+        agg = track_persist(agg.persist())
         gb = agg.agg(F.min("bucket_ts").alias("b0"),
                      F.max("bucket_ts").alias("b1"))
         if span_cap is not None:

@@ -12,6 +12,8 @@ not bit-stable, round-off is ~1e-12 relative, so round(…, 6) is hash-safe.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -38,12 +40,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # maxPartitionBytes is tuned: a row group is the minimum read unit.
     # Spread under-partitioned scans across the cluster with one
     # round-robin exchange of the raw rows (r6; same treatment _docs has
-    # had since r2).  Adaptive on purpose: a real multi-file/multi-row-
-    # group table at 100 TB scans parallel already and must NOT pay a
-    # raw-row shuffle, so the branch only fires when the scan has fewer
-    # splits than half the cores.
+    # had since r2).  Doubly adaptive on purpose: a real multi-file /
+    # multi-row-group table at 100 TB scans parallel already and must
+    # NOT pay a raw-row shuffle (partition-count gate), and a file small
+    # enough to scan serially in well under a wave of task latency must
+    # not pay it either (size gate — at sf0.1's 2 MB the shuffle only
+    # ADDED ~0.3 s of fixed cost per query; the sf1.0-shape 18 MB /
+    # 1M-row file is where the serial fused scan+partial-agg stage
+    # dominated, r5 driver: rollup times linear in data, no parallel
+    # scaling).
     par = spark.sparkContext.defaultParallelism
-    if ev.rdd.getNumPartitions() < max(2, par // 2):
+    min_bytes = int(spark.conf.get("spark.dtaidistance.scanSpreadMinBytes",
+                                   str(8 * 1024 * 1024)))
+    try:
+        sz = os.path.getsize(f"{sf_dir}/events.parquet")
+    except OSError:
+        sz = min_bytes  # non-local path: fall back to the count gate
+    if sz >= min_bytes and ev.rdd.getNumPartitions() < max(2, par // 2):
         ev = ev.repartition(par)
     return ev
 
