@@ -145,22 +145,28 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
     regardless of the series' time span.
     """
     trunc, step = BUCKET_SPEC[bucket]
-    # GLOBAL align persists the input tier: that branch consumes it
-    # three times (corpus bounds, distinct series, the grid left join),
-    # and because each consumer prunes DIFFERENT columns the subtrees
-    # diverge and ReuseExchange never fires — without the cache the
-    # whole upstream rollup ran once per consumer (r6; 3 parquet scans
-    # in the DTW pipeline's plan; A/B at the 10x corpus: the
-    # hourly_series consumer 9.3 -> 6.0 s).  Per-series align is left
-    # UNCACHED on purpose: it has only the bounds aggregate + join (the
-    # bounds subtree prunes to two columns and re-computes faster than
-    # materializing the full 8-column tier costs — A/B: gap_fill_1h
-    # 6.3 -> 4.5 s at 10x, 1.7 -> 1.3 s at sf0.1 with the cache OFF).
+    # GLOBAL align derives corpus bounds AND the series list from ONE
+    # tiny persisted per-series bounds table, so the upstream tier
+    # subtree executes exactly twice (bounds pass + grid join), both
+    # Catalyst-pruned to the columns each side needs.  The r6
+    # alternatives measured worse: no cache re-ran the tier three times
+    # (bounds, distinct series, join — their pruning diverges so
+    # ReuseExchange never fires; subsequence_topk 9.3 s at the 10x
+    # corpus), and caching the FULL tier defeats consumer pruning by
+    # materializing all eight value columns (2.16 s vs 1.77 s at
+    # sf0.1; ties at 10x).  Per-series align is left uncached: it has
+    # only the bounds aggregate + join, and its pruned bounds subtree
+    # recomputes faster than a full-tier cache costs (A/B: gap_fill_1h
+    # 6.3 -> 4.5 s at 10x, 1.7 -> 1.3 s at sf0.1 without the cache).
     from ..resources import track_persist
     if align == "global":
-        agg = track_persist(agg.persist())
-        gb = agg.agg(F.min("bucket_ts").alias("b0"),
-                     F.max("bucket_ts").alias("b1"))
+        per_series = agg.groupBy("series_id").agg(
+            F.min("bucket_ts").alias("_s0"),
+            F.max("bucket_ts").alias("_s1"))
+        per_series = track_persist(per_series.persist())
+        gb = per_series.agg(F.min("_s0").alias("b0"),
+                            F.max("_s1").alias("b1"))
+        ser = per_series.select("series_id")
         if span_cap is not None:
             gb = gb.select(
                 F.greatest(
@@ -169,7 +175,7 @@ def gap_fill(agg: DataFrame, bucket: str, policy: str = "zero_count",
                         f"interval {int(span_cap - 1) * step} second"),
                 ).alias("b0"),
                 "b1")
-        bounds = agg.select("series_id").distinct().crossJoin(F.broadcast(gb))
+        bounds = ser.crossJoin(F.broadcast(gb))
     else:
         bounds = agg.groupBy("series_id").agg(
             F.min("bucket_ts").alias("b0"), F.max("bucket_ts").alias("b1"))
