@@ -33,7 +33,13 @@ def _build_dir() -> str:
     d = os.environ.get("DTW_C_BUILD_DIR")
     if d:
         return d
-    return os.path.dirname(_SRC)
+    pkg = os.path.dirname(_SRC)
+    if os.access(pkg, os.W_OK):
+        return pkg
+    # read-only checkout (e.g. a driver running the tree from a
+    # protected location): build under tmp instead of silently losing
+    # the C path — the hash tag keeps concurrent users collision-free
+    return tempfile.gettempdir()
 
 
 def _so_path(tag: str) -> str:
