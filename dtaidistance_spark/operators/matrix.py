@@ -281,16 +281,18 @@ def distance_matrix(series_df: DataFrame, settings: Optional[DtwSettings] = None
     max_bytes = float(conf.get("spark.dtaidistance.broadcastMatrixMaxBytes",
                                str(256 * 1024 * 1024)))
     # The pair cap only bounds per-task OUTPUT batches (ranges split as
-    # n_pairs/(2·par); rows stream out as Arrow batches), not memory held
+    # n_pairs/(4·par); rows stream out as Arrow batches), not memory held
     # — the corpus-bytes gate above is the real memory guard.  r6: raised
-    # 20M → 1B after the driver's sf1.0 leg (15k series, 112.5M pairs,
+    # 20M → 4B after the driver's sf1.0 leg (15k series, 112.5M pairs,
     # corpus 60 MB) fell off the broadcast path and paid the blocked
-    # shuffle's series replication + groupBy skew for no reason; a 1B-pair
-    # job is ~2.7 GB of output across ~2·par streaming tasks, fine at any
-    # executor size, and corpora too big to broadcast still take the
-    # shuffle path via the bytes gate.
+    # shuffle's series replication + groupBy skew for no reason; pair
+    # ranges stream their output, so even a 4B-pair job holds only one
+    # Arrow batch per task at a time, and corpora too big to broadcast
+    # (the real constraint) still take the shuffle path via the bytes
+    # gate — e.g. a 3x-escalated corpus is ~1.01B pairs at 181 MB, still
+    # broadcastable, while ~5x trips the 256 MB bytes gate first.
     max_pairs = int(conf.get("spark.dtaidistance.broadcastMatrixMaxPairs",
-                             str(1_000_000_000)))
+                             str(4_000_000_000)))
     # Physical strategy switch: when the whole series set fits in
     # executor memory, broadcast it and shuffle ONLY pair-range tasks —
     # the all-pairs fan-out otherwise replicates every series to
